@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session configuration for the engine.
+  *
+  * Mirrors the reference's session tuning (SURVEY.md §4,
+  * `artifacts/spark_programs/spark_submit_tb_call_req_parquet.py:83-96`)
+  * translated to modern Spark:
+  *  - dynamic partition overwrite (the reference's
+  *    `hive.exec.dynamic.partition.mode=nonstrict`)
+  *  - 512 MB target input splits → `files.maxPartitionBytes`
+  *  - non-ANSI evaluation: the reference's UDFs return null on parse
+  *    failure (`spark_submit_tb_table1_parquet.py:107-113`); Spark 4
+  *    defaults ANSI on, which would raise instead.
+  *  - AQE on: runtime shuffle coalescing + skew-join splitting stand in
+  *    for hand-tuned partition counts at 100 TB.
+  */
+object GraftSession {
+
+  /** Apply engine defaults to an existing session (used when the driver
+    * owns the builder, e.g. Verify/Bench). */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.ansi.enabled", "false")
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.parquet.compression.codec", "snappy")
+    // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read as long and convert (Tables.events).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  def build(appName: String = "graft", master: String = "local[*]"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", 512L * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    tune(spark)
+  }
+
+  /** Per-run scratch dir for sink round-trip operators (S1-S4/S7, W1-W4).
+    * Lives under java.io.tmpdir like Spark's own block/staging dirs. */
+  def scratch(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+}

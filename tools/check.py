@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local correctness harness mirroring the driver's DuckDB-oracle gate.
+
+Dev-only tool (NOT part of the shipped Scala library): runs
+graft.Verify via sbt at a given SF dir, then replays each oracle_sql.json
+query in DuckDB over the same parquet tables and compares values
+(columns sorted by name, rows sorted by all columns, exact equality).
+
+Usage: python3 tools/check.py [sfdir] [--skip-verify] [name ...]
+"""
+import json, sys, subprocess, glob, os
+
+SF = "/root/testdata/sf0.01"
+OUT = "/tmp/graft_verify_out"
+
+def run_verify(sf, out):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+        cwd="/root/repo", env=env, capture_output=True, text=True)
+    sys.stdout.write(r.stdout[-4000:])
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-4000:])
+        sys.exit(1)
+
+def compare(sf, out, only=None):
+    import duckdb
+    import pandas as pd
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    names = sorted(oracle) if not only else [n for n in sorted(oracle) if n in only]
+    n_pass = n_fail = 0
+    failures = []
+    for name in names:
+        sql = oracle[name]
+        pdir = f"{out}/{name}"
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; failures.append(name); continue
+        try:
+            got = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; failures.append(name); continue
+        # normalize: sort columns by name, sort rows by all columns
+        def norm(df):
+            df = df.reindex(sorted(df.columns), axis=1)
+            if len(df.columns):
+                df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+            # canonicalize dtypes for value comparison
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime64"):
+                    df[c] = df[c].astype("datetime64[us]")
+                elif df[c].dtype == object:
+                    pass
+                else:
+                    try:
+                        df[c] = pd.to_numeric(df[c])
+                    except Exception:
+                        pass
+            return df
+        g, w = norm(got), norm(want)
+        ok = list(g.columns) == list(w.columns) and len(g) == len(w)
+        if ok:
+            try:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            except AssertionError as e:
+                ok = False
+                err = str(e).split("\n")[0:6]
+        if ok:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+        else:
+            n_fail += 1; failures.append(name)
+            print(f"FAIL {name}: cols got={list(g.columns)} want={list(w.columns)} rows got={len(g)} want={len(w)}")
+            try:
+                merged = g.compare(w)
+                print(merged.head(5))
+            except Exception:
+                pass
+    print(f"\n{n_pass} pass, {n_fail} fail" + (f": {failures}" if failures else ""))
+    return n_fail
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:]]
+    sf = SF
+    skip = False
+    only = []
+    for a in args:
+        if a == "--skip-verify": skip = True
+        elif a.startswith("/"): sf = a
+        else: only.append(a)
+    if not skip:
+        run_verify(sf, OUT)
+    sys.exit(1 if compare(sf, OUT, set(only) or None) else 0)
