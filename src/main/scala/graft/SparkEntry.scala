@@ -13,7 +13,8 @@ import graft.core.{GraftSession, Tables}
 object SparkEntry {
 
   private def registry: Seq[QueryModule] = Seq(
-    graft.queries.Relational)
+    graft.queries.Relational,
+    graft.queries.OpsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
