@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[QueryModule] = Seq(
     graft.queries.Relational,
     graft.queries.OpsQueries,
-    graft.queries.FunctionQueries)
+    graft.queries.FunctionQueries,
+    graft.queries.SourceQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

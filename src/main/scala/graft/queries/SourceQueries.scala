@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{GraftSession, Tables}
+import graft.sources.{CsvSource, JdbcIO, Sinks}
+import graft.etl.Promote
+
+/** Oracle-checked queries for the source/sink surface (SURVEY.md §2.1
+  * S1-S9, W1-W5, §2.8 R1): each writes testdata through the preset
+  * under test into a scratch dir (or embedded Derby), reads it back,
+  * and aggregates — the oracle computes the same aggregate from the
+  * original parquet, so any roundtrip corruption hash-mismatches. */
+object SourceQueries extends graft.QueryModule {
+
+  private var ctr = 0
+  private def scratch(tag: String): String = synchronized {
+    ctr += 1; GraftSession.scratch(s"$tag-$ctr")
+  }
+
+  /** S1: ``-separated headerless CSV with "null" literals. */
+  def s1CsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("s1")
+    val src = Tables.lineitem(spark, sfDir)
+      .where(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        nullif(col("l_returnflag"), lit("N")).as("l_returnflag"), col("l_shipdate"))
+    CsvSource.writeSep1(src, dir)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_discount", DoubleType), StructField("l_returnflag", StringType),
+      StructField("l_shipdate", TimestampType)))
+    CsvSource.readSep1(spark, schema, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"),
+        max(col("l_shipdate").cast("date")).as("max_ship"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+  }
+  val s1Sql: String =
+    """SELECT nullif(l_returnflag, 'N') AS l_returnflag, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  max(CAST(l_shipdate AS DATE)) AS max_ship
+      |FROM lineitem WHERE l_orderkey % 5 = 0
+      |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
+
+  /** S2: `;`-separated CSV with header. */
+  def s2CsvSemicolon(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("s2")
+    CsvSource.writeSemicolon(Tables.customer(spark, sfDir), dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    CsvSource.readSemicolon(spark, schema, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+  val s2Sql: String =
+    """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** S3: tab-separated CSV read via an explicit Hadoop-FS file list. */
+  def s3CsvTabFileList(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("s3")
+    CsvSource.writeTab(Tables.supplier(spark, sfDir).repartition(3), dir)
+    val files = CsvSource.listDataFiles(spark, dir)
+    require(files.nonEmpty, "file listing returned no csv parts")
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+    CsvSource.readTabFileList(spark, schema, files)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+  val s3Sql: String =
+    """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** S4: headerless quoted CSV, inferred schema, positional rename. */
+  def s4CsvInferQuote(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("s4")
+    CsvSource.writeQuote(
+      Tables.events(spark, sfDir).select("event_id", "event_type", "value", "props"), dir)
+    CsvSource.readInferredQuote(spark, dir)
+      .selectExpr("_c0 as event_id", "_c1 as event_type", "_c2 as value", "_c3 as props")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+        sum(length(col("props"))).as("props_chars"))
+      .orderBy("event_type")
+  }
+  val s4Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+      |  sum(length(props)) AS props_chars
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** S5: catalog table scan with LIMIT-1 schema probe then full scan. */
+  def s5TableScan(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.region(spark, sfDir).createOrReplaceTempView("t_region")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("t_nation")
+    val probed = spark.table("t_region").limit(1).schema // O1 schema probe
+    require(probed.fieldNames.contains("r_name"))
+    spark.sql(
+      """SELECT r.r_name, count(*) AS n_nations
+        |FROM t_region r JOIN t_nation n ON r.r_regionkey = n.n_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
+  }
+  val s5Sql: String =
+    """SELECT r_name, count(*) AS n_nations
+      |FROM region JOIN nation ON r_regionkey = n_regionkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** S6+W5: FK-ordered JDBC write (region→nation) into embedded Derby,
+    * then a range-partitioned parallel JDBC read back and join. */
+  def s6JdbcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    JdbcIO.writeOrdered(url, Seq(
+      "REGION" -> Tables.region(spark, sfDir),
+      "NATION" -> Tables.nation(spark, sfDir)), SaveMode.Overwrite)
+    val nation = JdbcIO.readPartitioned(spark, url, "NATION",
+      "n_nationkey", 0, 25, 4)
+    val region = JdbcIO.read(spark, url, "REGION")
+    nation.join(broadcast(region),
+        nation("n_regionkey") === region("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+  }
+  val s6Sql: String =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** S7+W4: JSON write, schema-imposed JSON read, plus the reference's
+    * toJSON→read.json re-parse round trip. */
+  def s7JsonSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("s7")
+    val src = Tables.orders(spark, sfDir).where(col("o_orderkey") % 7 === 0)
+    Sinks.jsonOverwrite(src, dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+    val fromDisk = Sinks.readJson(spark, schema, dir)
+    // reference re-parse: serialize rows to JSON strings, parse with schema
+    val reparsed = spark.read.schema(schema).json(fromDisk.toJSON)
+    reparsed
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        max(col("o_orderdate").cast("date")).as("max_date"))
+      .orderBy("o_orderpriority")
+  }
+  val s7Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  max(CAST(o_orderdate AS DATE)) AS max_date
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** W1+S9: parquet overwrite → parquet scan (filter pushed down). */
+  def w1ParquetRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("w1")
+    Sinks.parquetOverwrite(
+      Tables.lineitem(spark, sfDir).where(col("l_quantity") > 25), dir)
+    spark.read.parquet(dir)
+      .where(col("l_discount") > 0.02)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("l_linestatus")
+  }
+  val w1Sql: String =
+    """SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem WHERE l_quantity > 25 AND l_discount > 0.02
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** W2: dynamic-partition overwrite — rewrite ONE day, keep the rest. */
+  def w2DynamicPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("w2")
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("dt", col("ts").cast("date"))
+      .select("event_id", "value", "dt")
+    Sinks.dynamicPartitionOverwrite(ev, "dt", dir)
+    val minDt = ev.agg(min("dt")).head().getDate(0)
+    val patched = ev.where(col("dt") === lit(minDt))
+      .withColumn("value", col("value") * 2)
+    Sinks.dynamicPartitionOverwrite(patched, "dt", dir) // only minDt replaced
+    spark.read.parquet(dir)
+      .groupBy("dt")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("dt")
+  }
+  val w2Sql: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt, count(*) AS n,
+      |  round(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) =
+      |    (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events)
+      |    THEN value * 2 ELSE value END), 2) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** R1: one output file per partition value, without collapsing to a
+    * single task. */
+  def r1OneFilePerPartition(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("r1")
+    val o = Tables.orders(spark, sfDir)
+      .withColumn("yr", year(col("o_orderdate")))
+    Sinks.writeOneFilePerPartition(o, "yr", dir, parallelism = 8)
+    spark.read.parquet(dir)
+      .groupBy("yr")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("yr")
+  }
+  val r1Sql: String =
+    """SELECT year(o_orderdate) AS yr, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** End-to-end promotion job (§7.2): tab raw zone → parse F1b → derive
+    * dt (F3) → one file per partition (R1) → analytics scan. */
+  def etlPromoteE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val rawDir = scratch("raw")
+    val analyticsDir = scratch("analytics")
+    val raw = Tables.events(spark, sfDir).select(
+      date_format(col("ts"), "dd.MM.yyyy HH:mm:ss.SSSSSS").as("date_time"),
+      col("user_id"), col("event_type"), col("value"))
+    CsvSource.writeTab(raw, rawDir)
+    val conf = Promote.Config(
+      delimiter = Promote.Tab,
+      schema = StructType(Seq(
+        StructField("date_time", StringType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType))),
+      parses = Seq(Promote.ParseSpec("date_time", "ts_micros")),
+      partitionFrom = Some(("date_time", "dt",
+        (c: org.apache.spark.sql.Column) => c.cast("date"))),
+      filesPerPartition = 8)
+    Promote.run(spark, conf, rawDir, analyticsDir)
+    spark.read.parquet(analyticsDir)
+      .groupBy("dt")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("dt")
+  }
+  val etlSql: String =
+    """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt, count(*) AS n,
+      |  round(sum(value), 2) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_csv_roundtrip" -> (s1CsvRoundtrip _),
+    "s2_csv_semicolon" -> (s2CsvSemicolon _),
+    "s3_csv_tab_filelist" -> (s3CsvTabFileList _),
+    "s4_csv_infer_quote" -> (s4CsvInferQuote _),
+    "s5_table_scan" -> (s5TableScan _),
+    "s6_jdbc_roundtrip" -> (s6JdbcRoundtrip _),
+    "s7_json_schema" -> (s7JsonSchema _),
+    "w1_parquet_roundtrip" -> (w1ParquetRoundtrip _),
+    "w2_dynamic_partition" -> (w2DynamicPartition _),
+    "r1_one_file_per_partition" -> (r1OneFilePerPartition _),
+    "etl_promote_e2e" -> (etlPromoteE2e _))
+
+  def oracles: Map[String, String] = Map(
+    "s1_csv_roundtrip" -> s1Sql,
+    "s2_csv_semicolon" -> s2Sql,
+    "s3_csv_tab_filelist" -> s3Sql,
+    "s4_csv_infer_quote" -> s4Sql,
+    "s5_table_scan" -> s5Sql,
+    "s6_jdbc_roundtrip" -> s6Sql,
+    "s7_json_schema" -> s7Sql,
+    "w1_parquet_roundtrip" -> w1Sql,
+    "w2_dynamic_partition" -> w2Sql,
+    "r1_one_file_per_partition" -> r1Sql,
+    "etl_promote_e2e" -> etlSql)
+}
