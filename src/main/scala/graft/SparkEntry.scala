@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.OpsQueries,
     graft.queries.FunctionQueries,
-    graft.queries.SourceQueries)
+    graft.queries.SourceQueries,
+    graft.queries.CatalogQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
