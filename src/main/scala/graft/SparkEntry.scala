@@ -17,7 +17,10 @@ object SparkEntry {
     graft.queries.OpsQueries,
     graft.queries.FunctionQueries,
     graft.queries.SourceQueries,
-    graft.queries.CatalogQueries)
+    graft.queries.CatalogQueries,
+    graft.queries.TextQueries,
+    graft.queries.DedupQueries,
+    graft.queries.SimQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.sim.Similarity
+
+/** Oracle-checked queries for similarity search over the embeddings
+  * table: exact brute-force top-k, and the IVF approximate path whose
+  * deterministic quantizer the oracle replays exactly. */
+object SimQueries extends graft.QueryModule {
+
+  /** Shared DuckDB prelude: float→double arrays + norms. */
+  private val vecCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+      |""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a.v)), i -> $a.v[i] * $b.v[i])) / ($a.nrm * $b.nrm)"
+
+  /** Exact top-5 cosine neighbors for queries vec_id < 10. */
+  def simBruteForceTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+  val bruteSql: String = vecCte +
+    """SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(""".stripMargin + cosSql("q", "c") + """, 4) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) DESC, c.vec_id) AS rank
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF approximate top-5: centroids = vec_id < 16, nprobe = 4,
+    * queries = 100 ≤ vec_id < 110. Fully deterministic, so the oracle
+    * replays quantize→probe→rank exactly. */
+  def simIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val assigned = Similarity.Ivf.assign(emb, centroids, "vec_id", "embedding")
+    Similarity.Ivf.search(assigned, centroids,
+        emb.where(col("vec_id") >= 100 && col("vec_id") < 110),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+  val ivfSql: String = vecCte +
+    """, cents AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 16),
+      |assigned AS (
+      |  SELECT vec_id, bucket FROM (
+      |    SELECT x.vec_id, c.centroid_id AS bucket,
+      |      row_number() OVER (PARTITION BY x.vec_id
+      |        ORDER BY round(""".stripMargin + cosSql("x", "c") + """, 4) DESC, c.centroid_id) AS r
+      |    FROM n x CROSS JOIN cents c) t WHERE r = 1),
+      |probes AS (
+      |  SELECT query_id, bucket FROM (
+      |    SELECT q.vec_id AS query_id, c.centroid_id AS bucket,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) DESC, c.centroid_id) AS r
+      |    FROM n q CROSS JOIN cents c
+      |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4)
+      |SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT p.query_id, x.vec_id AS neighbor_id,
+      |    round(""".stripMargin + cosSql("q", "x") + """, 4) AS cos,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY round(""".stripMargin + cosSql("q", "x") + """, 4) DESC, x.vec_id) AS rank
+      |  FROM probes p
+      |  JOIN assigned a ON a.bucket = p.bucket
+      |  JOIN n x ON x.vec_id = a.vec_id
+      |  JOIN n q ON q.vec_id = p.query_id
+      |  WHERE x.vec_id <> p.query_id) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_bruteforce_topk" -> (simBruteForceTopk _),
+    "sim_ivf_topk" -> (simIvfTopk _))
+
+  def oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" -> bruteSql,
+    "sim_ivf_topk" -> ivfSql)
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.text.TextAnalysis
+import graft.multimodal.BinaryPipeline
+
+/** Oracle-checked queries for the text-analysis + multimodal operators
+  * over the `documents` corpus. */
+object TextQueries extends graft.QueryModule {
+
+  /** Token counting: whitespace + BPE-ish regex. */
+  def textTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
+        TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  val tokenSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language id via stopword profiles + agreement with the labeled
+    * lang column. */
+  def textLangId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  val langSql: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, pat) =>
+      lang -> s"len(regexp_extract_all(text, '$pat'))"
+    }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val caseExpr = scores.map { case (lang, s) =>
+      s"WHEN $s = __best AND __best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  CASE $caseExpr ELSE NULL END AS lang_pred
+       |FROM (SELECT *, $best AS __best FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring (fixed-order double formula). */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  val qualitySql: String =
+    """SELECT doc_id, round(
+      |  0.3 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+      |  + 0.4 * (CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS DOUBLE)
+      |      / (CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) + 1.0))
+      |  + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |      / (CAST(length(text) AS DOUBLE) + 1.0))), 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Fingerprints: canonical md5 + position-weighted integer. */
+  def textFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+        TextAnalysis.positionalFingerprint(
+          graft.dedup.Shingles.tokens(col("text"))).as("fp_pos"))
+      .orderBy("doc_id")
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+      |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |    (t, i) -> (ascii(t) + length(t)) * ((i * 2654435761) % 1000003)))
+      |    AS BIGINT) AS fp_pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal plumbing: binary payload + metadata → batched stub
+    * decode → typed features. */
+  def mmDecodeStub(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = BinaryPipeline.withPayload(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    BinaryPipeline.decode(payloads, batchSize = 64)
+      .orderBy("doc_id")
+  }
+  val mmSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST((length(text) * 7) % 640 AS INT) AS width,
+      |  CAST((length(text) * 13) % 480 AS INT) AS height,
+      |  CAST(length(text) % 30 AS INT) AS n_frames,
+      |  CAST(list_sum(list_transform(generate_series(1, least(64, length(text))),
+      |    i -> ascii(text[i]) * i)) AS BIGINT) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_counts" -> (textTokenCounts _),
+    "text_lang_id" -> (textLangId _),
+    "text_quality" -> (textQuality _),
+    "text_fingerprint" -> (textFingerprint _),
+    "mm_decode_stub" -> (mmDecodeStub _))
+
+  def oracles: Map[String, String] = Map(
+    "text_token_counts" -> tokenSql,
+    "text_lang_id" -> langSql,
+    "text_quality" -> qualitySql,
+    "text_fingerprint" -> fingerprintSql,
+    "mm_decode_stub" -> mmSql)
+}

@@ -1,0 +1,106 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * - `cosine` — codegen'd higher-order-function dot/norm (zip_with +
+  *   aggregate), left-to-right accumulation in double so results are
+  *   reproducible across engines.
+  * - `bruteForceTopK` — the exact baseline: broadcast the (small) query
+  *   set against the corpus, window-rank per query. Corpus-side scan is
+  *   embarrassingly parallel; the only shuffle is the per-query top-k.
+  * - `Ivf` — the scale path: deterministic coarse quantizer; corpus
+  *   bucketed by nearest centroid (computed once, reusable); queries
+  *   probe only `nprobe` nearest buckets. At 100 TB the bucketed
+  *   corpus is the index — probe cost is nprobe/k of a full scan.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, accumulated in
+    * double, fixed left-to-right order. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Scores rounded to `roundTo` BEFORE ranking so ordering (with id
+    * tie-break) is engine-reproducible. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, roundTo: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF-style approximate search with a deterministic coarse
+    * quantizer: `centroids` is any small DataFrame of (centroid_id,
+    * vector) — e.g. a fixed id-sampled subset, or k-means output. */
+  object Ivf {
+
+    /** Assign every corpus vector to its nearest centroid (rounded
+      * score + id tie-break for reproducibility). One broadcast join,
+      * no shuffle of the corpus. */
+    def assign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+               vecCol: String, roundTo: Int = 4): DataFrame = {
+      val cents = centroids.select(col("centroid_id"), col("cvec"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cscore").desc, col("centroid_id").asc)
+      corpus.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(cents))
+        .withColumn("cscore", round(cosine(col(vecCol), col("cvec")), roundTo))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") === 1)
+        .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"))
+    }
+
+    /** Probe: rank centroids per query, search only the top-nprobe
+      * buckets, then exact-rank within the probed subset. */
+    def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int, nprobe: Int,
+               roundTo: Int = 4): DataFrame = {
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      val cents = centroids.select(col("centroid_id"), col("cvec"))
+      val wProbe = Window.partitionBy("query_id")
+        .orderBy(col("cscore").desc, col("centroid_id").asc)
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("cscore", round(cosine(col("qv"), col("cvec")), roundTo))
+        .withColumn("crank", row_number().over(wProbe))
+        .where(col("crank") <= nprobe)
+        .select(col("query_id"), col("qv"), col("centroid_id").as("bucket"))
+      val wRank = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+        .join(broadcast(probes), Seq("bucket"))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+        .withColumn("rank", row_number().over(wRank))
+        .where(col("rank") <= k)
+    }
+  }
+
+  /** Embedding near-duplicate pairs at/above a cosine threshold —
+    * exact blocked all-pairs (the verification baseline; LSH/IVF
+    * prune candidates at scale). */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, roundTo: Int = 4): DataFrame = {
+    val l = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    l.crossJoin(r).where(col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), roundTo).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

