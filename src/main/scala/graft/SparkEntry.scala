@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.CatalogQueries,
     graft.queries.TextQueries,
     graft.queries.DedupQueries,
-    graft.queries.SimQueries)
+    graft.queries.SimQueries,
+    graft.queries.StreamQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{GraftSession, Tables}
+import graft.sources.CsvSource
+import graft.streaming.IngestionPipeline
+import graft.streaming.IngestionPipeline.RouteSpec
+
+/** Oracle-checked queries for the streaming layer: the T1/T2 ingestion
+  * pipeline drained with Trigger.AvailableNow, and a watermarked
+  * windowed aggregation — both end in deterministic batch-comparable
+  * state. */
+object StreamQueries extends graft.QueryModule {
+
+  /** T1+T2: route-dispatched file ingestion raw→stage with control
+    * rows; output = staged zone totals per route. */
+  def t1StreamIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = GraftSession.scratch("stream")
+    val rawA = s"$base/raw/route_a"
+    val rawB = s"$base/raw/route_b"
+    val rawSkip = s"$base/raw/junk"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    CsvSource.writeTab(ev.where(col("user_id") < 75), rawA)
+    CsvSource.writeTab(ev.where(col("user_id") >= 75 && col("user_id") < 140), rawB)
+    CsvSource.writeTab(ev.where(col("user_id") >= 140), rawSkip)
+
+    val conf = IngestionPipeline.Config(
+      schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType))),
+      routes = Seq(
+        RouteSpec("route_a", ".*/raw/route_a/.*\\.csv"),
+        RouteSpec("route_b", ".*/raw/route_b/.*\\.csv")))
+    IngestionPipeline.runAvailable(spark, conf, s"$base/raw/*",
+      s"$base/stage", s"$base/control", s"$base/index", s"$base/ck")
+
+    spark.read.parquet(s"$base/stage")
+      .groupBy("route")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("route")
+  }
+  val t1Sql: String =
+    """SELECT CASE WHEN user_id < 75 THEN 'route_a' ELSE 'route_b' END AS route,
+      |  count(*) AS n, round(sum(value), 2) AS total,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events WHERE user_id < 140
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** T6-adjacent: watermarked tumbling-window aggregation over the
+    * events stream, drained to a memory sink in complete mode. */
+  private var windowCtr = 0
+  def t5StreamWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = synchronized { windowCtr += 1; s"graft_stream_window_$windowCtr" }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file stream source needs a directory base path: glob the one file
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$sfDir/events.parque[t]")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("win_start", "event_type")
+  }
+  val t5Sql: String =
+    """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS win_start,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_stream_ingest" -> (t1StreamIngest _),
+    "t5_stream_window" -> (t5StreamWindow _))
+
+  def oracles: Map[String, String] = Map(
+    "t1_stream_ingest" -> t1Sql,
+    "t5_stream_window" -> t5Sql)
+}
