@@ -1,24 +1,67 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times the headline queries at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Queries are fully materialized via the noop sink (every column
+  * evaluated, no disk IO in the measurement) — `count()` alone would
+  * let Catalyst prune most of the work.
+  */
 object Bench {
+
+  /** Headline set: one per major subsystem, scale-representative. */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary",    // scan-heavy agg
+    "q3_revenue_by_nation",  // multi-join + broadcast dims
+    "o3_latest_per_group",   // window top-1
+    "a3_collect_sorted_idx", // grouped ordered-array assembly
+    "a1_kv_to_map",          // grouped map assembly
+    "cat_tables_assemble",   // catalog entity pipeline
+    "etl_promote_e2e",       // csv raw -> partitioned parquet e2e
+    "dedup_exact",           // md5 dedup
+    "dedup_minhash_lsh",     // minhash + LSH + verify
+    "dedup_simhash",         // simhash banded pairs
+    "sim_bruteforce_topk",   // exact ANN baseline
+    "sim_ivf_topk",          // IVF probe path
+    "text_token_counts",     // regex text analysis
+    "text_fingerprint",      // fingerprinting
+    "t1_stream_ingest")      // streaming drain e2e
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    graft.core.GraftSession.tune(spark)
+
+    // warm up JIT/codegen + file listing so the first timed query isn't
+    // charged for JVM startup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    graft.core.Tables.lineitem(spark, sfDir).limit(1000)
+      .write.format("noop").mode("overwrite").save()
+
+    val queries = SparkEntry.queries
+    val results = headline.filter(queries.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try {
+        queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
