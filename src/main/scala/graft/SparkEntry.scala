@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.TextQueries,
     graft.queries.DedupQueries,
     graft.queries.SimQueries,
-    graft.queries.StreamQueries)
+    graft.queries.StreamQueries,
+    graft.queries.CoverageQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+import graft.sources.{CsvSource, JdbcIO, Sinks}
+
+/** Closes the remaining SURVEY.md §2 inventory lines not already
+  * exercised elsewhere: P1/P3 (aliased + struct-field projection), J9
+  * (reverse name-equality join), W3 (partitioned external table), S10
+  * (JDBC → delimited text export, the Sqoop-import analog). */
+object CoverageQueries extends graft.QueryModule {
+
+  private var ctr = 0
+  private def scratch(tag: String): String = synchronized {
+    ctr += 1; GraftSession.scratch(s"$tag-$ctr")
+  }
+
+  /** P1+P3+F18: struct packing then `item.*`-style flatten. */
+  def p1p3StructProjection(spark: SparkSession, sfDir: String): DataFrame = {
+    val packed = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("id"),
+        struct(col("c_name").as("name"), col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("balance")).as("item"))
+    packed.select(col("id"), col("item.*"))
+      .select(col("id"), col("name"), col("segment"),
+        round(col("balance"), 2).as("balance"))
+      .orderBy("id")
+  }
+  val p1p3Sql: String =
+    """SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+      |  round(c_acctbal, 2) AS balance
+      |FROM customer ORDER BY 1""".stripMargin
+
+  /** J9: reverse-direction join on NAMES (tables⋈dbs by name, reference
+    * hive_metastore_migration.py:938-940). */
+  def j9JoinByName(spark: SparkSession, sfDir: String): DataFrame = {
+    val entities = Tables.nation(spark, sfDir)
+      .select(lower(col("n_name")).as("table_name"),
+        col("n_regionkey").as("rk"))
+    val dbNames = Tables.region(spark, sfDir)
+      .select(lower(col("r_name")).as("db_name"), col("r_regionkey"))
+    entities.join(dbNames, entities("rk") === dbNames("r_regionkey"), "inner")
+      .select(col("table_name"), col("db_name"))
+      .orderBy("table_name")
+  }
+  val j9Sql: String =
+    """SELECT lower(n_name) AS table_name, lower(r_name) AS db_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY 1""".stripMargin
+
+  /** W3: partitioned EXTERNAL table via saveAsTable(path=...), read
+    * back through the catalog. */
+  private var tblCtr = 0
+  def w3SaveAsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("w3")
+    val name = synchronized { tblCtr += 1; s"graft_w3_events_$tblCtr" }
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("dt", col("ts").cast("date"))
+      .select("event_id", "event_type", "value", "dt")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    Sinks.saveAsExternalTable(ev, name, "dt", dir)
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        countDistinct("dt").as("n_days"))
+      .orderBy("event_type")
+  }
+  val w3Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+      |  count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS n_days
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** S10: the Sqoop-import analog — JDBC table → `` delimited
+    * text with newline replacement (reference
+    * `artifacts/sqoop/jobs/job_sampledb.sh:33-50`), re-read with an
+    * imposed schema. */
+  def s10JdbcExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val url = s"jdbc:derby:memory:graftexp${System.nanoTime()};create=true"
+    JdbcIO.write(Tables.part(spark, sfDir), url, "PART", SaveMode.Overwrite)
+    val fromDb = JdbcIO.readPartitioned(spark, url, "PART",
+      "p_partkey", 0, 2000, 4)
+      // sqoop --hive-delims-replacement: strip row/field delims from text
+      .withColumn("p_name", regexp_replace(col("p_name"), "[\n\r]", " "))
+    val dir = scratch("s10")
+    CsvSource.writeSep1(fromDb, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p_partkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p_brand",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p_size",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("p_retailprice",
+        org.apache.spark.sql.types.DoubleType)))
+    CsvSource.readSep1(spark, schema, dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 2).as("total_price"))
+      .orderBy("p_brand")
+  }
+  val s10Sql: String =
+    """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total_price
+      |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1p3_struct_projection" -> (p1p3StructProjection _),
+    "j9_join_by_name" -> (j9JoinByName _),
+    "w3_save_as_table" -> (w3SaveAsTable _),
+    "s10_jdbc_export" -> (s10JdbcExport _))
+
+  def oracles: Map[String, String] = Map(
+    "p1p3_struct_projection" -> p1p3Sql,
+    "j9_join_by_name" -> j9Sql,
+    "w3_save_as_table" -> w3Sql,
+    "s10_jdbc_export" -> s10Sql)
+}
