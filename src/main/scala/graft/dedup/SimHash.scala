@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit simhash per doc from its shingle set. */
+  /** 64-bit simhash per doc: exploded feature hashes into one grouped
+    * aggregation of 64 conditional vote sums.
+    *
+    * Like MinHashLSH.signatures, deliberately NOT a per-row HOF
+    * expression: the vote sums are codegen'd and combine map-side, so
+    * only (doc, 64 votes) reaches the exchange; a measured
+    * aggregate+zip_with variant ran 3.6× slower at sf0.1 (interpreted
+    * lambdas, per-step array allocation). */
   def signatures(docShingles: DataFrame, idCol: String): DataFrame = {
     val hashed = docShingles
       .select(col(idCol), explode(col("shingles")).as("sh"))

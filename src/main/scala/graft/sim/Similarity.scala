@@ -51,19 +51,20 @@ object Similarity {
   object Ivf {
 
     /** Assign every corpus vector to its nearest centroid (rounded
-      * score + id tie-break for reproducibility). One broadcast join,
-      * no shuffle of the corpus. */
+      * score, lowest-id tie-break). Argmax as a max(struct) aggregation
+      * — partial (map-side) aggregation applies, so unlike a window
+      * rank nothing ever sorts the full corpus×centroids product. */
     def assign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                vecCol: String, roundTo: Int = 4): DataFrame = {
       val cents = centroids.select(col("centroid_id"), col("cvec"))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cscore").desc, col("centroid_id").asc)
       corpus.select(col(idCol), col(vecCol))
         .crossJoin(broadcast(cents))
         .withColumn("cscore", round(cosine(col(vecCol), col("cvec")), roundTo))
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") === 1)
-        .select(col(idCol), col(vecCol), col("centroid_id").as("bucket"))
+        .groupBy(col(idCol))
+        .agg(
+          max(struct(col("cscore"), (-col("centroid_id")).as("nid"))).as("m"),
+          first(col(vecCol)).as(vecCol))
+        .select(col(idCol), col(vecCol), (-col("m.nid")).as("bucket"))
     }
 
     /** Probe: rank centroids per query, search only the top-nprobe
