@@ -10,18 +10,27 @@ object Shingles {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles ("a b c" strings). Sequence-based,
-    * no UDF: shingle i = tokens[i..i+n-1] joined by space. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // guard: Spark's sequence(1, x) is DESCENDING for x < 1 — short
-    // docs (< n tokens) must yield an empty shingle set instead.
+  /** Shingles from an already-bound token-array column. The column
+    * should be a materialized attribute (see docShingles), not an
+    * inline expression: expressions referenced inside a `transform`
+    * lambda are re-evaluated per element, so an inline split() here
+    * costs O(shingles × n) re-tokenizations per document.
+    *
+    * guard: Spark's sequence(1, x) is DESCENDING for x < 1 — short
+    * docs (< n tokens) must yield an empty shingle set instead. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(
         transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(toks, i + k)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Distinct word n-gram shingles ("a b c" strings) from raw text —
+    * convenience single-expression form; prefer docShingles for
+    * corpus-scale work (binds tokens once). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Exact Jaccard similarity of two array columns (distinct-element
     * semantics). Integer-count division → bit-identical across
@@ -30,10 +39,16 @@ object Shingles {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** (doc_id, shingles) preparation for a corpus. */
+  /** (doc_id, shingles) preparation for a corpus: tokens bound to a
+    * concrete column first so the shingle lambda reads an attribute
+    * instead of re-running split() per element. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), shingles(col(textCol), n).as("shingles"))
-      .where(size(col("shingles")) > 0)
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      // size(__toks) >= n ⟺ shingles nonempty, but filtering on the
+      // token count keeps Catalyst from pushing the full shingle
+      // expression into the filter and computing it twice per row
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol), shinglesFromTokens(col("__toks"), n).as("shingles"))
 
   /** Exact all-pairs candidates verification: join candidate pairs with
     * both shingle sets and keep those at/above the threshold. The
