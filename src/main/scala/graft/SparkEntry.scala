@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.DedupQueries,
     graft.queries.SimQueries,
     graft.queries.StreamQueries,
-    graft.queries.CoverageQueries)
+    graft.queries.CoverageQueries,
+    graft.queries.ExtQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

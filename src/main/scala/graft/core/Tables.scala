@@ -32,8 +32,10 @@ object Tables {
     * truncate the same way (DuckDB: CAST(ts AS TIMESTAMP)). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // integral `div`, NOT floor(x/1000): double division loses ulps on
+    // nanosecond epochs (> 2^53) and lands one µs off
     apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+import graft.catalog.{CatalogFixtures, CatalogIndex, MetastoreTransformer}
+import graft.ops.Upsert
+import graft.streaming.Sessionize
+
+/** Oracle-checked queries for the extended capabilities: search-index
+  * projection (W7 shape), MERGE-style upsert, sessionization. */
+object ExtQueries extends graft.QueryModule {
+
+  /** W7/§7.1-7: table entities → search documents. */
+  def catIndexDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val dbsT = MetastoreTransformer.databases(
+      CatalogFixtures.dbs(spark, sfDir), CatalogFixtures.dbParams(spark, sfDir))
+    val sdsT = MetastoreTransformer.storageDescriptors(
+      CatalogFixtures.sds(spark, sfDir), CatalogFixtures.serdes(spark, sfDir),
+      CatalogFixtures.columnsV2(spark, sfDir), CatalogFixtures.skewedColNames(spark, sfDir))
+    val tablesT = MetastoreTransformer.tables(dbsT,
+      CatalogFixtures.tbls(spark, sfDir), CatalogFixtures.tblParams(spark, sfDir),
+      sdsT, CatalogFixtures.partitionKeys(spark, sfDir))
+    CatalogIndex.tableDocs(tablesT).orderBy("table")
+  }
+  val catIndexSql: String = CatalogFixtures.duckCtes +
+    """SELECT md5(d.name || '.' || t.tbl_name) AS doc_id,
+      |  d.name AS database, t.tbl_name AS "table",
+      |  coalesce(c.cols_csv, '') AS columns,
+      |  coalesce(c.col_names, '') AS column_tags,
+      |  d.name || ' ' || t.tbl_name || ' ' || t.owner AS comment_tags,
+      |  regexp_replace(s.location, '^s3[an]://', 's3://') AS location
+      |FROM tbls t
+      |JOIN dbs d ON t.db_id = d.db_id
+      |JOIN sds s ON t.sd_id = s.sd_id
+      |LEFT JOIN (SELECT cd_id,
+      |    string_agg(column_name || ':' || type_name, ',' ORDER BY integer_idx) AS cols_csv,
+      |    string_agg(column_name, ' ' ORDER BY integer_idx) AS col_names
+      |  FROM columns_v2 GROUP BY 1) c ON s.cd_id = c.cd_id
+      |ORDER BY t.tbl_name""".stripMargin
+
+  /** MERGE-style upsert: initial load, then a one-partition update
+    * batch with changed values + brand-new keys; only the touched
+    * partition is rewritten. */
+  def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = GraftSession.scratch("upsert")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"), col("ts").cast("date").as("dt"))
+      .withColumn("version", lit(0L))
+    Upsert.mergeIntoParquet(spark, path, ev,
+      keyCols = Seq("event_id"), versionCol = "version", partitionCol = "dt")
+    val minDt = ev.agg(min("dt")).head.getDate(0)
+    val changed = ev.where(col("dt") === lit(minDt))
+      .withColumn("value", col("value") * 10).withColumn("version", lit(1L))
+    val fresh = ev.where(col("event_id") < 100)
+      .select((col("event_id") + 1000000).as("event_id"),
+        lit(999.0).as("value"), lit(minDt).as("dt"), lit(1L).as("version"))
+    Upsert.mergeIntoParquet(spark, path, changed.unionByName(fresh),
+      keyCols = Seq("event_id"), versionCol = "version", partitionCol = "dt")
+    spark.read.parquet(path)
+      .groupBy("dt")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        max("version").as("max_version"))
+      .orderBy("dt")
+  }
+  val upsertSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, value, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt
+      |  FROM events),
+      |m AS (SELECT min(dt) AS md FROM ev)
+      |SELECT dt, count(*) + CASE WHEN dt = (SELECT md FROM m) THEN 100 ELSE 0 END AS n,
+      |  round(sum(CASE WHEN dt = (SELECT md FROM m) THEN value * 10 ELSE value END)
+      |    + CASE WHEN dt = (SELECT md FROM m) THEN 99900.0 ELSE 0.0 END, 2) AS total,
+      |  CASE WHEN dt = (SELECT md FROM m) THEN 1 ELSE 0 END AS max_version
+      |FROM ev GROUP BY dt ORDER BY dt""".stripMargin
+
+  /** Gap-based sessionization (30-min gap) with per-session summaries. */
+  def o5Sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Sessionize.sessions(Tables.events(spark, sfDir),
+        "user_id", "ts", "event_id", gapSeconds = 1800)
+      .orderBy("user_id", "session_idx")
+  val sessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+      |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cat_index_docs" -> (catIndexDocs _),
+    "upsert_merge" -> (upsertMerge _),
+    "o5_sessionize" -> (o5Sessionize _))
+
+  def oracles: Map[String, String] = Map(
+    "cat_index_docs" -> catIndexSql,
+    "upsert_merge" -> upsertSql,
+    "o5_sessionize" -> sessionizeSql)
+}

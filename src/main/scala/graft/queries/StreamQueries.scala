@@ -62,7 +62,7 @@ object StreamQueries extends graft.QueryModule {
     // file stream source needs a directory base path: glob the one file
     val stream = spark.readStream.schema(schema)
       .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
