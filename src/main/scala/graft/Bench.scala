@@ -27,6 +27,8 @@ object Bench {
     "sim_ivf_topk",          // IVF probe path
     "text_token_counts",     // regex text analysis
     "text_fingerprint",      // fingerprinting
+    "upsert_merge",          // MERGE-style partitioned upsert
+    "o5_sessionize",         // gap sessionization window
     "t1_stream_ingest")      // streaming drain e2e
 
   def main(args: Array[String]): Unit = {
