@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.SimQueries,
     graft.queries.StreamQueries,
     graft.queries.CoverageQueries,
-    graft.queries.ExtQueries)
+    graft.queries.ExtQueries,
+    graft.queries.BonusQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
