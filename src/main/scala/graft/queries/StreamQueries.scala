@@ -21,11 +21,21 @@ object StreamQueries extends graft.QueryModule {
     val rawA = s"$base/raw/route_a"
     val rawB = s"$base/raw/route_b"
     val rawSkip = s"$base/raw/junk"
+    // one partitioned write instead of three filtered jobs
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    CsvSource.writeTab(ev.where(col("user_id") < 75), rawA)
-    CsvSource.writeTab(ev.where(col("user_id") >= 75 && col("user_id") < 140), rawB)
-    CsvSource.writeTab(ev.where(col("user_id") >= 140), rawSkip)
+      .withColumn("__route",
+        when(col("user_id") < 75, "route_a")
+          .when(col("user_id") < 140, "route_b").otherwise("junk"))
+    ev.write.mode("overwrite").partitionBy("__route")
+      .option("sep", "\t").option("header", "true").csv(s"$base/rawp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/raw"))
+    Seq("route_a" -> rawA, "route_b" -> rawB, "junk" -> rawSkip).foreach {
+      case (r, dst) =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s"$base/rawp/__route=$r"),
+          java.nio.file.Paths.get(dst))
+    }
 
     val conf = IngestionPipeline.Config(
       schema = StructType(Seq(
