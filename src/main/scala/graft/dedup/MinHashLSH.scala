@@ -66,12 +66,15 @@ object MinHashLSH {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
           .as(Seq("band_idx", "band_hash")))
-    // cap pathological buckets (boilerplate-heavy corpora)
+    // cap pathological buckets (boilerplate-heavy corpora); persist the
+    // banded rows — the self-join below would otherwise recompute the
+    // whole signature subtree for BOTH sides
     val sized = rows
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
       .where(col("bucket_n") <= maxBucketSize)
       .drop("bucket_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = sized.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
     val r = sized.select(col("band_idx"), col("band_hash"), col(idCol).as("b"))
     l.join(r, Seq("band_idx", "band_hash"))

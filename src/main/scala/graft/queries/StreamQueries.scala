@@ -32,9 +32,11 @@ object StreamQueries extends graft.QueryModule {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/raw"))
     Seq("route_a" -> rawA, "route_b" -> rawB, "junk" -> rawSkip).foreach {
       case (r, dst) =>
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(s"$base/rawp/__route=$r"),
-          java.nio.file.Paths.get(dst))
+        val src = java.nio.file.Paths.get(s"$base/rawp/__route=$r")
+        val d = java.nio.file.Paths.get(dst)
+        // a route bucket can be empty at small SFs — keep the dir shape
+        if (java.nio.file.Files.exists(src)) java.nio.file.Files.move(src, d)
+        else java.nio.file.Files.createDirectories(d)
     }
 
     val conf = IngestionPipeline.Config(
@@ -42,8 +44,8 @@ object StreamQueries extends graft.QueryModule {
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType))),
       routes = Seq(
-        RouteSpec("route_a", ".*/raw/route_a/.*\\.csv"),
-        RouteSpec("route_b", ".*/raw/route_b/.*\\.csv")))
+        RouteSpec("route_a", "/raw/route_a/[^/]+\\.csv$"),
+        RouteSpec("route_b", "/raw/route_b/[^/]+\\.csv$")))
     IngestionPipeline.runAvailable(spark, conf, s"$base/raw/*",
       s"$base/stage", s"$base/control", s"$base/index", s"$base/ck")
 

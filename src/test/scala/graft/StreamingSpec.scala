@@ -20,7 +20,7 @@ class StreamingSpec extends SparkSpecBase {
       schema = StructType(Seq(
         StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType))),
-      routes = Seq(RouteSpec("route_a", ".*/raw/route_a/.*\\.csv")))
+      routes = Seq(RouteSpec("route_a", "/raw/route_a/[^/]+\\.csv$")))
     (base, conf)
   }
 
