@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.StreamQueries,
     graft.queries.CoverageQueries,
     graft.queries.ExtQueries,
-    graft.queries.BonusQueries)
+    graft.queries.BonusQueries,
+    graft.queries.PerfQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.core.{GraftSession, Tables}
+import graft.perf.Layout
+
+class PerfSpec extends SparkSpecBase {
+
+  test("bucketed join plan has no shuffle exchange for the join keys") {
+    GraftSession.tune(spark)
+    val dir = GraftSession.scratch("spec-bucket")
+    spark.sql("DROP TABLE IF EXISTS spec_bl")
+    spark.sql("DROP TABLE IF EXISTS spec_bo")
+    Layout.saveBucketed(Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity"), "spec_bl", "l_orderkey", 4, s"$dir/li")
+    Layout.saveBucketed(Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+      "spec_bo", "l_orderkey", 4, s"$dir/o")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("spec_bl").join(spark.table("spec_bo"), "l_orderkey")
+      joined.collect() // materialize so AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan
+      val finalPlan = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = finalPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n$finalPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join") {
+    val fact = Tables.lineitem(spark, sfDir)
+      .withColumn("hot_key",
+        when(col("l_orderkey") % 10 < 8, lit(0L)).otherwise(col("l_orderkey") % 100))
+    val dim = Tables.nation(spark, sfDir)
+      .select((col("n_nationkey") * 4).cast("long").as("hot_key"),
+        col("n_name").as("dim_name"))
+    val salted = Layout.saltedJoin(fact, dim, "hot_key", "l_orderkey", 8)
+      .groupBy("dim_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = fact.join(dim, "hot_key")
+      .groupBy("dim_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salt spreads the hot key across buckets") {
+    val fact = Tables.lineitem(spark, sfDir)
+      .withColumn("hot_key", lit(0L))
+      .withColumn("__salt", pmod(hash(col("l_orderkey")), lit(8)))
+    val buckets = fact.groupBy("__salt").count().collect()
+    assert(buckets.length == 8)
+    val counts = buckets.map(_.getLong(1))
+    assert(counts.max < counts.sum / 2, "salting left one dominant bucket")
+  }
+}
