@@ -74,6 +74,25 @@ object CatalogQueries extends graft.QueryModule {
       |  FROM partition_keys GROUP BY 1) pk ON t.tbl_id = pk.tbl_id
       |ORDER BY name""".stripMargin
 
+  /** Forward assembly of database entities (params map, fills, s3
+    * normalization). */
+  def catDatabasesAssemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = fx(spark, sfDir)
+    f.databasesT.select(
+      col("name"), col("description"), col("locationUri"),
+      AggOps.mapToCanonicalString(col("parameters")).as("params_csv"))
+      .orderBy("name")
+  }
+  val catDatabasesSql: String = CatalogFixtures.duckCtes +
+    """SELECT d.name, d.db_desc AS description,
+      |  regexp_replace(d.db_location_uri, '^s3[an]://', 's3://') AS locationUri,
+      |  coalesce(p.params_csv, '') AS params_csv
+      |FROM dbs d
+      |LEFT JOIN (SELECT db_id, string_agg(param_key || '=' || param_value,
+      |    ',' ORDER BY param_key) AS params_csv
+      |  FROM db_params GROUP BY 1) p ON d.db_id = p.db_id
+      |ORDER BY d.name""".stripMargin
+
   /** Forward assembly of partition entities with F12 partition names. */
   def catPartitionsAssemble(spark: SparkSession, sfDir: String): DataFrame = {
     val f = fx(spark, sfDir)
@@ -135,6 +154,7 @@ object CatalogQueries extends graft.QueryModule {
       |FROM partition_key_vals ORDER BY 1, 2""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cat_databases_assemble" -> (catDatabasesAssemble _),
     "cat_tables_assemble" -> (catTablesAssemble _),
     "cat_partitions_assemble" -> (catPartitionsAssemble _),
     "cat_decompose_columns" -> (catDecomposeColumns _),
@@ -142,6 +162,7 @@ object CatalogQueries extends graft.QueryModule {
     "cat_decompose_keyvals" -> (catDecomposeKeyVals _))
 
   def oracles: Map[String, String] = Map(
+    "cat_databases_assemble" -> catDatabasesSql,
     "cat_tables_assemble" -> catTablesSql,
     "cat_partitions_assemble" -> catPartitionsSql,
     "cat_decompose_columns" -> catDecomposeColumnsSql,
