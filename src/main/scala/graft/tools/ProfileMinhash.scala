@@ -22,6 +22,14 @@ object ProfileMinhash {
     val ds = Shingles.docShingles(docs, "doc_id", "text", 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("shingles materialize")(ds.count())
+    time("signatures declarative x3") {
+      (1 to 3).map(_ => MinHashLSH.signatures(ds, "doc_id", 64)
+        .write.format("noop").mode("overwrite").save())
+    }
+    time("signatures native x3") {
+      (1 to 3).map(_ => MinHashLSH.signaturesNative(ds, "doc_id", 64)
+        .write.format("noop").mode("overwrite").save())
+    }
     val sigs = MinHashLSH.signatures(ds, "doc_id", 64)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("signatures")(sigs.count())
