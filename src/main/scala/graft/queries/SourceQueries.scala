@@ -213,6 +213,23 @@ object SourceQueries extends graft.QueryModule {
       |  round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** R2: small-file compaction (the reference's Glue repartition job)
+    * — 16 input files coalesced to 2, values intact. */
+  def r2Compact(spark: SparkSession, sfDir: String): DataFrame = {
+    val in = scratch("r2-in")
+    val out = scratch("r2-out")
+    Tables.supplier(spark, sfDir).repartition(16)
+      .write.mode("overwrite").parquet(in)
+    Sinks.compact(spark, in, out, targetPartitions = 2)
+    spark.read.parquet(out)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+  val r2Sql: String =
+    """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** End-to-end promotion job (§7.2): tab raw zone → parse F1b → derive
     * dt (F3) → one file per partition (R1) → analytics scan. */
   def etlPromoteE2e(spark: SparkSession, sfDir: String): DataFrame = {
@@ -255,6 +272,7 @@ object SourceQueries extends graft.QueryModule {
     "w1_parquet_roundtrip" -> (w1ParquetRoundtrip _),
     "w2_dynamic_partition" -> (w2DynamicPartition _),
     "r1_one_file_per_partition" -> (r1OneFilePerPartition _),
+    "r2_compact" -> (r2Compact _),
     "etl_promote_e2e" -> (etlPromoteE2e _))
 
   def oracles: Map[String, String] = Map(
@@ -268,5 +286,6 @@ object SourceQueries extends graft.QueryModule {
     "w1_parquet_roundtrip" -> w1Sql,
     "w2_dynamic_partition" -> w2Sql,
     "r1_one_file_per_partition" -> r1Sql,
+    "r2_compact" -> r2Sql,
     "etl_promote_e2e" -> etlSql)
 }
