@@ -122,13 +122,66 @@ object ExtQueries extends graft.QueryModule {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Capstone: the full training-data curation pipeline (language +
+    * quality filters, exact dedup, minhash near-dup removal, stats) —
+    * the oracle replays every stage exactly, with ground-truth
+    * all-pairs jaccard standing in for the LSH candidates. */
+  def pipelineTrainingData(spark: SparkSession, sfDir: String): DataFrame =
+    graft.etl.TrainingDataPipeline.curateWithStats(
+      Tables.documents(spark, sfDir), "doc_id", "text", "lang",
+      graft.etl.TrainingDataPipeline.Config(
+        langs = Set("en"), minQuality = 0.4,
+        shingleSize = 3, jaccardThreshold = 0.5))
+  val pipelineSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, text, lang,
+      |    CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) >=
+      |      greatest(len(regexp_extract_all(text, '\b(el|la|de|que|los)\b')),
+      |               len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')),
+      |               len(regexp_extract_all(text, '\b(le|la|les|et|des)\b')))
+      |      AND len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) > 0
+      |      THEN 'en' ELSE NULL END AS lang_pred,
+      |    round(
+      |      0.3 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+      |      + 0.4 * (CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS DOUBLE)
+      |          / (CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) + 1.0))
+      |      + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |          / (CAST(length(text) AS DOUBLE) + 1.0))), 6) AS quality
+      |  FROM documents),
+      |filtered AS (
+      |  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.4),
+      |exact AS (
+      |  SELECT * FROM filtered WHERE doc_id IN (
+      |    SELECT min(doc_id) FROM filtered
+      |    GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))),
+      |sh AS (
+      |  SELECT doc_id, lang, text,
+      |    list_distinct(list_transform(
+      |      generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+      |      i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+      |           string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+      |           string_split_regex(trim(text), '\s+')[i+2])) AS s
+      |  FROM exact WHERE len(string_split_regex(trim(text), '\s+')) >= 3),
+      |losers AS (
+      |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.5),
+      |survivors AS (
+      |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+      |SELECT lang, count(*) AS n_docs,
+      |  sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+      |  min(doc_id) AS min_id
+      |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_training_data" -> (pipelineTrainingData _),
     "asof_join" -> (asofJoin _),
     "cat_index_docs" -> (catIndexDocs _),
     "upsert_merge" -> (upsertMerge _),
     "o5_sessionize" -> (o5Sessionize _))
 
   def oracles: Map[String, String] = Map(
+    "pipeline_training_data" -> pipelineSql,
     "asof_join" -> asofSql,
     "cat_index_docs" -> catIndexSql,
     "upsert_merge" -> upsertSql,
