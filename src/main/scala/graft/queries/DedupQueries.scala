@@ -116,7 +116,39 @@ object DedupQueries extends graft.QueryModule {
       |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.46
       |ORDER BY a, b""".stripMargin
 
+  /** Near-dup clusters: connected components over the verified minhash
+    * pairs (a≈b≈c collapses transitively). Oracle: recursive-CTE
+    * reachability over the exact ground-truth pair set. */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = MinHashLSH.nearDuplicatePairs(
+      Tables.documents(spark, sfDir).select("doc_id", "text"),
+      "doc_id", "text", ShingleN, numPerms = 64, bands = 16, threshold = Tau)
+    graft.dedup.Clusters.connectedComponents(pairs.select("a", "b"))
+      .orderBy("id")
+  }
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |s AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM d WHERE len(t) >= 3),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= $Tau),
+       |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+       |reach AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+       |SELECT src AS id, least(src, min(dst)) AS cluster
+       |FROM reach GROUP BY src ORDER BY id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -128,5 +160,6 @@ object DedupQueries extends graft.QueryModule {
     "dedup_minhash_lsh" -> exactPairsSql,
     "dedup_ngram_jaccard" -> exactPairsSql,
     // dedup_simhash: no SQL oracle (hash-based) → rows-only check
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql)
 }

@@ -51,6 +51,16 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.distinct.length == rows.length)
   }
 
+  test("connectedComponents collapses transitive chains to min label") {
+    // chain 1-2-3-4 plus pair 10-11 plus chain 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 22L), (20L, 21L))
+      .toDF("a", "b")
+    val got = Clusters.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("exact dedup keeps lowest id per canonical text") {
     val out = ExactDedup.dedupKeepFirst(corpus, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted
