@@ -23,6 +23,9 @@ object Bench {
     "dedup_exact",           // md5 dedup
     "dedup_minhash_lsh",     // minhash + LSH + verify
     "dedup_simhash",         // simhash banded pairs
+    "dedup_clusters",        // connected components over near-dup pairs
+    "pipeline_training_data", // full curation pipeline capstone
+    "asof_join",             // windowed as-of join
     "sim_bruteforce_topk",   // exact ANN baseline
     "sim_ivf_topk",          // IVF probe path
     "text_token_counts",     // regex text analysis

@@ -31,13 +31,20 @@ object TrainingDataPipeline {
   /** Docs surviving every stage. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              conf: Config): DataFrame = {
+    // persist: the regex-scored filter feeds both sides of the exact
+    // dedup's semi-join; without it the 7 regexp passes run twice
     val filtered = docs
       .withColumn("__lang", TextAnalysis.langId(col(textCol)))
       .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
       .where(col("__lang").isin(conf.langs.toSeq: _*) &&
         col("__q") >= conf.minQuality)
       .drop("__lang", "__q")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact feeds three consumers (shingling, the near-pair verify,
+    // and the final anti-join): persist once, don't recompute the
+    // filter+dedup chain per consumer
     val exact = ExactDedup.dedupKeepFirst(filtered, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nearPairs = MinHashLSH.nearDuplicatePairs(exact, idCol, textCol,
       conf.shingleSize, threshold = conf.jaccardThreshold)
     // drop the higher id of each near-dup pair (survivor policy: a doc
