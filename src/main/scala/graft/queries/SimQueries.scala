@@ -82,9 +82,25 @@ object SimQueries extends graft.QueryModule {
       |  WHERE x.vec_id <> p.query_id) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF with a TRAINED coarse quantizer (deterministic Lloyd k-means)
+    * — the production path; hash-free, so no SQL oracle (rows-only
+    * check; recall-improvement asserted in SimSpec). */
+  def simKmeansIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = graft.sim.KMeans.train(emb, "vec_id", "embedding",
+      k = 16, iterations = 2)
+    val assigned = Similarity.Ivf.assign(emb, centroids, "vec_id", "embedding")
+    Similarity.Ivf.search(assigned, centroids,
+        emb.where(col("vec_id") >= 100 && col("vec_id") < 110),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
-    "sim_ivf_topk" -> (simIvfTopk _))
+    "sim_ivf_topk" -> (simIvfTopk _),
+    "sim_kmeans_ivf" -> (simKmeansIvf _))
 
   def oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteSql,

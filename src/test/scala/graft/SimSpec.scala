@@ -45,6 +45,26 @@ class SimSpec extends SparkSpecBase {
     assert(hits >= exact.size / 2, s"recall $hits/${exact.size}")
   }
 
+  test("k-means-trained IVF recall is at least as good as id-sampled centroids") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where($"vec_id" >= 100 && $"vec_id" < 140)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    def recall(centroids: org.apache.spark.sql.DataFrame): Int = {
+      val assigned = Similarity.Ivf.assign(emb, centroids, "vec_id", "embedding")
+      val approx = Similarity.Ivf.search(assigned, centroids, queries,
+          "vec_id", "embedding", k = 1, nprobe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      exact.count { case (q, n) => approx.get(q).contains(n) }
+    }
+    val naive = emb.where($"vec_id" < 16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
+    val trained = graft.sim.KMeans.train(emb, "vec_id", "embedding", 16, 2)
+    val (rNaive, rTrained) = (recall(naive), recall(trained))
+    info(s"recall naive=$rNaive trained=$rTrained of ${exact.size}")
+    assert(rTrained >= rNaive - 2) // trained should not be worse (noise margin)
+  }
+
   test("multimodal stub decode: batch plumbing preserves rows and is deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val payloads = graft.multimodal.BinaryPipeline.withPayload(docs, "doc_id", "text")
