@@ -173,7 +173,45 @@ object ExtQueries extends graft.QueryModule {
       |  min(doc_id) AS min_id
       |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Range join: every event matched to its user's session interval
+    * via binned containment — ground truth is session membership, so
+    * the result must cover every event exactly once. */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "event_id", "ts")
+    val sessions = Sessionize.sessions(Tables.events(spark, sfDir),
+        "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select(col("user_id"), col("session_idx"),
+        col("session_start"), col("session_end"))
+    graft.ops.RangeJoin.binnedContainment(ev, sessions,
+        "user_id", "ts", "session_start", "session_end", binSeconds = 3600)
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_idx")
+  }
+  val rangeJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+      |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT user_id, session_idx,
+      |    CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+      |    CAST(floor(epoch(max(ts))) AS BIGINT) AS en
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT e.user_id, iv.session_idx, count(*) AS n_events
+      |FROM e JOIN iv ON e.user_id = iv.user_id AND e.sec BETWEEN iv.s AND iv.en
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
     "asof_join" -> (asofJoin _),
     "cat_index_docs" -> (catIndexDocs _),
@@ -181,6 +219,7 @@ object ExtQueries extends graft.QueryModule {
     "o5_sessionize" -> (o5Sessionize _))
 
   def oracles: Map[String, String] = Map(
+    "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,
     "asof_join" -> asofSql,
     "cat_index_docs" -> catIndexSql,
