@@ -118,6 +118,30 @@ object CatalogQueries extends graft.QueryModule {
       |  FROM partition_keys GROUP BY 1) pk ON t.tbl_id = pk.tbl_id
       |ORDER BY pt.part_id""".stripMargin
 
+  /** Nested-schema JSON fidelity (SURVEY §7.4-4): write the table
+    * entities as JSON (W4), read back with the pinned nested schema
+    * (S7), canonicalize — must hash-match the same oracle as the
+    * direct assembly, proving empty-array/empty-map/nested-struct
+    * roundtrip fidelity. */
+  def catEntitiesJsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = fx(spark, sfDir)
+    val dir = graft.core.GraftSession.scratch("cat-json")
+    val entities = f.tablesT
+    graft.sources.Sinks.jsonOverwrite(entities, dir)
+    val back = graft.sources.Sinks.readJson(spark, entities.schema, dir)
+    back.select(
+      col("name"), col("database"), col("owner"), col("createTime"),
+      col("storageDescriptor.location").as("location"),
+      col("storageDescriptor.serdeInfo.serializationLibrary").as("serde_lib"),
+      array_join(transform(col("storageDescriptor.columns"),
+        c => concat(c.getField("name"), lit(":"), c.getField("type"))), ",").as("cols_csv"),
+      array_join(col("storageDescriptor.skewedColumnNames"), ",").as("skewed_csv"),
+      AggOps.mapToCanonicalString(col("parameters")).as("params_csv"),
+      array_join(transform(col("partitionKeys"),
+        k => concat(k.getField("name"), lit("("), k.getField("type"), lit(")"))), ",").as("partkeys_csv"))
+      .orderBy("name")
+  }
+
   /** Reverse: decompose assembled tables back into COLUMNS_V2 rows —
     * must reproduce the relational source exactly. */
   def catDecomposeColumns(spark: SparkSession, sfDir: String): DataFrame = {
@@ -156,6 +180,7 @@ object CatalogQueries extends graft.QueryModule {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cat_databases_assemble" -> (catDatabasesAssemble _),
     "cat_tables_assemble" -> (catTablesAssemble _),
+    "cat_entities_json_roundtrip" -> (catEntitiesJsonRoundtrip _),
     "cat_partitions_assemble" -> (catPartitionsAssemble _),
     "cat_decompose_columns" -> (catDecomposeColumns _),
     "cat_decompose_params" -> (catDecomposeParams _),
@@ -164,6 +189,7 @@ object CatalogQueries extends graft.QueryModule {
   def oracles: Map[String, String] = Map(
     "cat_databases_assemble" -> catDatabasesSql,
     "cat_tables_assemble" -> catTablesSql,
+    "cat_entities_json_roundtrip" -> catTablesSql, // same canonical form
     "cat_partitions_assemble" -> catPartitionsSql,
     "cat_decompose_columns" -> catDecomposeColumnsSql,
     "cat_decompose_params" -> catDecomposeParamsSql,
