@@ -95,7 +95,43 @@ object TextQueries extends graft.QueryModule {
       |    i -> ascii(text[i]) * i)) AS BIGINT) AS checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Within-document repetition (duplicated 3-gram fraction). */
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalysis.repetitionScore(col("text"), 3).as("repetition"))
+      .orderBy("doc_id")
+  val repetitionSql: String =
+    """SELECT doc_id, CASE WHEN len(string_split_regex(trim(text), '\s+')) - 2 <= 0
+      |  THEN 0.0 ELSE round(1.0 -
+      |    CAST(len(list_distinct(list_transform(
+      |      generate_series(1, len(string_split_regex(trim(text), '\s+')) - 2),
+      |      i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+      |           string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+      |           string_split_regex(trim(text), '\s+')[i+2]))) AS DOUBLE)
+      |    / CAST(len(string_split_regex(trim(text), '\s+')) - 2 AS DOUBLE), 6) END
+      |  AS repetition
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** PII redaction over text with injected emails/number runs. */
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("dirty", concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com id "),
+        (col("doc_id") * 1234567 + 10000000).cast("string")))
+      .select(col("doc_id"), TextAnalysis.redact(col("dirty")).as("clean"))
+      .orderBy("doc_id")
+  val redactSql: String =
+    """SELECT doc_id, regexp_replace(regexp_replace(
+      |    text || ' contact user' || doc_id || '@example.com id '
+      |      || CAST(doc_id * 1234567 + 10000000 AS VARCHAR),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |  '[0-9]{7,}', '<NUM>', 'g') AS clean
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
+    "text_redact" -> (textRedact _),
     "text_token_counts" -> (textTokenCounts _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
@@ -103,6 +139,8 @@ object TextQueries extends graft.QueryModule {
     "mm_decode_stub" -> (mmDecodeStub _))
 
   def oracles: Map[String, String] = Map(
+    "text_repetition" -> repetitionSql,
+    "text_redact" -> redactSql,
     "text_token_counts" -> tokenSql,
     "text_lang_id" -> langSql,
     "text_quality" -> qualitySql,

@@ -58,6 +58,27 @@ object TextAnalysis {
       6)
   }
 
+  /** Repetition score in [0,1): fraction of duplicated word n-grams
+    * (1 - distinct/total) — the Gopher/C4-style within-document
+    * repetition filter. 0 for docs shorter than n tokens. Exact
+    * rational arithmetic → engine-reproducible. */
+  def repetitionScore(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(text), "\\s+")
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    val distinctN = size(graft.dedup.Shingles.shinglesFromTokens(toks, n))
+    when(total <= 0, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        distinctN.cast("double") / total.cast("double"), 6))
+  }
+
+  /** PII-style redaction: emails and long digit runs replaced with
+    * typed placeholders (the standard pre-training scrub pass). */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+
   /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed
     * text — the exact-dedup key. */
   def fingerprintMd5(text: Column): Column =
