@@ -63,6 +63,38 @@ object BinaryPipeline {
           .otherwise("video").as("media_type"),
         length(encode(col(textCol), "UTF-8")).as("content_length")).as("meta"))
 
+  /** Aspect-preserving resize plan over decoded media: pure Column math
+    * (inside WholeStageCodegen, no UDF), so at 100 TB it runs at scan
+    * bandwidth. Downscale-only (`scale <= 1`), floor semantics, at
+    * least 1px. Rows with degenerate dims are dropped — a real decoder
+    * yields those only for corrupt payloads. */
+  def resizePlan(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
+      lit(1.0))
+    decoded
+      .filter(col("width") > 0 && col("height") > 0)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        greatest(lit(1), floor(col("width") * scale).cast("int")).as("out_width"),
+        greatest(lit(1), floor(col("height") * scale).cast("int")).as("out_height"))
+  }
+
+  /** Frame sampling for video media: one output row per sampled frame
+    * index (0, everyN, 2·everyN, … < n_frames), with a deterministic
+    * per-frame stub checksum. The explode is a narrow generator — frame
+    * rows never shuffle; a real pipeline would decode each sampled
+    * frame in the same `mapPartitions` batch shape as [[decode]]. */
+  def sampleFrames(decoded: DataFrame, everyN: Int, fps: Int = 30): DataFrame =
+    decoded
+      .filter(col("media_type") === "video" && col("n_frames") > 0)
+      .select(col("doc_id"), col("checksum"),
+        posexplode(sequence(lit(0), col("n_frames") - 1, lit(everyN))))
+      .select(col("doc_id"),
+        col("col").as("frame_idx"),
+        round(col("col").cast("double") / fps, 6).as("frame_ts"),
+        (col("checksum") * 31 + col("col")).as("frame_checksum"))
+
   /** Batched per-partition decode: the mapInPandas-equivalent shape. */
   def decode(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = payloads.sparkSession

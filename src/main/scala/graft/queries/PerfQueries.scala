@@ -74,11 +74,44 @@ object PerfQueries extends graft.QueryModule {
       |FROM fact JOIN dim USING (hot_key)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Z-order (Morton) clustered write of events on (user_id, ⌊value⌋):
+    * content round-trips exactly (this oracle); the data-skipping
+    * property — every output file covers a compact rectangle in both
+    * dimensions — is asserted in PerfSpec. */
+  def perfZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = next()
+    val dir = GraftSession.scratch(s"zorder-$n")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value")).cast("long").as("vi"))
+    Layout.zorderWrite(ev, "user_id", "vi", nFiles = 8, path = dir)
+    val Seq((uMin, uMax), (vMin, vMax)) = Layout.bounds(ev, "user_id", "vi")
+    spark.read.parquet(dir)
+      .withColumn("z", Layout.zValue(
+        Layout.normalize16(col("user_id"), uMin, uMax),
+        Layout.normalize16(col("vi"), vMin, vMax)))
+      .orderBy("event_id")
+  }
+  val zorderSql: String = {
+    val nu = Layout.normalize16Sql("user_id", "umin", "umax")
+    val nv = Layout.normalize16Sql("vi", "vmin", "vmax")
+    s"""WITH s AS (SELECT event_id, user_id, CAST(FLOOR(value) AS BIGINT) AS vi
+       |           FROM events),
+       |m AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+       |             min(vi) AS vmin, max(vi) AS vmax FROM s)
+       |SELECT event_id, user_id, vi,
+       |  ${Layout.zValueSql(nu, nv)} AS z
+       |FROM s, m
+       |ORDER BY event_id""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "perf_bucketed_join" -> (perfBucketedJoin _),
-    "perf_salted_join" -> (perfSaltedJoin _))
+    "perf_salted_join" -> (perfSaltedJoin _),
+    "perf_zorder" -> (perfZorder _))
 
   def oracles: Map[String, String] = Map(
     "perf_bucketed_join" -> bucketedSql,
-    "perf_salted_join" -> saltedSql)
+    "perf_salted_join" -> saltedSql,
+    "perf_zorder" -> zorderSql)
 }

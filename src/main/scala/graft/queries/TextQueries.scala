@@ -95,6 +95,80 @@ object TextQueries extends graft.QueryModule {
       |    i -> ascii(text[i]) * i)) AS BIGINT) AS checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multimodal resize stage: aspect-preserving downscale to a 256×144
+    * box — pure Column math over the decoded features. */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = BinaryPipeline.withPayload(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    BinaryPipeline.resizePlan(
+      BinaryPipeline.decode(payloads, batchSize = 64), maxW = 256, maxH = 144)
+      .orderBy("doc_id")
+  }
+  val mmResizeSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  CAST((length(text) * 7) % 640 AS INT) AS width,
+      |  CAST((length(text) * 13) % 480 AS INT) AS height
+      |  FROM documents)
+      |SELECT doc_id, media_type, width, height,
+      |  GREATEST(1, CAST(FLOOR(width * LEAST(256.0 / width, 144.0 / height, 1.0)) AS INT)) AS out_width,
+      |  GREATEST(1, CAST(FLOOR(height * LEAST(256.0 / width, 144.0 / height, 1.0)) AS INT)) AS out_height
+      |FROM d WHERE width > 0 AND height > 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Multimodal frame sampling: every 5th frame of each video payload,
+    * with deterministic per-frame stub checksums. */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = BinaryPipeline.withPayload(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    BinaryPipeline.sampleFrames(
+      BinaryPipeline.decode(payloads, batchSize = 64), everyN = 5)
+      .orderBy("doc_id", "frame_idx")
+  }
+  val mmFrameSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(length(text) % 30 AS INT) AS n_frames,
+      |  CAST(list_sum(list_transform(generate_series(1, least(64, length(text))),
+      |    i -> ascii(text[i]) * i)) AS BIGINT) AS checksum
+      |  FROM documents
+      |  WHERE doc_id % 3 = 2 AND length(text) % 30 > 0)
+      |SELECT doc_id, frame_idx,
+      |  round(frame_idx / 30.0, 6) AS frame_ts,
+      |  checksum * 31 + frame_idx AS frame_checksum
+      |FROM (SELECT doc_id, checksum,
+      |        unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx
+      |      FROM d)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Per-source corpus profile: counts, distinct languages, length
+    * moments and exact interpolated percentiles — the stats pass a
+    * training-data pipeline runs before curation decisions. All
+    * partial-aggregable except the exact percentiles (which shuffle
+    * (source, n_chars) pairs only — at 100 TB swap for approx_percentile
+    * and drop the oracle to tolerance). */
+  def profileStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+      .orderBy("source")
+  val profileSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT lang) AS n_langs,
+      |  round(avg(n_chars), 6) AS avg_chars,
+      |  min(n_chars) AS min_chars,
+      |  max(n_chars) AS max_chars,
+      |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+      |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Within-document repetition (duplicated 3-gram fraction). */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -136,7 +210,10 @@ object TextQueries extends graft.QueryModule {
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
-    "mm_decode_stub" -> (mmDecodeStub _))
+    "mm_decode_stub" -> (mmDecodeStub _),
+    "mm_resize" -> (mmResize _),
+    "mm_frame_sample" -> (mmFrameSample _),
+    "profile_stats" -> (profileStats _))
 
   def oracles: Map[String, String] = Map(
     "text_repetition" -> repetitionSql,
@@ -145,5 +222,8 @@ object TextQueries extends graft.QueryModule {
     "text_lang_id" -> langSql,
     "text_quality" -> qualitySql,
     "text_fingerprint" -> fingerprintSql,
-    "mm_decode_stub" -> mmSql)
+    "mm_decode_stub" -> mmSql,
+    "mm_resize" -> mmResizeSql,
+    "mm_frame_sample" -> mmFrameSql,
+    "profile_stats" -> profileSql)
 }

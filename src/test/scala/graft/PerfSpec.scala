@@ -49,6 +49,39 @@ class PerfSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("z-order write clusters BOTH dimensions into compact per-file boxes") {
+    GraftSession.tune(spark)
+    val dir = GraftSession.scratch("spec-zorder")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value")).cast("long").as("vi"))
+    val nFiles = 8
+    Layout.zorderWrite(ev, "user_id", "vi", nFiles, dir)
+
+    val back = spark.read.parquet(dir)
+    // content round-trips
+    assert(back.count() == ev.count())
+
+    val global = ev.agg(
+      (max("user_id") - min("user_id")).as("su"),
+      (max("vi") - min("vi")).as("sv")).head()
+    val (gu, gv) = (global.getLong(0).toDouble, global.getLong(1).toDouble)
+    val boxes = back.groupBy(input_file_name().as("f"))
+      .agg((max("user_id") - min("user_id")).cast("double").as("su"),
+        (max("vi") - min("vi")).cast("double").as("sv"))
+      .collect()
+    assert(boxes.length == nFiles)
+    val avgU = boxes.map(_.getDouble(1)).sum / boxes.length / gu
+    val avgV = boxes.map(_.getDouble(2)).sum / boxes.length / gv
+    info(f"avg per-file span fraction: user_id=$avgU%.3f vi=$avgV%.3f")
+    // single-column sort gives ~1/nFiles on one dim and ~1.0 on the other;
+    // the Morton curve must shrink BOTH well below the global span
+    assert(avgU < 0.8 && avgV < 0.8,
+      f"z-order failed to localize both dims (u=$avgU%.2f v=$avgV%.2f)")
+    assert(avgU + avgV < 1.1,
+      f"combined span no better than single-column sort (u=$avgU%.2f v=$avgV%.2f)")
+  }
+
   test("salt spreads the hot key across buckets") {
     val fact = Tables.lineitem(spark, sfDir)
       .withColumn("hot_key", lit(0L))

@@ -73,4 +73,39 @@ class SimSpec extends SparkSpecBase {
     assert(a.length == docs.count())
     assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
   }
+
+  test("multimodal resize fits the box, preserves aspect, and never upscales") {
+    import graft.multimodal.BinaryPipeline
+    val docs = Tables.documents(spark, sfDir)
+    val decoded = BinaryPipeline.decode(
+      BinaryPipeline.withPayload(docs, "doc_id", "text"))
+    val out = BinaryPipeline.resizePlan(decoded, maxW = 256, maxH = 144).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(ow <= 256 && oh <= 144, s"box violated: ${w}x$h -> ${ow}x$oh")
+      assert(ow <= w && oh <= h, "upscaled")
+      if (ow > 8 && oh > 8) { // aspect drift only measurable above a few px
+        val drift = math.abs(ow.toDouble / oh - w.toDouble / h) / (w.toDouble / h)
+        assert(drift < 0.25, s"aspect drift $drift for ${w}x$h -> ${ow}x$oh")
+      }
+    }
+  }
+
+  test("frame sampling emits ceil(n_frames/step) frames per video, stride 5") {
+    import graft.multimodal.BinaryPipeline
+    val docs = Tables.documents(spark, sfDir)
+    val decoded = BinaryPipeline.decode(
+      BinaryPipeline.withPayload(docs, "doc_id", "text"))
+    val expected = decoded
+      .where($"media_type" === "video" && $"n_frames" > 0)
+      .select($"doc_id", $"n_frames").as[(Long, Int)].collect().toMap
+    val got = BinaryPipeline.sampleFrames(decoded, everyN = 5)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, nf) =>
+      assert(got(id) == (nf + 4) / 5, s"doc $id: nf=$nf got=${got(id)}")
+    }
+  }
 }

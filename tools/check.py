@@ -13,10 +13,11 @@ import json, sys, subprocess, glob, os
 SF = "/root/testdata/sf0.01"
 OUT = "/tmp/graft_verify_out"
 
-def run_verify(sf, out):
+def run_verify(sf, out, only=None):
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    names = " " + " ".join(sorted(only)) if only else ""
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}{names}'],
         cwd="/root/repo", env=env, capture_output=True, text=True)
     sys.stdout.write(r.stdout[-4000:])
     if r.returncode != 0:
@@ -93,5 +94,5 @@ if __name__ == "__main__":
         elif a.startswith("/"): sf = a
         else: only.append(a)
     if not skip:
-        run_verify(sf, OUT)
+        run_verify(sf, OUT, set(only) or None)
     sys.exit(1 if compare(sf, OUT, set(only) or None) else 0)
