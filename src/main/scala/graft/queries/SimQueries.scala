@@ -97,12 +97,52 @@ object SimQueries extends graft.QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** Random-hyperplane LSH near-dup pairs over embeddings ∪ planted
+    * near-duplicates (deterministic multiplicative ripple, cos ≈ 0.9996;
+    * the original corpus tops out at cos 0.51, so threshold 0.9 isolates
+    * the planted pairs). Candidates come from banded signature buckets;
+    * verification is exact cosine — and at these angles the banding miss
+    * probability is ~1e-12 per pair, so the verified output equals the
+    * exact all-pairs result the oracle computes. */
+  def simRhpPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x * (lit(1.0) + lit(0.02) * (i % 5 - lit(2)))).as("embedding"))
+    graft.sim.RhpLsh.nearDupPairs(base.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.9, nBits = 64, bandBits = 8)
+      .orderBy("a", "b")
+  }
+  val rhpSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |pert AS (
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_transform(v, (x, i) -> x * (1.0 + 0.02 * ((i - 1) % 5 - 2))) AS v
+      |  FROM base),
+      |c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c)
+      |SELECT a.vec_id AS a, b.vec_id AS b,
+      |  round(list_sum(list_transform(generate_series(1, len(a.v)),
+      |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+      |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.9
+      |ORDER BY a, b""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
-    "sim_kmeans_ivf" -> (simKmeansIvf _))
+    "sim_kmeans_ivf" -> (simKmeansIvf _),
+    "sim_rhp_pairs" -> (simRhpPairs _))
 
   def oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteSql,
-    "sim_ivf_topk" -> ivfSql)
+    "sim_ivf_topk" -> ivfSql,
+    "sim_rhp_pairs" -> rhpSql)
 }

@@ -1,0 +1,98 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane (sign-projection) LSH for cosine similarity — the
+  * bucketed scale path for embedding near-duplicate detection,
+  * complementing `Similarity.nearDupPairs` (the exact baseline) and
+  * `Similarity.Ivf` (query-time ANN).
+  *
+  * Signature: nBits sign bits of dot products against fixed seeded
+  * hyperplanes (sign(v·w_j) survives any rotation-invariant scaling, so
+  * P[bit collision] = 1 - θ/π — the standard SRP-LSH guarantee).
+  * Candidates: banded signature buckets (pigeonhole: two vectors at
+  * cosine ≥ τ disagree on few bits, so some band of consecutive bits
+  * matches with high probability). Verification: exact cosine on
+  * candidates only.
+  *
+  * Scale shape (same as dedup.MinHashLSH): the corpus-wide work is one
+  * explode + two partial-aggregable shuffles of (id, band) pairs; the
+  * self-join runs on (band, bandValue) buckets whose size tracks true
+  * duplicate density, never O(n²). Embedding payloads move once into
+  * the signature pass and once per verified candidate.
+  */
+object RhpLsh {
+
+  /** Deterministic ±1 hyperplane components, seeded driver-side
+    * (Rademacher planes are standard for SRP and keep the dot products
+    * exact in integer-scaled arithmetic). Broadcast-sized: nBits×dim. */
+  def planes(spark: SparkSession, dim: Int, nBits: Int, seed: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val rows = for (j <- 0 until nBits; i <- 0 until dim)
+      yield (j, i, if (rnd.nextBoolean()) 1.0 else -1.0)
+    import spark.implicits._
+    rows.toDF("j", "i", "w")
+  }
+
+  /** Per-vector nBits signature as a long bitmap.
+    * Explode + partial-aggregable sums (measured pattern: beats
+    * interpreted HOF lambdas 1.6-3.6×); raw embeddings never shuffle —
+    * only (id, j, partial-dot) triples do. */
+  def signatures(corpus: DataFrame, idCol: String, vecCol: String,
+                 nBits: Int = 16, seed: Long = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val p = planes(spark, dim, nBits, seed)
+    corpus
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .join(broadcast(p), "i")
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("v").cast("double") * col("w")).as("proj"))
+      .groupBy("id")
+      .agg(sum(when(col("proj") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("sig"))
+  }
+
+  /** Candidate pairs from banded buckets: band b = bits
+    * [b·bandBits, (b+1)·bandBits); equal band value → candidate. */
+  def candidatePairs(sigs: DataFrame, nBits: Int, bandBits: Int,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val nBands = nBits / bandBits
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(sequence(lit(0), lit(nBands - 1))).as(Seq("pos", "band")))
+      .select(col("id"), col("sig"), col("band"),
+        expr(s"shiftrightunsigned(sig, band * $bandBits)")
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bval"))
+    // cap boilerplate-dominated buckets (same guard as MinHashLSH)
+    val sized = banded.withColumn("__n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bval")))
+      .where(col("__n") <= maxBucketSize).drop("__n")
+    val l = sized.select(col("band"), col("bval"), col("id").as("a"), col("sig").as("siga"))
+    val r = sized.select(col("band"), col("bval"), col("id").as("b"), col("sig").as("sigb"))
+    l.join(r, Seq("band", "bval"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** End-to-end near-duplicate pairs at/above `threshold`: signature →
+    * banded candidates → exact-cosine verification (so precision is 1
+    * by construction; recall is the banding probability, asserted
+    * against the exact baseline in SimSpec). */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, nBits: Int = 16, bandBits: Int = 4,
+                   seed: Long = 42, roundTo: Int = 4): DataFrame = {
+    val sigs = signatures(corpus, idCol, vecCol, nBits, seed)
+    val cands = candidatePairs(sigs, nBits, bandBits)
+    val vec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      Similarity.norm(col(vecCol)).as("__n"))
+    cands
+      .join(vec.select(col("__id").as("a"), col("__v").as("va"), col("__n").as("na")), "a")
+      .join(vec.select(col("__id").as("b"), col("__v").as("vb"), col("__n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")),
+          roundTo).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

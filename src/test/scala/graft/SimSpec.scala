@@ -74,6 +74,33 @@ class SimSpec extends SparkSpecBase {
     assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
   }
 
+  test("RHP-LSH finds every planted near-dup pair with far fewer candidates than n²") {
+    import graft.sim.RhpLsh
+    val base = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("embedding"))
+    val planted = base.select(
+      ($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", (x, i) =>
+        x * (lit(1.0) + lit(0.02) * (i % 5 - lit(2)))).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val n = corpus.count()
+
+    val got = RhpLsh.nearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, nBits = 64, bandBits = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val want = graft.sim.Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"recall/precision break: missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+
+    val nCands = RhpLsh.candidatePairs(
+      RhpLsh.signatures(corpus, "vec_id", "embedding", nBits = 64),
+      nBits = 64, bandBits = 8).count()
+    info(s"candidates=$nCands of ${n * (n - 1) / 2} possible, true pairs=${want.size}")
+    assert(nCands < n * (n - 1) / 2 / 10, "LSH pruned less than 90% of the pair space")
+  }
+
   test("multimodal resize fits the box, preserves aspect, and never upscales") {
     import graft.multimodal.BinaryPipeline
     val docs = Tables.documents(spark, sfDir)
