@@ -94,11 +94,46 @@ object StreamQueries extends graft.QueryModule {
       |  event_type, count(*) AS n, round(sum(value), 2) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** T3 re-expressed: at-least-once delivery (every event arrives
+    * twice via a self-union) collapsed to exactly-once by
+    * watermark-scoped streaming dedup; output = per-type totals, which
+    * must equal the plain single-delivery aggregate. */
+  private var dedupCtr = 0
+  def t3StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = synchronized { dedupCtr += 1; s"graft_stream_dedup_$dedupCtr" }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$sfDir/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val atLeastOnce = stream.union(stream)
+    val deduped = graft.streaming.StreamDedup.dedupWithinWatermark(
+      atLeastOnce, Seq("event_id"), "ts", "30 days")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+  }
+  val t3Sql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_stream_ingest" -> (t1StreamIngest _),
-    "t5_stream_window" -> (t5StreamWindow _))
+    "t5_stream_window" -> (t5StreamWindow _),
+    "t3_stream_dedup" -> (t3StreamDedup _))
 
   def oracles: Map[String, String] = Map(
     "t1_stream_ingest" -> t1Sql,
-    "t5_stream_window" -> t5Sql)
+    "t5_stream_window" -> t5Sql,
+    "t3_stream_dedup" -> t3Sql)
 }

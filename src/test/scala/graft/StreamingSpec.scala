@@ -51,6 +51,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(before == after)
   }
 
+  test("watermark-scoped dedup drops duplicates arriving in LATER micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)] // (event_id, ts_us)
+    val base = 1700000000000000L
+    val deduped = graft.streaming.StreamDedup.dedupWithinWatermark(
+      ms.toDF().toDF("event_id", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us"))),
+      Seq("event_id"), "ts", "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("spec_dedup").start()
+    try {
+      ms.addData((1L, base), (2L, base + 1), (3L, base + 2), (1L, base))
+      q.processAllAvailable()
+      // batch 2: redeliveries of 2 and 3 (within watermark) + fresh 4
+      ms.addData((2L, base + 1), (3L, base + 2), (4L, base + 3))
+      q.processAllAvailable()
+      val got = spark.table("spec_dedup")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L, 4L), s"got $got")
+    } finally q.stop()
+  }
+
   test("status transition table matches the reference lifecycle") {
     assert(Status.isLegal(Status.InitialLoad, Status.Stage))
     assert(Status.isLegal(Status.Stage, Status.Processing))
