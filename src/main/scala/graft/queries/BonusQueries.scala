@@ -73,15 +73,87 @@ object BonusQueries extends graft.QueryModule {
       |  count(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CUBE: all grouping combinations of (returnflag, linestatus). */
+  def xCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  val cubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin
+
+  /** INTERSECT / EXCEPT set ops (distinct semantics): parts that ship
+    * in near-full quantity vs large-size parts — partially overlapping
+    * key sets so all three buckets are non-trivial. */
+  def xIntersectExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") >= 49).select(col("l_partkey").as("k")).distinct()
+    val b = Tables.part(spark, sfDir)
+      .where(col("p_size") >= 40).select(col("p_partkey").as("k"))
+    val both = a.intersect(b).select(lit("both").as("bucket"), col("k"))
+    val onlyA = a.except(b).select(lit("shipped_only").as("bucket"), col("k"))
+    val onlyB = b.except(a).select(lit("large_only").as("bucket"), col("k"))
+    both.unionByName(onlyA).unionByName(onlyB)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+  val intersectExceptSql: String =
+    """WITH a AS (SELECT DISTINCT l_partkey AS k FROM lineitem
+      |           WHERE l_quantity >= 49),
+      |b AS (SELECT p_partkey AS k FROM part WHERE p_size >= 40)
+      |SELECT bucket, count(*) AS n FROM (
+      |  SELECT 'both' AS bucket, k FROM
+      |    (SELECT k FROM a INTERSECT SELECT k FROM b)
+      |  UNION ALL
+      |  SELECT 'shipped_only', k FROM
+      |    (SELECT k FROM a EXCEPT SELECT k FROM b)
+      |  UNION ALL
+      |  SELECT 'large_only', k FROM
+      |    (SELECT k FROM b EXCEPT SELECT k FROM a))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** GROUPING SETS with grouping-id disambiguation of the null rows. */
+  def xGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_prio,
+        |  count(1) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin)
+  }
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  grouping(o_orderstatus) AS g_status,
+      |  grouping(o_orderpriority) AS g_prio,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_rollup" -> (xRollup _),
     "x_pivot" -> (xPivot _),
     "x_semi_anti" -> (xSemiAnti _),
-    "x_distinct_agg" -> (xDistinctAgg _))
+    "x_distinct_agg" -> (xDistinctAgg _),
+    "x_cube" -> (xCube _),
+    "x_intersect_except" -> (xIntersectExcept _),
+    "x_grouping_sets" -> (xGroupingSets _))
 
   def oracles: Map[String, String] = Map(
     "x_rollup" -> rollupSql,
     "x_pivot" -> pivotSql,
     "x_semi_anti" -> semiAntiSql,
-    "x_distinct_agg" -> distinctSql)
+    "x_distinct_agg" -> distinctSql,
+    "x_cube" -> cubeSql,
+    "x_intersect_except" -> intersectExceptSql,
+    "x_grouping_sets" -> groupingSetsSql)
 }

@@ -13,6 +13,15 @@ object Sinks {
   def parquetOverwrite(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Schema-evolution read: union the schemas of every parquet file
+    * under `path` (mergeSchema is off by default because footer-merging
+    * every file costs a listing-sized job — opt in per read, exactly
+    * like Delta's schema evolution); columns absent in older files
+    * come back null. Pair with `na` fills / `coalesce` defaults at the
+    * call site. */
+  def readParquetMergedSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** W2 (`spark_submit_tb_table1_parquet.py:123` + conf `:79-80`):
     * dynamic-partition write — only the partitions present in `df` are
     * replaced (partitionOverwriteMode=dynamic, set in GraftSession).

@@ -45,6 +45,24 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.where(col("p") === 0).count() == 3) // replaced
   }
 
+  test("mergeSchema read unions old and new file schemas, nulling absent columns") {
+    GraftSession.tune(spark)
+    val dir = GraftSession.scratch("spec-evolve")
+    // v1 files: (id, a); v2 files add column b
+    spark.range(5).withColumn("a", col("id") * 2)
+      .write.mode("overwrite").parquet(dir)
+    spark.range(5, 8).withColumn("a", col("id") * 2)
+      .withColumn("b", col("id").cast("string"))
+      .write.mode("append").parquet(dir)
+    val merged = Sinks.readParquetMergedSchema(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+    assert(merged.count() == 8)
+    assert(merged.where(col("b").isNull).count() == 5) // old files
+    assert(merged.where(col("b").isNotNull).count() == 3)
+    // default read (no merge) may legally miss column b; the evolved
+    // reader is the contract
+  }
+
   test("listDataFiles returns only matching files, sorted") {
     val dir = GraftSession.scratch("spec-ls")
     Files.writeString(Paths.get(dir, "b.csv"), "x")
