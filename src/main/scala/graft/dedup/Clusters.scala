@@ -26,9 +26,10 @@ object Clusters {
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("src").as("id"))
+    var cached = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -38,14 +39,16 @@ object Clusters {
           .withColumnRenamed("cluster", "n_cluster"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("n_cluster")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
+      // carry the old label through the join so convergence detection
+      // is a filter on the cached result, not a second join per round
+      val step = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"), col("cluster").as("old"),
           least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .where(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = step.where(col("cluster") =!= col("old")).count()
+      cached.unpersist() // the derived select below shares step's cache
+      cached = step
+      labels = step.select("id", "cluster")
       converged = changed == 0
     }
     edges.unpersist()
