@@ -32,7 +32,11 @@ object Bench {
     "text_fingerprint",      // fingerprinting
     "upsert_merge",          // MERGE-style partitioned upsert
     "o5_sessionize",         // gap sessionization window
-    "t1_stream_ingest")      // streaming drain e2e
+    "t1_stream_ingest",      // streaming drain e2e
+    "sim_rhp_pairs",         // random-hyperplane LSH near-dup
+    "perf_zorder",           // Morton-clustered write + readback
+    "mm_frame_sample",       // decode + frame explode
+    "profile_stats")         // corpus profiling aggregates
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -27,31 +27,48 @@ object RhpLsh {
   /** Deterministic ±1 hyperplane components, seeded driver-side
     * (Rademacher planes are standard for SRP and keep the dot products
     * exact in integer-scaled arithmetic). Broadcast-sized: nBits×dim. */
-  def planes(spark: SparkSession, dim: Int, nBits: Int, seed: Long): DataFrame = {
+  def planeMatrix(dim: Int, nBits: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val rows = for (j <- 0 until nBits; i <- 0 until dim)
-      yield (j, i, if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(nBits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** [[planeMatrix]] as a (j, i, w) DataFrame for the declarative
+    * signature path. */
+  def planes(spark: SparkSession, dim: Int, nBits: Int, seed: Long): DataFrame = {
+    val m = planeMatrix(dim, nBits, seed)
+    val rows = for (j <- 0 until nBits; i <- 0 until dim) yield (j, i, m(j)(i))
     import spark.implicits._
     rows.toDF("j", "i", "w")
   }
 
   /** Per-vector nBits signature as a long bitmap.
-    * Explode + partial-aggregable sums (measured pattern: beats
-    * interpreted HOF lambdas 1.6-3.6×); raw embeddings never shuffle —
-    * only (id, j, partial-dot) triples do. */
+    *
+    * Default path: the native [[graft.plans.RhpSig]] kernel — the whole
+    * signature stays inside the projection (no shuffle until the LSH
+    * bucket join). `native = false` keeps the declarative
+    * explode + broadcast-join + partial-aggregable-sum formulation,
+    * bit-exact with the kernel (both fold the dot product
+    * left-to-right); SimSpec asserts the equivalence. */
   def signatures(corpus: DataFrame, idCol: String, vecCol: String,
-                 nBits: Int = 16, seed: Long = 42): DataFrame = {
+                 nBits: Int = 16, seed: Long = 42,
+                 native: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val p = planes(spark, dim, nBits, seed)
-    corpus
-      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "v")))
-      .join(broadcast(p), "i")
-      .groupBy(col("id"), col("j"))
-      .agg(sum(col("v").cast("double") * col("w")).as("proj"))
-      .groupBy("id")
-      .agg(sum(when(col("proj") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("sig"))
+    if (native)
+      corpus.select(col(idCol).as("id"),
+        graft.plans.RhpSig(col(vecCol).cast("array<double>"),
+          planeMatrix(dim, nBits, seed)).as("sig"))
+    else {
+      val p = planes(spark, dim, nBits, seed)
+      corpus
+        .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("i", "v")))
+        .join(broadcast(p), "i")
+        .groupBy(col("id"), col("j"))
+        .agg(sum(col("v").cast("double") * col("w")).as("proj"))
+        .groupBy("id")
+        .agg(sum(when(col("proj") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+          .otherwise(0L)).as("sig"))
+    }
   }
 
   /** Candidate pairs from banded buckets: band b = bits

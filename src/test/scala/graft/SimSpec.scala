@@ -101,6 +101,17 @@ class SimSpec extends SparkSpecBase {
     assert(nCands < n * (n - 1) / 2 / 10, "LSH pruned less than 90% of the pair space")
   }
 
+  test("native RhpSig kernel is bit-exact with the declarative signature path") {
+    import graft.sim.RhpLsh
+    val emb = Tables.embeddings(spark, sfDir)
+    val nat = RhpLsh.signatures(emb, "vec_id", "embedding", nBits = 64, native = true)
+      .as[(Long, Long)].collect().toMap
+    val dec = RhpLsh.signatures(emb, "vec_id", "embedding", nBits = 64, native = false)
+      .as[(Long, Long)].collect().toMap
+    assert(nat.nonEmpty && nat == dec,
+      s"diverging ids: ${nat.keySet.filter(k => nat(k) != dec.getOrElse(k, -1L)).take(5)}")
+  }
+
   test("multimodal resize fits the box, preserves aspect, and never upscales") {
     import graft.multimodal.BinaryPipeline
     val docs = Tables.documents(spark, sfDir)
