@@ -169,6 +169,45 @@ object TextQueries extends graft.QueryModule {
       |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Vocabulary: top-20 tokens by document frequency. */
+  def textVocab(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.Vocab.topByDocFreq(
+      Tables.documents(spark, sfDir), "doc_id", "text", k = 20)
+  val vocabSql: String =
+    """SELECT token, count(*) AS df FROM (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY df DESC, token LIMIT 20""".stripMargin
+
+  /** TF-IDF: top-3 terms per doc (doc_id < 20) with corpus-wide df. */
+  def textTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    graft.text.Vocab.tfIdfTop(docs, "doc_id", "text", nDocs = n,
+        perDoc = 3, docFilter = col("doc_id") < 20)
+      .orderBy("doc_id", "rank")
+  }
+  val tfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS cnt, any_value(n_toks) AS n_toks
+      |       FROM toks GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token,
+      |    round((CAST(cnt AS DOUBLE) / n_toks)
+      |      * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+      |  FROM tf JOIN df USING (token) CROSS JOIN n
+      |  WHERE tf.doc_id < 20)
+      |SELECT doc_id, rank, token, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, token) AS rank FROM scored) t
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Within-document repetition (duplicated 3-gram fraction). */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -213,7 +252,9 @@ object TextQueries extends graft.QueryModule {
     "mm_decode_stub" -> (mmDecodeStub _),
     "mm_resize" -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "profile_stats" -> (profileStats _))
+    "profile_stats" -> (profileStats _),
+    "text_vocab" -> (textVocab _),
+    "text_tfidf" -> (textTfidf _))
 
   def oracles: Map[String, String] = Map(
     "text_repetition" -> repetitionSql,
@@ -225,5 +266,7 @@ object TextQueries extends graft.QueryModule {
     "mm_decode_stub" -> mmSql,
     "mm_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSql,
-    "profile_stats" -> profileSql)
+    "profile_stats" -> profileSql,
+    "text_vocab" -> vocabSql,
+    "text_tfidf" -> tfidfSql)
 }

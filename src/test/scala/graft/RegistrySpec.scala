@@ -46,7 +46,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 89, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 87) // simhash + kmeans are rows-only
+    assert(SparkEntry.queries.size == 100, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 98) // simhash + kmeans are rows-only
   }
 }
