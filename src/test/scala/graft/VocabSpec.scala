@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Vocab
+
+/** Vocabulary / TF-IDF term statistics. */
+class VocabSpec extends SparkSpecBase {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "apple  cherry cherry date"),
+      (3L, "date")
+    ).toDF("doc_id", "text")
+  }
+
+  test("topByDocFreq counts documents, not occurrences; ties break by token") {
+    val top = Vocab.topByDocFreq(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // apple/banana/cherry/date all appear in exactly 2 docs → token asc.
+    assert(top.toSeq == Seq(("apple", 2L), ("banana", 2L), ("cherry", 2L)))
+  }
+
+  test("tfIdfTop scores tf*ln(N/df) and ranks within doc") {
+    val out = Vocab.tfIdfTop(docs, "doc_id", "text", nDocs = 4L, perDoc = 1,
+        docFilter = col("doc_id") === 0L)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    // doc 0: apple tf=2/3 df=2 → (2/3)*ln(2); banana tf=1/3 same idf.
+    assert(r.getLong(0) == 0L && r.getString(2) == "apple")
+    assert(math.abs(r.getDouble(3) - BigDecimal(2.0 / 3 * math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("docFilter narrows scored docs but not df statistics") {
+    // "date" appears in docs 2,3 → df=2 even when only doc 3 is scored;
+    // a filter-first implementation would see df=1 and idf=ln(4).
+    val out = Vocab.tfIdfTop(docs, "doc_id", "text", nDocs = 4L, perDoc = 1,
+        docFilter = col("doc_id") === 3L)
+      .collect().head
+    assert(out.getString(2) == "date")
+    assert(math.abs(out.getDouble(3) - BigDecimal(math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+}
