@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.CoverageQueries,
     graft.queries.ExtQueries,
     graft.queries.BonusQueries,
-    graft.queries.PerfQueries)
+    graft.queries.PerfQueries,
+    graft.queries.CurateQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

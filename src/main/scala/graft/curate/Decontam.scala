@@ -1,0 +1,36 @@
+package graft.curate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Shingles
+
+/** Benchmark decontamination: flag corpus documents that share any
+  * word n-gram with a held-out evaluation set.
+  *
+  * Scale shape: the benchmark set is tiny relative to the corpus
+  * (thousands of eval documents vs billions of training documents),
+  * so its distinct n-gram set is collected into a broadcast hash
+  * relation; the corpus side explodes shingles and probes the
+  * broadcast — corpus text is read once, never shuffled, and the only
+  * exchange is the per-doc hit-count aggregation on (doc_id, partial
+  * count). This is the standard industrial decontamination shape
+  * (exact n-gram overlap, as used for benchmark leakage checks).
+  */
+object Decontam {
+
+  /** (doc_id, hits): corpus documents sharing ≥1 distinct n-gram with
+    * `bench`, with the count of distinct shared n-grams. Documents
+    * shorter than n tokens cannot be contaminated and are excluded on
+    * both sides. */
+  def contaminated(corpus: DataFrame, bench: DataFrame,
+                   idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchGrams = Shingles.docShingles(bench, idCol, textCol, n)
+      .select(explode(col("shingles")).as("g")).distinct()
+    val corpusGrams = Shingles.docShingles(corpus, idCol, textCol, n)
+      // shingles are distinct per doc, so post-join count(*) counts
+      // distinct shared n-grams without a count(distinct) exchange
+      .select(col(idCol), explode(col("shingles")).as("g"))
+    corpusGrams.join(broadcast(benchGrams), "g")
+      .groupBy(idCol).agg(count(lit(1)).as("hits"))
+  }
+}

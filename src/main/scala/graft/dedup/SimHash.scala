@@ -62,7 +62,9 @@ object SimHash {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the pair-dedup exchange: hamming is a pure
+      // function of (a,b), so the distinct sees only qualifying pairs
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

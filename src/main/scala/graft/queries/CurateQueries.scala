@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.curate.{Decontam, Packing, Sampling}
+
+/** Training-data curation family: deterministic splits, per-source
+  * quotas, benchmark decontamination, sequence packing. */
+object CurateQueries extends graft.QueryModule {
+
+  /** Stable md5-bucket train/val/test assignment per document. */
+  def curateSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.hashSplit(
+      Tables.documents(spark, sfDir).select("doc_id"), "doc_id")
+      .orderBy("doc_id")
+  val splitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN b < 13 THEN 'train' WHEN b = 13 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        strpos('0123456789abcdef',
+      |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** At most 25 docs per source, chosen by deterministic md5 order. */
+  def curateQuota(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.perGroupQuota(
+      Tables.documents(spark, sfDir).select("source", "doc_id"),
+      "source", "doc_id", quota = 25)
+      .orderBy("source", "doc_id")
+  val quotaSql: String =
+    """SELECT source, doc_id FROM (
+      |  SELECT source, doc_id, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 25 ORDER BY source, doc_id""".stripMargin
+
+  /** Corpus docs sharing a 3-gram with the pseudo-benchmark set
+    * (doc_id % 97 = 0), with distinct-shared-gram counts. */
+  def curateDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    Decontam.contaminated(
+      corpus = docs.where(col("doc_id") % 97 =!= 0),
+      bench = docs.where(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+  }
+  val decontamSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM d WHERE len(t) >= 3),
+      |bench AS (
+      |  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+      |corpus AS (
+      |  SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 97 <> 0)
+      |SELECT doc_id, count(*) AS hits
+      |FROM corpus JOIN bench USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Partition-local next-fit packing into 2048-token bins; output is
+    * partition-layout-dependent (like SURVEY A6) → rows-only check
+    * here, exact semantics pinned in PackingSpec. */
+  def curatePack(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(graft.dedup.Shingles.tokens(col("text"))).as("n_toks"))
+      .repartition(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    Packing.nextFitPack(docs, "doc_id", "n_toks", budget = 2048)
+      .select(col("bin"), col("n_docs"), col("total_tokens"))
+      .orderBy("bin")
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_split" -> (curateSplit _),
+    "curate_quota" -> (curateQuota _),
+    "curate_decontam" -> (curateDecontam _),
+    "curate_pack" -> (curatePack _))
+
+  def oracles: Map[String, String] = Map(
+    "curate_split" -> splitSql,
+    "curate_quota" -> quotaSql,
+    "curate_decontam" -> decontamSql)
+    // curate_pack: partition-local semantics → rows-only check
+}

@@ -18,7 +18,8 @@ class RegistrySpec extends AnyFunSuite {
     "CoverageQueries" -> queries.CoverageQueries,
     "ExtQueries" -> queries.ExtQueries,
     "BonusQueries" -> queries.BonusQueries,
-    "PerfQueries" -> queries.PerfQueries)
+    "PerfQueries" -> queries.PerfQueries,
+    "CurateQueries" -> queries.CurateQueries)
 
   test("query names are globally unique (no silent map overwrite)") {
     val all = modules.flatMap { case (m, q) => q.defs.keys.map(_ -> m) }
@@ -46,7 +47,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 100, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 98) // simhash + kmeans are rows-only
+    assert(SparkEntry.queries.size == 104, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 101) // simhash/kmeans/pack rows-only
   }
 }
