@@ -36,7 +36,10 @@ object Bench {
     "sim_rhp_pairs",         // random-hyperplane LSH near-dup
     "perf_zorder",           // Morton-clustered write + readback
     "mm_frame_sample",       // decode + frame explode
-    "profile_stats")         // corpus profiling aggregates
+    "profile_stats",         // corpus profiling aggregates
+    "text_tfidf",            // tf-idf term statistics + per-doc top-k
+    "curate_decontam",       // broadcast n-gram decontamination
+    "curate_pack")           // partition-local sequence packing
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
