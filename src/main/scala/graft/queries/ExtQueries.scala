@@ -210,7 +210,51 @@ object ExtQueries extends graft.QueryModule {
       |FROM e JOIN iv ON e.user_id = iv.user_id AND e.sec BETWEEN iv.s AND iv.en
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Versioned table lifecycle: init snapshot → upsert commit →
+    * tombstone delete → compact, then time-travel reads of every
+    * version. Exercises snapshot isolation, merge-on-read newest-wins,
+    * delete semantics, and compaction equivalence (v2 ≡ v3). */
+  def vtTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vt") + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    VersionedTable.init(spark, root, ev)                               // v0
+    val upd = ev.where(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") * 10)
+    val fresh = spark.range(100)
+      .select((col("id") + 2000000).as("event_id"), lit(5.0).as("value"))
+    VersionedTable.commitUpsert(spark, root, upd.unionByName(fresh))   // v1
+    VersionedTable.commitDelete(spark, root,
+      ev.where(col("event_id") % 5 === 0).select("event_id"))          // v2
+    VersionedTable.compact(spark, root, Seq("event_id"))               // v3
+    (0L to 3L).map { v =>
+      VersionedTable.readAsOf(spark, root, Seq("event_id"), v)
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(lit(v).as("version"), col("n"), col("total"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+  val vtSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |v2rows AS (
+      |  SELECT * FROM v1rows
+      |  WHERE event_id >= 2000000 OR event_id % 5 <> 0)
+      |SELECT 0 AS version, count(*) AS n, round(sum(value), 2) AS total FROM ev
+      |UNION ALL
+      |SELECT 1, count(*), round(sum(value), 2) FROM v1rows
+      |UNION ALL
+      |SELECT 2, count(*), round(sum(value), 2) FROM v2rows
+      |UNION ALL
+      |SELECT 3, count(*), round(sum(value), 2) FROM v2rows
+      |ORDER BY version""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vt_time_travel" -> (vtTimeTravel _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
     "asof_join" -> (asofJoin _),
@@ -219,6 +263,7 @@ object ExtQueries extends graft.QueryModule {
     "o5_sessionize" -> (o5Sessionize _))
 
   def oracles: Map[String, String] = Map(
+    "vt_time_travel" -> vtSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,
     "asof_join" -> asofSql,

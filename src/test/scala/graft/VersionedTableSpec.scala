@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.GraftSession
+import graft.etl.VersionedTable
+
+/** Delta-style versioned table: commits, time travel, tombstones,
+  * merge-on-read, compaction. */
+class VersionedTableSpec extends SparkSpecBase {
+
+  private def freshRoot() = GraftSession.scratch("vtspec") + "/tbl"
+
+  private def state(root: String, asOf: Long): Map[Long, Double] =
+    VersionedTable.readAsOf(spark, root, Seq("k"), asOf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("init → upsert → delete lifecycle with exact time travel") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v"))
+    VersionedTable.commitUpsert(spark, root,
+      Seq((2L, 20.0), (4L, 4.0)).toDF("k", "v"))
+    VersionedTable.commitDelete(spark, root, Seq(1L).toDF("k"))
+
+    assert(state(root, 0L) == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    assert(state(root, 1L) == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0, 4L -> 4.0))
+    assert(state(root, 2L) == Map(2L -> 20.0, 3L -> 3.0, 4L -> 4.0))
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
+  }
+
+  test("re-inserting a deleted key resurrects it") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    VersionedTable.commitDelete(spark, root, Seq(1L).toDF("k"))
+    VersionedTable.commitUpsert(spark, root, Seq((1L, 9.0)).toDF("k", "v"))
+    assert(state(root, 1L) == Map.empty[Long, Double])
+    assert(state(root, 2L) == Map(1L -> 9.0))
+  }
+
+  test("compact preserves state, marks a snapshot, and keeps history") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    VersionedTable.commitUpsert(spark, root, Seq((1L, 10.0)).toDF("k", "v"))
+    VersionedTable.commitDelete(spark, root, Seq(2L).toDF("k"))
+    val before = state(root, 2L)
+    val cv = VersionedTable.compact(spark, root, Seq("k"))
+    assert(cv == 3L)
+    assert(state(root, 3L) == before)
+    // history: v0 and v3 are snapshots; v3 holds exactly the live rows
+    val h = VersionedTable.history(spark, root).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq.sorted
+    assert(h == Seq((0L, true, 2L), (1L, false, 1L), (2L, false, 1L),
+      (3L, true, 1L)))
+    // time travel to pre-compaction versions still works
+    assert(state(root, 0L) == Map(1L -> 1.0, 2L -> 2.0))
+  }
+
+  test("reads after a snapshot ignore older commits (pruned lineage)") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    VersionedTable.commitUpsert(spark, root, Seq((2L, 2.0)).toDF("k", "v"))
+    VersionedTable.compact(spark, root, Seq("k"))
+    // the as-of-2 read must scan only the v=2 snapshot directory
+    val files = VersionedTable.readAsOf(spark, root, Seq("k"), 2L).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("v=2")))
+  }
+}
