@@ -71,7 +71,9 @@ object VersionedTable {
   /** Append a delete commit: `keys` holds the key columns only; payload
     * columns are null-filled to keep one schema per table. */
   def commitDelete(spark: SparkSession, root: String, keys: DataFrame): Long = {
-    val schema = spark.read.parquet(s"$root/v=0").drop(Deleted).schema
+    // borrow the newest commit's schema (v=0 may have been expired)
+    val latest = versions(spark, root).last
+    val schema = spark.read.parquet(s"$root/v=$latest").drop(Deleted).schema
     val tomb = schema.fields.foldLeft(keys) { (df, f) =>
       if (keys.columns.contains(f.name)) df
       else df.withColumn(f.name, lit(null).cast(f.dataType))
@@ -90,7 +92,9 @@ object VersionedTable {
     val live = vs.filter(_ >= base)
     val merged = live.map { v =>
         spark.read.parquet(s"$root/v=$v").withColumn("__commit", lit(v))
-      }.reduce(_ unionByName _)
+      // schema evolution: later commits may add columns; earlier rows
+      // read them as null (Delta's mergeSchema-on-read behavior)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
     Upsert.dedupeLatest(merged, keyCols, "__commit")
       .where(!col(Deleted)).drop(Deleted, "__commit")
   }
@@ -106,6 +110,34 @@ object VersionedTable {
     write(spark, root,
       readLatest(spark, root, keyCols).withColumn(Deleted, lit(false)),
       snapshot = true)
+
+  /** Row-level changes committed in (`fromV`, `toV`]: the CDC-out
+    * feed. Each row carries its commit id and op ('U'/'D') — exactly
+    * what a downstream `CdcIngest` consumer replays. Only the
+    * requested version directories are read. */
+  def readChangesBetween(spark: SparkSession, root: String,
+                         fromV: Long, toV: Long): DataFrame = {
+    val vs = versions(spark, root).filter(v => v > fromV && v <= toV)
+    require(vs.nonEmpty, s"no commits in ($fromV, $toV] under $root")
+    vs.map { v =>
+        spark.read.parquet(s"$root/v=$v").withColumn("__commit", lit(v))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .withColumn("__op", when(col(Deleted), lit("D")).otherwise(lit("U")))
+      .drop(Deleted)
+  }
+
+  /** Expire versions older than the newest snapshot ≤ `keepFrom`,
+    * bounding storage and the time-travel horizon (Delta VACUUM).
+    * Never removes the snapshot that newer deltas depend on. Returns
+    * the removed version ids. */
+  def expire(spark: SparkSession, root: String, keepFrom: Long): Seq[Long] = {
+    val vs = versions(spark, root)
+    val anchor = vs.filter(_ <= keepFrom).reverse.find(isSnapshot(spark, root, _))
+    val removable = anchor.fold(Seq.empty[Long])(a => vs.filter(_ < a))
+    val f = fs(spark, root)
+    removable.foreach(v => f.delete(new Path(s"$root/v=$v"), true))
+    removable
+  }
 
   /** (version, is_snapshot, n_rows) per commit — the table history. */
   def history(spark: SparkSession, root: String): DataFrame = {

@@ -72,4 +72,51 @@ class VersionedTableSpec extends SparkSpecBase {
     val files = VersionedTable.readAsOf(spark, root, Seq("k"), 2L).inputFiles
     assert(files.nonEmpty && files.forall(_.contains("v=2")))
   }
+
+  test("readChangesBetween emits the CDC-out feed for a version range") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    VersionedTable.commitUpsert(spark, root, Seq((2L, 2.0)).toDF("k", "v"))
+    VersionedTable.commitDelete(spark, root, Seq(1L).toDF("k"))
+    val ch = VersionedTable.readChangesBetween(spark, root, 0L, 2L)
+      .select("k", "__commit", "__op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(ch == Set((2L, 1L, "U"), (1L, 2L, "D")))
+    // only the requested version dirs are opened
+    val files = VersionedTable.readChangesBetween(spark, root, 0L, 2L).inputFiles
+    assert(files.forall(f => f.contains("v=1") || f.contains("v=2")))
+  }
+
+  test("schema evolution: later commits add columns, earlier rows read null") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    VersionedTable.commitUpsert(spark, root,
+      Seq((2L, 2.0, "en")).toDF("k", "v", "lang"))
+    val rows = VersionedTable.readLatest(spark, root, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq((1L, 1.0, None), (2L, 2.0, Some("en"))))
+  }
+
+  test("expire removes pre-snapshot versions; state and deltas survive") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    VersionedTable.commitUpsert(spark, root, Seq((1L, 10.0)).toDF("k", "v"))
+    VersionedTable.compact(spark, root, Seq("k"))                     // v2 snapshot
+    VersionedTable.commitUpsert(spark, root, Seq((3L, 3.0)).toDF("k", "v"))
+    val before = state(root, 3L)
+    val removed = VersionedTable.expire(spark, root, keepFrom = 3L)
+    assert(removed == Seq(0L, 1L))
+    assert(VersionedTable.versions(spark, root) == Seq(2L, 3L))
+    assert(state(root, 3L) == before)
+    // deletes still work after v=0 is gone (schema from newest commit)
+    VersionedTable.commitDelete(spark, root, Seq(2L).toDF("k"))
+    assert(state(root, 4L) == Map(1L -> 10.0, 3L -> 3.0))
+  }
 }
