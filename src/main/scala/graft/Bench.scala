@@ -39,7 +39,8 @@ object Bench {
     "profile_stats",         // corpus profiling aggregates
     "text_tfidf",            // tf-idf term statistics + per-doc top-k
     "curate_decontam",       // broadcast n-gram decontamination
-    "curate_pack")           // partition-local sequence packing
+    "curate_pack",           // partition-local sequence packing
+    "vt_time_travel")        // versioned-table lifecycle (Delta ops)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
