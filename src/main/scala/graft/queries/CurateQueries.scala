@@ -78,13 +78,66 @@ object CurateQueries extends graft.QueryModule {
       .orderBy("bin")
   }
 
+  /** Chained curation capstone: drop contaminated docs → stable split
+    * → per-source quota (50) → per-(split, source) summary. The whole
+    * chain is one Catalyst plan: broadcast anti-join, narrow split
+    * map, one window exchange, one final aggregation. */
+  def curatePipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val contaminated = Decontam.contaminated(
+      corpus = docs.where(col("doc_id") % 97 =!= 0),
+      bench = docs.where(col("doc_id") % 97 === 0),
+      "doc_id", "text", n = 3).select("doc_id")
+    val clean = docs.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val curated = Sampling.perGroupQuota(
+      Sampling.hashSplit(clean, "doc_id"), "source", "doc_id", quota = 50)
+    curated.groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("split", "source")
+  }
+  val pipelineSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM d WHERE len(t) >= 3),
+      |bench AS (
+      |  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+      |bad AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 97 <> 0)
+      |  JOIN bench USING (g)),
+      |clean AS (
+      |  SELECT * FROM documents
+      |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)),
+      |split_assigned AS (
+      |  SELECT *, CASE WHEN b < 13 THEN 'train' WHEN b = 13 THEN 'val'
+      |                 ELSE 'test' END AS split
+      |  FROM (SELECT *,
+      |          strpos('0123456789abcdef',
+      |            substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
+      |        FROM clean)),
+      |curated AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |    FROM split_assigned)
+      |  WHERE rn <= 50)
+      |SELECT split, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      |FROM curated GROUP BY split, source ORDER BY split, source""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_pipeline" -> (curatePipeline _),
     "curate_split" -> (curateSplit _),
     "curate_quota" -> (curateQuota _),
     "curate_decontam" -> (curateDecontam _),
     "curate_pack" -> (curatePack _))
 
   def oracles: Map[String, String] = Map(
+    "curate_pipeline" -> pipelineSql,
     "curate_split" -> splitSql,
     "curate_quota" -> quotaSql,
     "curate_decontam" -> decontamSql)
