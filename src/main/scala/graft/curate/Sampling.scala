@@ -43,4 +43,36 @@ object Sampling {
       .where(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Temperature-scaled source mixing: sample ~`totalTarget` rows with
+    * per-source quotas ∝ count^alpha (alpha < 1 upweights rare
+    * sources — the standard rebalancing for multi-source training
+    * mixtures), rows chosen by the deterministic md5 order.
+    *
+    * The normalizer is one scalar aggregate over #sources (tiny);
+    * quotas broadcast back onto the corpus, so the only corpus-sized
+    * exchange is the per-source window. */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     alpha: Double, totalTarget: Long): DataFrame = {
+    // sqrt (correctly rounded IEEE) for the common alpha=0.5 instead of
+    // pow (1-ulp slack), and 6-decimal stabilization of weights and
+    // normalizer: summation order must not flip a quota round() across
+    // engines/runs
+    val weight: Column => Column =
+      if (alpha == 0.5) sqrt(_) else pow(_, lit(alpha))
+    val weights = df.groupBy(sourceCol)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(weight(col("__n").cast("double")), 6))
+    val z = BigDecimal(weights.agg(sum("__w")).first().getDouble(0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val quotas = weights.withColumn("__quota",
+        least(round(col("__w") / z * totalTarget).cast("long"), col("__n")))
+      .select(col(sourceCol), col("__quota"))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(quotas), sourceCol)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
 }

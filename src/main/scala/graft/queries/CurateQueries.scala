@@ -129,7 +129,29 @@ object CurateQueries extends graft.QueryModule {
       |SELECT split, source, count(*) AS n_docs, sum(n_chars) AS total_chars
       |FROM curated GROUP BY split, source ORDER BY split, source""".stripMargin
 
+  /** Temperature mixing at alpha=0.5 (sqrt), 300-row target:
+    * per-source sampled memberships. */
+  def curateMix(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.temperatureMix(
+      Tables.documents(spark, sfDir).select("source", "doc_id"),
+      "source", "doc_id", alpha = 0.5, totalTarget = 300)
+      .orderBy("source", "doc_id")
+  val mixSql: String =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |w AS (SELECT source, n, round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM c),
+      |z AS (SELECT round(sum(w), 6) AS z FROM w),
+      |q AS (SELECT source,
+      |        least(CAST(round(w / z * 300) AS BIGINT), n) AS quota
+      |      FROM w CROSS JOIN z),
+      |r AS (SELECT d.source, d.doc_id, q.quota,
+      |        row_number() OVER (PARTITION BY d.source
+      |          ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      |      FROM documents d JOIN q USING (source))
+      |SELECT source, doc_id FROM r WHERE rn <= quota
+      |ORDER BY source, doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_mix" -> (curateMix _),
     "curate_pipeline" -> (curatePipeline _),
     "curate_split" -> (curateSplit _),
     "curate_quota" -> (curateQuota _),
@@ -137,6 +159,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_pack" -> (curatePack _))
 
   def oracles: Map[String, String] = Map(
+    "curate_mix" -> mixSql,
     "curate_pipeline" -> pipelineSql,
     "curate_split" -> splitSql,
     "curate_quota" -> quotaSql,

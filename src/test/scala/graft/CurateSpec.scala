@@ -34,6 +34,26 @@ class CurateSpec extends SparkSpecBase {
     assert(a.groupBy(_._1).values.forall(_.length == 5))
   }
 
+  test("temperatureMix upweights rare sources and hits the target size") {
+    val s = spark
+    import s.implicits._
+    // 900 common + 100 rare
+    val df = ((0L until 900L).map(i => ("common", i)) ++
+      (900L until 1000L).map(i => ("rare", i))).toDF("src", "id")
+    val mixed = Sampling.temperatureMix(df, "src", "id",
+      alpha = 0.5, totalTarget = 200)
+    val bySrc = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt weighting: 30/(30+10) and 10/40 of 200 → 150 / 50
+    assert(bySrc == Map("common" -> 150L, "rare" -> 50L))
+    // rare share tripled vs its corpus share (10% → 25%)
+    // determinism across partitionings
+    val again = Sampling.temperatureMix(df.repartition(13), "src", "id",
+      alpha = 0.5, totalTarget = 200)
+      .orderBy("src", "id").collect().map(_.getLong(1)).toSeq
+    assert(again == mixed.orderBy("src", "id").collect().map(_.getLong(1)).toSeq)
+  }
+
   test("contaminated finds exactly the docs sharing an n-gram with bench") {
     val s = spark
     import s.implicits._
