@@ -22,4 +22,20 @@ object ExactDedup {
       .groupBy("dedup_key").agg(min(col(idCol)).as(idCol))
     keyed.join(winners, Seq("dedup_key", idCol), "left_semi").drop("dedup_key")
   }
+
+  /** Cross-snapshot incremental dedup: keep only rows of `fresh` whose
+    * canonical text never appeared in `seen` — the per-crawl pass that
+    * admits a new snapshot against the accumulated corpus.
+    *
+    * Scale shape: a left_anti on the 16-byte md5 key, so the seen side
+    * contributes key-width rows to the exchange, never text. When the
+    * seen key set is stable across runs, persist it as a bucketed table
+    * on dedup_key and the anti-join becomes shuffle-free on the seen
+    * side; a Bloom filter over seen keys pushed into the fresh scan
+    * (Spark's runtime-filter/DPP machinery or an explicit
+    * `might_contain`) cuts the fresh side before the exchange too. */
+  def dedupAgainst(fresh: DataFrame, seen: DataFrame, textCol: String): DataFrame =
+    withKey(fresh, textCol)
+      .join(withKey(seen, textCol).select("dedup_key"), Seq("dedup_key"), "left_anti")
+      .drop("dedup_key")
 }

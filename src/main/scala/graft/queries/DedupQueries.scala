@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.dedup.{ExactDedup, MinHashLSH, Shingles, SimHash}
+import graft.dedup.{ExactDedup, LineDedup, MinHashLSH, Shingles, SimHash}
 
 /** Oracle-checked queries for the deduplication family. The DuckDB
   * oracles compute ground truth exactly (all-pairs shingle Jaccard) —
@@ -147,13 +147,77 @@ object DedupQueries extends graft.QueryModule {
        |SELECT src AS id, least(src, min(dst)) AS cluster
        |FROM reach GROUP BY src ORDER BY id""".stripMargin
 
+  /** Corpus-wide line dedup (RefinedWeb/CCNet pass). The corpus has no
+    * newlines, so lines are derived deterministically: 8-token chunks.
+    * Repeated boilerplate chunks across docs survive only at their
+    * first (doc_id, idx) occurrence; docs are reassembled in order. */
+  def dedupLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunk = 8
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Shingles.tokens(col("text")).as("toks"))
+    val lined = d.select(col("doc_id"),
+      transform(
+        sequence(lit(1), ((size(col("toks")) + lit(chunk - 1)) / lit(chunk)).cast("int")),
+        i => array_join(slice(col("toks"), (i - lit(1)) * lit(chunk) + lit(1), lit(chunk)), " "))
+        .as("lines"))
+    LineDedup.dedupLines(lined, "doc_id", "lines", "text")
+      .orderBy("doc_id")
+  }
+  val dedupLinesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t,
+      |    unnest(generate_series(1, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS i
+      |  FROM toks),
+      |lines AS (
+      |  SELECT doc_id, i AS line_idx,
+      |    array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+      |  FROM idx),
+      |keep AS (
+      |  SELECT doc_id, line_idx, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+      |  FROM lines)
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text
+      |FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Cross-snapshot incremental dedup: a fresh crawl (sources 10-19
+    * plus planted re-crawls of every 16th seen doc) anti-joined on
+    * canonical-text md5 against the accumulated corpus (sources 0-9). */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      regexp_extract(col("source"), "\\d+", 0).cast("int").as("src_num"))
+    val seen = d.where(col("src_num") < 10)
+    val fresh = d.where(col("src_num") >= 10)
+      .unionByName(seen.where(col("doc_id") % 16 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000))
+    ExactDedup.dedupAgainst(fresh, seen, "text")
+      .select("doc_id").orderBy("doc_id")
+  }
+  val dedupIncrementalSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    CAST(regexp_extract(source, '\d+') AS INT) AS src_num
+      |  FROM documents),
+      |seen AS (SELECT doc_id, text FROM d WHERE src_num < 10),
+      |fresh AS (
+      |  SELECT doc_id, text FROM d WHERE src_num >= 10
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM seen WHERE doc_id % 16 = 0)
+      |SELECT doc_id FROM fresh
+      |WHERE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) NOT IN (
+      |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) FROM seen)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_lines" -> (dedupLines _),
+    "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -161,5 +225,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_ngram_jaccard" -> exactPairsSql,
     // dedup_simhash: no SQL oracle (hash-based) → rows-only check
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_lines" -> dedupLinesSql,
+    "dedup_incremental" -> dedupIncrementalSql)
 }

@@ -242,7 +242,28 @@ object TextQueries extends graft.QueryModule {
       |  '[0-9]{7,}', '<NUM>', 'g') AS clean
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM quality score: per-doc mean ln-probability under the
+    * corpus's own empirical token distribution (perplexity proxy). */
+  def textLmScore(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.Vocab.lmLogProb(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+  val lmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |v AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |tot AS (SELECT count(*) AS total FROM toks),
+      |s AS (
+      |  SELECT t.doc_id, count(*) AS n_tok, sum(ln(v.cnt)) AS sl
+      |  FROM toks t JOIN v USING (token) GROUP BY t.doc_id)
+      |SELECT doc_id,
+      |  round(sl / n_tok - ln((SELECT total FROM tot)), 6) AS lm_logprob
+      |FROM s ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (textLmScore _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
     "text_token_counts" -> (textTokenCounts _),
@@ -257,6 +278,7 @@ object TextQueries extends graft.QueryModule {
     "text_tfidf" -> (textTfidf _))
 
   def oracles: Map[String, String] = Map(
+    "text_lm_score" -> lmScoreSql,
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,
     "text_token_counts" -> tokenSql,

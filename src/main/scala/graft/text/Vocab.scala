@@ -34,6 +34,30 @@ object Vocab {
       .orderBy(col("df").desc, col("token").asc)
       .limit(k)
 
+  /** Per-document mean unigram log-probability under the corpus's own
+    * empirical language model — the perplexity-proxy quality signal
+    * (CCNet-style): score(d) = mean_t ln(cnt(t)/N) = sum ln cnt / n_tok
+    * − ln N. Outlier-low docs are gibberish, outlier-high are
+    * degenerate repetition.
+    *
+    * Scale shape: the token explode feeds one partial-aggregable count;
+    * the vocab (tokens × 16 bytes, millions of rows at 100 TB — not
+    * billions) broadcasts back onto the token stream, so raw text never
+    * shuffles and no sort appears anywhere. Rounded to 6 digits: the
+    * per-doc sum of ~10²  ln-terms carries ≲1e-12 of order-dependent
+    * error, far inside the rounding slack. */
+  def lmLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docTokens(docs, idCol, textCol)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    toks.join(broadcast(vocab), "token")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"), sum(log(col("cnt"))).as("sl"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        round(col("sl") / col("n_tok") - log(col("total")), 6).as("lm_logprob"))
+  }
+
   /** Top-`perDoc` terms per document by tf·idf with natural-log idf
     * over the FULL corpus (`nDocs` passed in so callers control the
     * count pass); `docFilter` restricts which docs are scored without

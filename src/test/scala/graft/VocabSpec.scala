@@ -46,4 +46,20 @@ class VocabSpec extends SparkSpecBase {
     assert(math.abs(out.getDouble(3) - BigDecimal(math.log(2))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  test("lmLogProb matches hand-computed mean unigram log-prob") {
+    val s = spark
+    import s.implicits._
+    // corpus: a a a b  (N=4; cnt(a)=3, cnt(b)=1)
+    val d = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Vocab.lmLogProb(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: mean(ln 3, ln 3) - ln 4 ; doc 2: mean(ln 3, ln 1) - ln 4
+    assert(out(1L) == r6(math.log(3) - math.log(4)))
+    assert(out(2L) == r6(math.log(3) / 2 - math.log(4)))
+    // lower-probability tokens -> lower score
+    assert(out(2L) < out(1L))
+  }
 }
