@@ -44,6 +44,26 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Leakage-safe split: near-duplicate documents must all land in the
+    * SAME split, or held-out text leaks into train through paraphrases
+    * and the eval is contaminated by construction. `clusters` is
+    * (id, cluster) from [[graft.dedup.Clusters.connectedComponents]]
+    * over near-dup pairs; documents in no cluster split by their own
+    * id, so the assignment degenerates to [[hashSplit]] exactly when
+    * there are no duplicates.
+    *
+    * Scale shape: `clusters` has one row per document that HAS a
+    * near-dup — proportional to duplicates, not corpus — so the
+    * left join is broadcastable in realistic corpora; the split
+    * itself stays a pure narrow map of the coalesced key. */
+  def clusterSafeSplit(df: DataFrame, idCol: String,
+                       clusters: DataFrame): DataFrame =
+    hashSplit(
+      df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+        .withColumn("__split_key", coalesce(col("cluster"), col(idCol))),
+      "__split_key")
+      .drop("__split_key", "cluster")
+
   /** Temperature-scaled source mixing: sample ~`totalTarget` rows with
     * per-source quotas ∝ count^alpha (alpha < 1 upweights rare
     * sources — the standard rebalancing for multi-source training

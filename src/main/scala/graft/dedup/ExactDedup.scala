@@ -38,4 +38,33 @@ object ExactDedup {
     withKey(fresh, textCol)
       .join(withKey(seen, textCol).select("dedup_key"), Seq("dedup_key"), "left_anti")
       .drop("dedup_key")
+
+  /** [[dedupAgainst]] with an explicit broadcast Bloom prefilter — the
+    * 100 TB shape. Spark's runtime bloom-filter pruning only applies
+    * where dropping non-matching probe rows is safe (inner/semi); for
+    * an ANTI join the non-matching rows are exactly the answer, so the
+    * optimizer can never inject one and the filter must be applied by
+    * hand, inverted: rows whose key the filter rules OUT of `seen` are
+    * definitely new and bypass the shuffle entirely; only possible
+    * dups (true dups + an `fpp` fraction of new rows) reach the
+    * anti-join for exact verification. No false negatives exist, so
+    * the result is identical to [[dedupAgainst]] — the filter only
+    * moves rows off the exchange. With typical inter-snapshot dup
+    * rates of 20-50%, this cuts the shuffled fresh side ~2-5×; `seen`
+    * is read twice (filter build + join), so persist its key column or
+    * keep it as a bucketed key table across runs. */
+  def dedupAgainstBloom(fresh: DataFrame, seen: DataFrame, textCol: String,
+                        fpp: Double = 0.01): DataFrame = {
+    val seenKeys = withKey(seen, textCol).select("dedup_key")
+    val bf = seenKeys.stat.bloomFilter(
+      "dedup_key", math.max(seenKeys.count(), 1L), fpp)
+    val bfBc = fresh.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: String) => bfBc.value.mightContainString(k))
+    val keyed = withKey(fresh, textCol)
+    keyed.where(!mightContain(col("dedup_key")))
+      .unionByName(
+        keyed.where(mightContain(col("dedup_key")))
+          .join(seenKeys, Seq("dedup_key"), "left_anti"))
+      .drop("dedup_key")
+  }
 }

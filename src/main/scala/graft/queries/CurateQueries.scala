@@ -150,7 +150,53 @@ object CurateQueries extends graft.QueryModule {
       |SELECT source, doc_id FROM r WHERE rn <= quota
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Leakage-safe split: split key = near-dup cluster representative
+    * (minhash pairs → connected components), so paraphrased copies of
+    * a val/test doc can never land in train. Oracle: recursive-CTE
+    * reachability over the exact Jaccard pair set + the same md5
+    * bucket arithmetic as curate_split. */
+  def curateClusterSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val pairs = graft.dedup.MinHashLSH.nearDuplicatePairs(
+      docs, "doc_id", "text", shingleSize = 3, numPerms = 64, bands = 16,
+      threshold = 0.5)
+    val clusters = graft.dedup.Clusters.connectedComponents(
+      pairs.select("a", "b"))
+    Sampling.clusterSafeSplit(docs.select("doc_id"), "doc_id", clusters)
+      .orderBy("doc_id")
+  }
+  val clusterSplitSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM d WHERE len(t) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+      |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+      |reach AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+      |clu AS (
+      |  SELECT src AS id, least(src, min(dst)) AS cluster
+      |  FROM reach GROUP BY src)
+      |SELECT doc_id,
+      |  CASE WHEN b < 13 THEN 'train' WHEN b = 13 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        strpos('0123456789abcdef',
+      |          substr(md5(CAST(coalesce(c.cluster, doc_id) AS VARCHAR)), 1, 1)) - 1 AS b
+      |      FROM documents LEFT JOIN clu c ON documents.doc_id = c.id)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_cluster_split" -> (curateClusterSplit _),
     "curate_mix" -> (curateMix _),
     "curate_pipeline" -> (curatePipeline _),
     "curate_split" -> (curateSplit _),
@@ -159,6 +205,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_pack" -> (curatePack _))
 
   def oracles: Map[String, String] = Map(
+    "curate_cluster_split" -> clusterSplitSql,
     "curate_mix" -> mixSql,
     "curate_pipeline" -> pipelineSql,
     "curate_split" -> splitSql,

@@ -209,6 +209,21 @@ object DedupQueries extends graft.QueryModule {
       |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) FROM seen)
       |ORDER BY doc_id""".stripMargin
 
+  /** Same semantics as [[dedupIncremental]] through the Bloom-prefilter
+    * path (fpp 0.05 so false positives actually flow through the
+    * verifying anti-join at this SF) — gated against the SAME oracle,
+    * proving the filter moves rows without changing the answer. */
+  def dedupIncrementalBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      regexp_extract(col("source"), "\\d+", 0).cast("int").as("src_num"))
+    val seen = d.where(col("src_num") < 10)
+    val fresh = d.where(col("src_num") >= 10)
+      .unionByName(seen.where(col("doc_id") % 16 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000))
+    ExactDedup.dedupAgainstBloom(fresh, seen, "text", fpp = 0.05)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
@@ -217,7 +232,8 @@ object DedupQueries extends graft.QueryModule {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_lines" -> (dedupLines _),
-    "dedup_incremental" -> (dedupIncremental _))
+    "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_bloom" -> (dedupIncrementalBloom _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -227,5 +243,6 @@ object DedupQueries extends graft.QueryModule {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_lines" -> dedupLinesSql,
-    "dedup_incremental" -> dedupIncrementalSql)
+    "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_bloom" -> dedupIncrementalSql)
 }

@@ -262,7 +262,32 @@ object TextQueries extends graft.QueryModule {
       |  round(sl / n_tok - ln((SELECT total FROM tot)), 6) AS lm_logprob
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Hashed-feature linear classifier inference (fastText-style):
+    * logistic over mean-pooled md5-bucket weights. */
+  def textQualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.HashedClassifier.score(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+  val classifierSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |w AS (
+      |  SELECT i AS bucket, (i - 128) / 256.0 AS w
+      |  FROM (SELECT unnest(generate_series(0, 255)) AS i)),
+      |b AS (
+      |  SELECT doc_id,
+      |    16 * (strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1)
+      |      + strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1 AS bucket
+      |  FROM toks)
+      |SELECT doc_id,
+      |  round(1.0 / (1.0 + exp(-(sum(w.w) / count(*)))), 6) AS quality_prob
+      |FROM b JOIN w USING (bucket)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_classifier" -> (textQualityClassifier _),
     "text_lm_score" -> (textLmScore _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
@@ -278,6 +303,7 @@ object TextQueries extends graft.QueryModule {
     "text_tfidf" -> (textTfidf _))
 
   def oracles: Map[String, String] = Map(
+    "text_quality_classifier" -> classifierSql,
     "text_lm_score" -> lmScoreSql,
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,
