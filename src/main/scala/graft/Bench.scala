@@ -61,11 +61,14 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
 
     val queries = SparkEntry.queries
+    // optional args: run only the named headline queries (isolated
+    // rerun support — single-JVM noise diagnosis)
+    val selected = if (args.nonEmpty) headline.filter(args.toSet) else headline
     // best-of-2 per query: single-JVM local mode sees transient
     // multi-second stalls (JIT storms, VM scheduling) that have nothing
     // to do with plan quality — isolated reruns of a query measured at
     // 109s come in at 2-3s. The min of two runs is the plan's cost.
-    val results = headline.filter(queries.contains).map { name =>
+    val results = selected.filter(queries.contains).map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
         val ok = try {
@@ -88,7 +91,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver greps stdout for a bare JSON line (build.sbt sets
+    // run/outputStrategy=StdoutOutput so sbt does not prefix it).
+    println(line)
+    // Belt-and-braces: also land the line in a file.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      val w = new java.io.PrintWriter(outFile, "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

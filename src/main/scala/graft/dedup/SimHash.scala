@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate sketch: 64-bit signature whose Hamming
@@ -46,10 +46,40 @@ object SimHash {
     docShingles.select(col(idCol),
       graft.plans.SimHashSig(col("shingles")).as("simhash"))
 
+  /** Cross-engine-portable 64-bit feature hash: the first 16 hex chars
+    * of md5 read big-endian into a signed long — bit-identical to
+    * DuckDB's `('0x'||substr(md5(s),1,8))::BIGINT` assembly, so a SQL
+    * oracle can replay the full signature+banding pipeline. Costlier
+    * than xxhash64 (md5 is cryptographic); the xxhash kernel
+    * ([[signaturesNative]]) is the production default. */
+  def portableHash64(s: Column): Column =
+    shiftleft(conv(substring(md5(s), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(s), 9, 8), 16, 10).cast("long"))
+
+  /** [[signatures]] with the portable md5-derived feature hash. */
+  def signaturesPortable(docShingles: DataFrame, idCol: String): DataFrame = {
+    val hashed = docShingles
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+      .select(col(idCol), portableHash64(col("sh")).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
   /** Candidate pairs whose 64-bit signatures share at least one of the
-    * four 16-bit bands; verified by exact Hamming distance. */
-  def nearPairs(docShingles: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
-    val sigs = signaturesNative(docShingles, idCol)
+    * four 16-bit bands; verified by exact Hamming distance.
+    * `portable = true` swaps xxhash64 for [[portableHash64]] so the
+    * whole pipeline is replayable by an external SQL oracle. */
+  def nearPairs(docShingles: DataFrame, idCol: String, maxHamming: Int,
+                portable: Boolean = false): DataFrame = {
+    val sigs = if (portable) signaturesPortable(docShingles, idCol)
+               else signaturesNative(docShingles, idCol)
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

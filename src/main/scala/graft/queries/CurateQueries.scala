@@ -64,19 +64,41 @@ object CurateQueries extends graft.QueryModule {
       |FROM corpus JOIN bench USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Partition-local next-fit packing into 2048-token bins; output is
-    * partition-layout-dependent (like SURVEY A6) → rows-only check
-    * here, exact semantics pinned in PackingSpec. */
+  /** Next-fit packing into 2048-token bins. The GATE runs the packer on
+    * one doc_id-sorted partition so the sequential next-fit walk is
+    * exactly replayable by the oracle's recursive CTE (Spark's hash
+    * partition assignment isn't reproducible in SQL); multi-partition
+    * layout + bin-id uniqueness are pinned in PackingSpec, and the
+    * operator itself stays partition-local/zero-shuffle at scale. */
   def curatePack(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         size(graft.dedup.Shingles.tokens(col("text"))).as("n_toks"))
-      .repartition(8, col("doc_id"))
+      .repartition(1)
       .sortWithinPartitions("doc_id")
     Packing.nextFitPack(docs, "doc_id", "n_toks", budget = 2048)
       .select(col("bin"), col("n_docs"), col("total_tokens"))
       .orderBy("bin")
   }
+  /** Sequential next-fit replay: one recursion step per doc in doc_id
+    * order, opening a new bin when the running total would exceed the
+    * budget (an oversized first doc still enters — same semantics as
+    * Packing.nextFitPack). */
+  val packSql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+      |    len(string_split_regex(trim(text), '\s+')) AS toks
+      |  FROM documents),
+      |walk AS (
+      |  SELECT rn, CAST(0 AS BIGINT) AS bin, toks AS acc
+      |  FROM docs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.rn,
+      |    CASE WHEN w.acc + d.toks <= 2048 THEN w.bin ELSE w.bin + 1 END,
+      |    CASE WHEN w.acc + d.toks <= 2048 THEN w.acc + d.toks ELSE d.toks END
+      |  FROM walk w JOIN docs d ON d.rn = w.rn + 1)
+      |SELECT bin, count(*) AS n_docs, CAST(max(acc) AS BIGINT) AS total_tokens
+      |FROM walk GROUP BY bin ORDER BY bin""".stripMargin
 
   /** Chained curation capstone: drop contaminated docs → stable split
     * → per-source quota (50) → per-(split, source) summary. The whole
@@ -126,7 +148,7 @@ object CurateQueries extends graft.QueryModule {
       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       |    FROM split_assigned)
       |  WHERE rn <= 50)
-      |SELECT split, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+      |SELECT split, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM curated GROUP BY split, source ORDER BY split, source""".stripMargin
 
   /** Temperature mixing at alpha=0.5 (sqrt), 300-row target:
@@ -210,6 +232,6 @@ object CurateQueries extends graft.QueryModule {
     "curate_pipeline" -> pipelineSql,
     "curate_split" -> splitSql,
     "curate_quota" -> quotaSql,
-    "curate_decontam" -> decontamSql)
-    // curate_pack: partition-local semantics → rows-only check
+    "curate_decontam" -> decontamSql,
+    "curate_pack" -> packSql)
 }

@@ -83,23 +83,83 @@ object DedupQueries extends graft.QueryModule {
       .orderBy("a", "b")
   }
 
-  /** SimHash near-pairs (banded Hamming ≤ 8). xxhash-based signatures
-    * have no SQL oracle → rows-only check; invariants in SimHashSpec. */
+  /** SimHash near-pairs (banded Hamming ≤ 8) with the portable
+    * md5-derived feature hash, so the DuckDB oracle replays the ENTIRE
+    * pipeline — 64-bit signatures, 4×16-bit banding, Hamming verify —
+    * bit for bit. The xxhash64 kernel path (production default) is
+    * asserted bit-exact against the declarative formulation in
+    * SimHashSpec. */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val ds = Shingles.docShingles(
       Tables.documents(spark, sfDir).select("doc_id", "text"),
       "doc_id", "text", ShingleN)
-    SimHash.nearPairs(ds, "doc_id", maxHamming = 8)
+    SimHash.nearPairs(ds, "doc_id", maxHamming = 8, portable = true)
       .orderBy("a", "b")
   }
+  /** Replays signature → banding → Hamming in DuckDB: the md5-derived
+    * 64-bit hash is assembled from two 32-bit hex halves, per-bit ±1
+    * votes are summed per doc, the signature is banded into 4×16-bit
+    * buckets, and only band-sharing pairs are Hamming-verified — the
+    * exact candidate semantics of SimHash.nearPairs. */
+  val dedupSimhashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM d WHERE len(t) >= 3),
+      |f AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(g), 1, 8))::BIGINT::HUGEINT * 4294967296
+      |      + ('0x' || substr(md5(g), 9, 8))::BIGINT::HUGEINT AS hu
+      |  FROM f),
+      |votes AS (
+      |  SELECT doc_id, b.bit,
+      |    sum(CASE WHEN (hu // (1::HUGEINT << b.bit)) % 2 = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+      |  GROUP BY doc_id, b.bit),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS su
+      |  FROM votes GROUP BY doc_id),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN su >= 9223372036854775808 THEN su - 18446744073709551616
+      |         ELSE su END AS BIGINT) AS sg, su
+      |  FROM sig),
+      |banded AS (
+      |  SELECT doc_id, sg, b.band, (su // (1::HUGEINT << (16 * b.band))) % 65536 AS bval
+      |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sg AS sga, r.sg AS sgb
+      |  FROM banded l JOIN banded r
+      |    ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id)
+      |SELECT a, b, bit_count(xor(sga, sgb)) AS hamming
+      |FROM cand WHERE bit_count(xor(sga, sgb)) <= 8
+      |ORDER BY a, b""".stripMargin
 
-  /** Embedding near-dup pairs at cosine ≥ 0.46 (exact blocked
-    * all-pairs; the threshold sits in a measured gap of the testdata
-    * distribution so both engines agree). */
+  /** Embedding near-dup pairs at cosine ≥ 0.46 through the bucketed
+    * RHP-LSH path (signature → banded candidates → exact-cosine
+    * verify), graded against the exact all-pairs oracle — so the gate
+    * scores recall AND precision, not just shape.
+    *
+    * Banding math for this data: the qualifying pairs sit at cosine
+    * 0.46–0.52 (θ≈62°, per-bit collision p≈0.65 — an audit regime; real
+    * embedding near-dups at τ≥0.85 have p≥0.94 and prune to near-linear
+    * with 4–8-bit bands). At p≈0.65 only narrow bands retain recall:
+    * 32 bands × 2 bits over a 64-bit signature give per-pair miss
+    * ≤ (1−0.65²)³² ≈ 2e-8 — deterministic-green for the seeded planes,
+    * while the plan stays the bucketed shape (no cartesian node).
+    * `Similarity.nearDupPairs` remains the exact baseline; SimSpec
+    * asserts this path reproduces it. */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
-    graft.sim.Similarity.nearDupPairs(
+    graft.sim.RhpLsh.nearDupPairs(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-      threshold = 0.46, roundTo = 4)
+      threshold = 0.46, nBits = 64, bandBits = 2, roundTo = 4,
+      maxBucketSize = Int.MaxValue)
       .orderBy("a", "b")
   val dedupEmbeddingSql: String =
     """WITH e AS (
@@ -239,7 +299,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> exactPairsSql,
     "dedup_ngram_jaccard" -> exactPairsSql,
-    // dedup_simhash: no SQL oracle (hash-based) → rows-only check
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_lines" -> dedupLinesSql,

@@ -92,7 +92,7 @@ object ExtQueries extends graft.QueryModule {
       |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
       |  FROM flagged)
-      |SELECT user_id, session_idx, count(*) AS n_events,
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
       |  min(ts) AS session_start, max(ts) AS session_end
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -169,7 +169,7 @@ object ExtQueries extends graft.QueryModule {
       |survivors AS (
       |  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers))
       |SELECT lang, count(*) AS n_docs,
-      |  sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
       |  min(doc_id) AS min_id
       |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -206,7 +206,7 @@ object ExtQueries extends graft.QueryModule {
       |    CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
       |    CAST(floor(epoch(max(ts))) AS BIGINT) AS en
       |  FROM sess GROUP BY 1, 2)
-      |SELECT e.user_id, iv.session_idx, count(*) AS n_events
+      |SELECT e.user_id, CAST(iv.session_idx AS BIGINT) AS session_idx, count(*) AS n_events
       |FROM e JOIN iv ON e.user_id = iv.user_id AND e.sec BETWEEN iv.s AND iv.en
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

@@ -236,7 +236,7 @@ object OpsQueries extends graft.QueryModule {
       |    WHEN regexp_matches(source, '^src(5|6|7|8|9)$') THEN 'plugin_b'
       |    WHEN regexp_matches(source, '^src1[0-9]$') THEN 'plugin_c'
       |    ELSE 'default' END AS route,
-      |  count(*) AS n_docs, sum(n_chars) AS total_chars
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- O1: LIMIT probe (deterministic via ordering) ---

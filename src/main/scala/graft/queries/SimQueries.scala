@@ -83,8 +83,9 @@ object SimQueries extends graft.QueryModule {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** IVF with a TRAINED coarse quantizer (deterministic Lloyd k-means)
-    * — the production path; hash-free, so no SQL oracle (rows-only
-    * check; recall-improvement asserted in SimSpec). */
+    * — the production path. Fully deterministic (init = k lowest-id
+    * vectors, float-quantized means, lowest-id tie-breaks), so the
+    * oracle replays both Lloyd iterations and the probe in SQL. */
   def simKmeansIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = graft.sim.KMeans.train(emb, "vec_id", "embedding",
@@ -96,6 +97,70 @@ object SimQueries extends graft.QueryModule {
       .select("query_id", "rank", "neighbor_id", "cos")
       .orderBy("query_id", "rank")
   }
+
+  /** Inline cosine for the k-means replay (no precomputed-norm CTE —
+    * centroid sets change per iteration). */
+  private def kmCos(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))" +
+      s" / (sqrt(list_sum(list_transform($a, y -> y * y)))" +
+      s" * sqrt(list_sum(list_transform($b, y -> y * y))))"
+
+  /** One Lloyd iteration as CTEs: assignment (argmax rounded cosine,
+    * lowest-centroid tie-break — exactly Ivf.assign), per-dim means
+    * quantized through REAL (KMeans stores float centroids), empty
+    * buckets keep the previous centroid. */
+  private def kmIterSql(prev: String, n: Int): String =
+    s"""a$n AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |    FROM e x CROSS JOIN $prev c) t WHERE r = 1),
+       |m$n AS (
+       |  SELECT a$n.bucket AS cid, dm.i AS dim,
+       |    CAST(CAST(avg(e.v[dm.i]) AS REAL) AS DOUBLE) AS m
+       |  FROM a$n JOIN e ON a$n.vec_id = e.vec_id CROSS JOIN dims dm
+       |  GROUP BY a$n.bucket, dm.i),
+       |c$n AS (
+       |  SELECT p.cid, COALESCE(mm.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cid, list(m ORDER BY dim) AS cv FROM m$n GROUP BY cid) mm
+       |    ON p.cid = mm.cid)""".stripMargin
+
+  /** Replays KMeans.train(k=16, iterations=2) + Ivf.assign + Ivf.search
+    * end-to-end. */
+  val kmeansIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |${kmIterSql("c0", 1)},
+       |${kmIterSql("c1", 2)},
+       |af AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, bucket FROM (
+       |    SELECT q.vec_id AS query_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |    FROM e q CROSS JOIN c2 c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id,
+       |    round(${kmCos("q.v", "x.v")}, 4) AS cos,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY round(${kmCos("q.v", "x.v")}, 4) DESC, x.vec_id ASC) AS rank
+       |  FROM probes p
+       |  JOIN af a ON a.bucket = p.bucket
+       |  JOIN e x ON x.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  WHERE x.vec_id <> p.query_id) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Random-hyperplane LSH near-dup pairs over embeddings ∪ planted
     * near-duplicates (deterministic multiplicative ripple, cos ≈ 0.9996;
@@ -144,5 +209,6 @@ object SimQueries extends graft.QueryModule {
   def oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteSql,
     "sim_ivf_topk" -> ivfSql,
+    "sim_kmeans_ivf" -> kmeansIvfSql,
     "sim_rhp_pairs" -> rhpSql)
 }

@@ -93,7 +93,7 @@ object SourceQueries extends graft.QueryModule {
   }
   val s4Sql: String =
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
-      |  sum(length(props)) AS props_chars
+      |  CAST(sum(length(props)) AS BIGINT) AS props_chars
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** S5: catalog table scan with LIMIT-1 schema probe then full scan. */

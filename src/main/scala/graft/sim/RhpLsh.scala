@@ -99,9 +99,10 @@ object RhpLsh {
     * against the exact baseline in SimSpec). */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, nBits: Int = 16, bandBits: Int = 4,
-                   seed: Long = 42, roundTo: Int = 4): DataFrame = {
+                   seed: Long = 42, roundTo: Int = 4,
+                   maxBucketSize: Int = 1000): DataFrame = {
     val sigs = signatures(corpus, idCol, vecCol, nBits, seed)
-    val cands = candidatePairs(sigs, nBits, bandBits)
+    val cands = candidatePairs(sigs, nBits, bandBits, maxBucketSize)
     val vec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       Similarity.norm(col(vecCol)).as("__n"))
     cands

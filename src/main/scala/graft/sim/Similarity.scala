@@ -19,8 +19,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Left-to-right double dot product of two float-array columns. */
-  def dot(x: Column, y: Column): Column =
+  /** Left-to-right double dot product of two float-array columns —
+    * native codegen'd kernel (see plans/DotProduct.scala). Bit-exact
+    * with `dotDeclarative`, asserted in SimilaritySpec. */
+  def dot(x: Column, y: Column): Column = graft.plans.DotProduct(x, y)
+
+  /** The declarative HOF formulation of `dot` — kept as the
+    * cross-engine reference path for tests; interpreted lambdas make it
+    * several-fold slower per pair, so hot paths use `dot`. */
+  def dotDeclarative(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

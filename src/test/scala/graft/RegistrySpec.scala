@@ -48,6 +48,6 @@ class RegistrySpec extends AnyFunSuite {
 
   test("registry size matches expectation (update when adding queries)") {
     assert(SparkEntry.queries.size == 113, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 110) // simhash/kmeans/pack rows-only
+    assert(SparkEntry.oracleSql.size == 113) // every query oracle-gated
   }
 }

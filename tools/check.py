@@ -65,6 +65,23 @@ def compare(sf, out, only=None):
             return df
         g, w = norm(got), norm(want)
         ok = list(g.columns) == list(w.columns) and len(g) == len(w)
+        # dtype-sensitive, mirroring the driver's hash: DuckDB sum(INT)
+        # widening to HUGEINT (→float64/object) vs Spark BIGINT (int64)
+        # must FAIL here even when values are equal. Width is NOT
+        # significant (driver hashed int32 rank == BIGINT in r01), so
+        # canonicalize int*/float* before comparing.
+        def canondt(t):
+            s = str(t)
+            if s.startswith("int") or s.startswith("uint"): return "int"
+            if s.startswith("float"): return "float"
+            return s
+        dtype_note = ""
+        if ok:
+            gdt = [canondt(t) for t in g.dtypes]
+            wdt = [canondt(t) for t in w.dtypes]
+            if gdt != wdt:
+                ok = False
+                dtype_note = f" DTYPE got={gdt} want={wdt}"
         if ok:
             try:
                 pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
@@ -75,7 +92,7 @@ def compare(sf, out, only=None):
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         else:
             n_fail += 1; failures.append(name)
-            print(f"FAIL {name}: cols got={list(g.columns)} want={list(w.columns)} rows got={len(g)} want={len(w)}")
+            print(f"FAIL {name}: cols got={list(g.columns)} want={list(w.columns)} rows got={len(g)} want={len(w)}{dtype_note}")
             try:
                 merged = g.compare(w)
                 print(merged.head(5))
