@@ -80,8 +80,12 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // operators persist intermediates for their own lifetime;
         // leftover cached blocks from earlier queries otherwise pile up
-        // and late queries pay their eviction/GC bill
+        // and late queries pay their eviction/GC bill. r1 post-mortem:
+        // asof_join measured 31.0s mid-suite but 1.1s isolated — the
+        // mid-suite number was heap pressure from the preceding
+        // pipeline queries, so also force a full GC between queries.
         spark.catalog.clearCache()
+        System.gc()
         if (ok) dt else -1.0
       }
       val a = once()

@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.FunctionQueries,
     graft.queries.SourceQueries,
     graft.queries.CatalogQueries,
+    graft.queries.ReverseQueries,
     graft.queries.TextQueries,
     graft.queries.DedupQueries,
     graft.queries.SimQueries,

@@ -51,9 +51,12 @@ object CatalogFixtures {
       concat(lit("k_"), col("s_suppkey")).as("PARAM_KEY"),
       col("s_name").as("PARAM_VALUE"))
 
-  /** SDS: one storage descriptor per table (SD_ID = TBL_ID + 100). */
-  def sds(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.nation(spark, sfDir).select(
+  /** SDS: one storage descriptor per table (SD_ID = TBL_ID + 100) plus
+    * one per partition (SD_ID = PART_ID + 1000 — the ids the PARTITIONS
+    * fixture already references), mirroring the metastore model where
+    * every partition owns an SDS row. */
+  def sds(spark: SparkSession, sfDir: String): DataFrame = {
+    val tableSds = Tables.nation(spark, sfDir).select(
       (col("n_nationkey") + 100).cast("long").as("SD_ID"),
       (col("n_nationkey") % 5).cast("long").as("CD_ID"),
       concat(lit("s3n://lake/tbl/"), lower(col("n_name"))).as("LOCATION"),
@@ -62,13 +65,30 @@ object CatalogFixtures {
       lit(false).as("IS_COMPRESSED"),
       lit(-1).as("NUM_BUCKETS"),
       (col("n_nationkey") + 200).cast("long").as("SERDE_ID"))
+    val partSds = Tables.orders(spark, sfDir).where(col("o_orderkey") < 200).select(
+      (col("o_orderkey") + 1000).cast("long").as("SD_ID"),
+      (col("o_orderkey") % 5).cast("long").as("CD_ID"),
+      concat(lit("s3a://lake/part/"), col("o_orderkey")).as("LOCATION"),
+      lit("org.apache.hadoop.mapred.TextInputFormat").as("INPUT_FORMAT"),
+      lit("org.apache.hadoop.mapred.TextOutputFormat").as("OUTPUT_FORMAT"),
+      lit(false).as("IS_COMPRESSED"),
+      lit(-1).as("NUM_BUCKETS"),
+      (col("o_orderkey") + 2000).cast("long").as("SERDE_ID"))
+    tableSds.unionByName(partSds)
+  }
 
-  /** SERDES. */
-  def serdes(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.nation(spark, sfDir).select(
+  /** SERDES: one per table SD and one per partition SD. */
+  def serdes(spark: SparkSession, sfDir: String): DataFrame = {
+    val tableSerdes = Tables.nation(spark, sfDir).select(
       (col("n_nationkey") + 200).cast("long").as("SERDE_ID"),
       concat(lit("serde_"), col("n_nationkey")).as("NAME"),
       lit("org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe").as("SLIB"))
+    val partSerdes = Tables.orders(spark, sfDir).where(col("o_orderkey") < 200).select(
+      (col("o_orderkey") + 2000).cast("long").as("SERDE_ID"),
+      concat(lit("serde_p"), col("o_orderkey")).as("NAME"),
+      lit("org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe").as("SLIB"))
+    tableSerdes.unionByName(partSerdes)
+  }
 
   /** COLUMNS_V2: column descriptors spread over 5 CDs, idx-ordered. */
   def columnsV2(spark: SparkSession, sfDir: String): DataFrame =
@@ -84,6 +104,27 @@ object CatalogFixtures {
       (col("r_regionkey") + 100).cast("long").as("SD_ID"),
       lit(0).as("INTEGER_IDX"),
       concat(lit("sk_"), col("r_regionkey")).as("SKEWED_COL_NAME"))
+
+  /** SKEWED_STRING_LIST_VALUES: a two-element skewed value list per
+    * region (STRING_LIST_ID = 300 + region), idx-ordered. Values are
+    * \w+ so the F6 decode guard accepts the encoded form. */
+  def skewedStringListValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.region(spark, sfDir)
+    val a = r.select((col("r_regionkey") + 300).cast("long").as("STRING_LIST_ID"),
+      lit(0).as("INTEGER_IDX"), concat(lit("v"), col("r_regionkey"), lit("a")).as("STRING_LIST_VALUE"))
+    val b = r.select((col("r_regionkey") + 300).cast("long").as("STRING_LIST_ID"),
+      lit(1).as("INTEGER_IDX"), concat(lit("v"), col("r_regionkey"), lit("b")).as("STRING_LIST_VALUE"))
+    a.unionByName(b)
+  }
+
+  /** SKEWED_COL_VALUE_LOC_MAP: each skewed SD maps its string list to a
+    * location (STRING_LIST_ID_KID joins SKEWED_STRING_LIST_VALUES —
+    * reference hive_metastore_migration.py:580-600). */
+  def skewedColValueLocMap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.region(spark, sfDir).select(
+      (col("r_regionkey") + 100).cast("long").as("SD_ID"),
+      (col("r_regionkey") + 300).cast("long").as("STRING_LIST_ID_KID"),
+      concat(lit("s3n://lake/skew/"), col("r_regionkey")).as("LOCATION"))
 
   /** PARTITIONS: partitions of the first 200 orderkeys, round-robin
     * over the 25 tables. */
@@ -149,12 +190,25 @@ object CatalogFixtures {
       |    'org.apache.hadoop.mapred.TextInputFormat' AS input_format,
       |    'org.apache.hadoop.mapred.TextOutputFormat' AS output_format,
       |    CAST(n_nationkey + 200 AS BIGINT) AS serde_id
-      |  FROM nation),
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT CAST(o_orderkey + 1000 AS BIGINT),
+      |    CAST(o_orderkey % 5 AS BIGINT),
+      |    's3a://lake/part/' || o_orderkey,
+      |    'org.apache.hadoop.mapred.TextInputFormat',
+      |    'org.apache.hadoop.mapred.TextOutputFormat',
+      |    CAST(o_orderkey + 2000 AS BIGINT)
+      |  FROM orders WHERE o_orderkey < 200),
       |serdes AS (
       |  SELECT CAST(n_nationkey + 200 AS BIGINT) AS serde_id,
       |    'serde_' || n_nationkey AS name,
       |    'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe' AS slib
-      |  FROM nation),
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT CAST(o_orderkey + 2000 AS BIGINT),
+      |    'serde_p' || o_orderkey,
+      |    'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'
+      |  FROM orders WHERE o_orderkey < 200),
       |columns_v2 AS (
       |  SELECT CAST(p_partkey % 5 AS BIGINT) AS cd_id,
       |    CAST(p_partkey // 5 AS INT) AS integer_idx,
@@ -182,6 +236,18 @@ object CatalogFixtures {
       |partition_keys AS (
       |  SELECT tbl_id, 0 AS integer_idx, 'year' AS pkey_name, 'int' AS pkey_type FROM tbls
       |  UNION ALL
-      |  SELECT tbl_id, 1, 'month', 'int' FROM tbls)
+      |  SELECT tbl_id, 1, 'month', 'int' FROM tbls),
+      |skewed_string_list_values AS (
+      |  SELECT CAST(r_regionkey + 300 AS BIGINT) AS string_list_id,
+      |    0 AS integer_idx, 'v' || r_regionkey || 'a' AS string_list_value
+      |  FROM region
+      |  UNION ALL
+      |  SELECT CAST(r_regionkey + 300 AS BIGINT), 1, 'v' || r_regionkey || 'b'
+      |  FROM region),
+      |skewed_col_value_loc_map AS (
+      |  SELECT CAST(r_regionkey + 100 AS BIGINT) AS sd_id,
+      |    CAST(r_regionkey + 300 AS BIGINT) AS string_list_id_kid,
+      |    's3n://lake/skew/' || r_regionkey AS location
+      |  FROM region)
       |""".stripMargin
 }

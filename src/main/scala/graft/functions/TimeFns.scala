@@ -47,4 +47,10 @@ object TimeFns {
     * (reference `udf_milliseconds_str_to_timestamp` :826-827). */
   def msStringToSeconds(c: Column): Column =
     coalesce(floor(c.cast("long") / 1000).cast("long"), lit(0L))
+
+  /** Inverse of [[utcSecondsToIso8601]] for the reverse migration
+    * (reference `column_date_to_timestamp` :873-879 parses entity time
+    * strings back to integer seconds): Gson string → unix seconds. */
+  def iso8601ToUtcSeconds(c: Column): Column =
+    unix_timestamp(c, "MMM dd, yyyy hh:mm:ss a")
 }

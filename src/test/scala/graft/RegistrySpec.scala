@@ -11,6 +11,7 @@ class RegistrySpec extends AnyFunSuite {
     "FunctionQueries" -> queries.FunctionQueries,
     "SourceQueries" -> queries.SourceQueries,
     "CatalogQueries" -> queries.CatalogQueries,
+    "ReverseQueries" -> queries.ReverseQueries,
     "TextQueries" -> queries.TextQueries,
     "DedupQueries" -> queries.DedupQueries,
     "SimQueries" -> queries.SimQueries,
@@ -47,7 +48,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 113, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 113) // every query oracle-gated
+    assert(SparkEntry.queries.size == 115, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 115) // every query oracle-gated
   }
 }
