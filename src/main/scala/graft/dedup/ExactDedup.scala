@@ -56,14 +56,27 @@ object ExactDedup {
   def dedupAgainstBloom(fresh: DataFrame, seen: DataFrame, textCol: String,
                         fpp: Double = 0.01): DataFrame = {
     val seenKeys = withKey(seen, textCol).select("dedup_key")
-    val bf = seenKeys.stat.bloomFilter(
-      "dedup_key", math.max(seenKeys.count(), 1L), fpp)
-    val bfBc = fresh.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: String) => bfBc.value.mightContainString(k))
+    val n = math.max(seenKeys.count(), 1L)
+    // native bloom path (no UDF): bloom_filter_agg builds the sketch
+    // over xxhash64(key) longs; might_contain (codegen'd) probes it
+    // with the same hash, so no false negatives — identical guarantee
+    // to the sketch library's string API
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(n, fpp)
+    val bfBytes = seenKeys
+      .agg(expr(s"bloom_filter_agg(xxhash64(dedup_key), ${n}L, ${numBits}L)")
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
     val keyed = withKey(fresh, textCol)
-    keyed.where(!mightContain(col("dedup_key")))
+    val might = call_function("might_contain",
+      lit(bfBytes), xxhash64(col("dedup_key")))
+    // null-key rows (null text) bypass to the "definitely new" branch:
+    // an anti-join never matches a null key, so both paths agree —
+    // and the probe expression never sees a null (ADVICE r1)
+    val nullKey = col("dedup_key").isNull
+    keyed.where(nullKey || !might)
       .unionByName(
-        keyed.where(mightContain(col("dedup_key")))
+        keyed.where(!nullKey && might)
           .join(seenKeys, Seq("dedup_key"), "left_anti"))
       .drop("dedup_key")
   }

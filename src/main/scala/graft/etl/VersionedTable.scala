@@ -114,11 +114,20 @@ object VersionedTable {
   /** Row-level changes committed in (`fromV`, `toV`]: the CDC-out
     * feed. Each row carries its commit id and op ('U'/'D') — exactly
     * what a downstream `CdcIngest` consumer replays. Only the
-    * requested version directories are read. */
+    * requested version directories are read.
+    *
+    * Snapshot commits AFTER v=0 (compactions) are skipped: a
+    * compaction rewrites unchanged data, so replaying it would emit
+    * the whole table as spurious updates — Delta's change feed
+    * likewise emits nothing for OPTIMIZE. v=0 is kept when the range
+    * includes it (callers asking from before the table existed want
+    * the initial state as inserts). */
   def readChangesBetween(spark: SparkSession, root: String,
                          fromV: Long, toV: Long): DataFrame = {
-    val vs = versions(spark, root).filter(v => v > fromV && v <= toV)
-    require(vs.nonEmpty, s"no commits in ($fromV, $toV] under $root")
+    val vs = versions(spark, root)
+      .filter(v => v > fromV && v <= toV)
+      .filter(v => v == 0L || !isSnapshot(spark, root, v))
+    require(vs.nonEmpty, s"no change commits in ($fromV, $toV] under $root")
     vs.map { v =>
         spark.read.parquet(s"$root/v=$v").withColumn("__commit", lit(v))
       }.reduce(_.unionByName(_, allowMissingColumns = true))

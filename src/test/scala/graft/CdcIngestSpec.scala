@@ -46,4 +46,35 @@ class CdcIngestSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(v0 == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
   }
+
+  test("crash between data commits and marker: replay rolls back, no dup versions") {
+    GraftSession.tune(spark)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = GraftSession.scratch("cdc-crash")
+    val root = s"$base/tbl"
+    val ck = s"$base/ck"
+
+    val ms = MemoryStream[(Long, Double, String)]
+    val stream = ms.toDF().toDF("k", "v", "op")
+    ms.addData((1L, 1.0, "U"), (2L, 2.0, "U"))
+    CdcIngest.runAvailable(spark, stream, root, Seq("k"), "op", ck)
+    assert(VersionedTable.versions(spark, root) == Seq(0L))
+
+    // simulate a crashed batch-1 attempt: data committed + tagged, but
+    // the last-batch marker was never written
+    val partial = VersionedTable.commitUpsert(spark, root,
+      Seq((9L, 9.0)).toDF("k", "v"))
+    CdcIngest.tagBatch(spark, root, partial, 1L)
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
+
+    // replay of batch 1 (stream redelivers: the checkpoint never saw
+    // it complete either) → rollback of the partial dir, then a clean
+    // recommit: exactly one new version, correct state
+    ms.addData((9L, 9.5, "U"))
+    CdcIngest.runAvailable(spark, stream, root, Seq("k"), "op", ck)
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
+    assert(state(root) == Map(1L -> 1.0, 2L -> 2.0, 9L -> 9.5))
+  }
 }

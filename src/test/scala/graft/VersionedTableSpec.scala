@@ -89,6 +89,22 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(files.forall(f => f.contains("v=1") || f.contains("v=2")))
   }
 
+  test("readChangesBetween skips compaction snapshots (no spurious updates)") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    VersionedTable.commitUpsert(spark, root, Seq((2L, 2.0)).toDF("k", "v")) // v1
+    VersionedTable.compact(spark, root, Seq("k"))                           // v2
+    VersionedTable.commitUpsert(spark, root, Seq((3L, 3.0)).toDF("k", "v")) // v3
+    val ch = VersionedTable.readChangesBetween(spark, root, 0L, 3L)
+      .select("k", "__commit", "__op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // only real deltas: v1's upsert and v3's — the v2 compaction
+    // rewrote unchanged rows and must emit nothing
+    assert(ch == Set((2L, 1L, "U"), (3L, 3L, "U")))
+  }
+
   test("schema evolution: later commits add columns, earlier rows read null") {
     val s = spark
     import s.implicits._
