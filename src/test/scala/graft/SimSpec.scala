@@ -101,6 +101,37 @@ class SimSpec extends SparkSpecBase {
     assert(nCands < n * (n - 1) / 2 / 10, "LSH pruned less than 90% of the pair space")
   }
 
+  test("native DotProduct kernel is bit-identical to the declarative HOF path") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pairs = emb.select($"vec_id".as("a"), $"embedding".as("va"))
+      .crossJoin(emb.select($"vec_id".as("b"), $"embedding".as("vb")))
+      .where($"a" < $"b" && $"b" - $"a" <= 3) // a band of pairs, not n²
+    val diverging = pairs.select(
+        Similarity.dot($"va", $"vb").as("nat"),
+        Similarity.dotDeclarative($"va", $"vb").as("dec"))
+      .where($"nat" =!= $"dec" || $"nat".isNull =!= $"dec".isNull)
+      .count()
+    assert(diverging == 0, s"$diverging pairs diverge between kernels")
+    // null/length-mismatch semantics agree too
+    val edge = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)),
+      (null.asInstanceOf[Array[Float]], Array(1f))).toDF("x", "y")
+    val got = edge.select(Similarity.dot($"x", $"y")).collect().map(_.isNullAt(0))
+    assert(got.forall(identity), "mismatched/null inputs must yield null")
+  }
+
+  test("low-threshold RHP banding (dedup_embedding params) reproduces the exact baseline") {
+    import graft.sim.RhpLsh
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = RhpLsh.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.46,
+        nBits = 64, bandBits = 2, maxBucketSize = Int.MaxValue)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val want = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold = 0.46)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("native RhpSig kernel is bit-exact with the declarative signature path") {
     import graft.sim.RhpLsh
     val emb = Tables.embeddings(spark, sfDir)
