@@ -75,11 +75,13 @@ object SimHash {
   /** Candidate pairs whose 64-bit signatures share at least one of the
     * four 16-bit bands; verified by exact Hamming distance.
     * `portable = true` swaps xxhash64 for [[portableHash64]] so the
-    * whole pipeline is replayable by an external SQL oracle. */
+    * whole pipeline is replayable by an external SQL oracle — still
+    * through the native one-pass kernel ([[signaturesPortable]] is the
+    * declarative cross-check, asserted bit-exact in SimHashSigSpec). */
   def nearPairs(docShingles: DataFrame, idCol: String, maxHamming: Int,
                 portable: Boolean = false): DataFrame = {
-    val sigs = if (portable) signaturesPortable(docShingles, idCol)
-               else signaturesNative(docShingles, idCol)
+    val sigs = docShingles.select(col(idCol),
+      graft.plans.SimHashSig(col("shingles"), portable).as("simhash"))
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

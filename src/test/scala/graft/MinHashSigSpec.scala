@@ -28,6 +28,19 @@ class MinHashSigSpec extends SparkSpecBase {
     assert(native == declarative)
   }
 
+  test("portable SimHashSig kernel is bit-identical to the declarative md5 path") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val ds = Shingles.docShingles(docs, "doc_id", "text", 3)
+    val declarative = graft.dedup.SimHash.signaturesPortable(ds, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = ds.select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.plans.SimHashSig(
+          org.apache.spark.sql.functions.col("shingles"), portable = true)
+          .as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty && native == declarative)
+  }
+
   test("native kernel: empty array yields all-MaxValue sentinel") {
     import spark.implicits._
     val df = Seq(Seq.empty[String], Seq("a b c")).toDF("shingles")
