@@ -25,6 +25,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave the PREVIOUS run's output in
+        // place — a stale dir would compare as a false PASS
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(stale)
+        }
       } finally spark.catalog.clearCache() // drop per-query persisted blocks
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -55,21 +55,33 @@ object ExactDedup {
     * keep it as a bucketed key table across runs. */
   def dedupAgainstBloom(fresh: DataFrame, seen: DataFrame, textCol: String,
                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val seenKeys = withKey(seen, textCol).select("dedup_key")
     val n = math.max(seenKeys.count(), 1L)
-    // native bloom path (no UDF): bloom_filter_agg builds the sketch
-    // over xxhash64(key) longs; might_contain (codegen'd) probes it
-    // with the same hash, so no false negatives — identical guarantee
-    // to the sketch library's string API
+    // native bloom path (no UDF): BloomFilterAggregate builds the
+    // sketch over xxhash64(key) longs; BloomFilterMightContain
+    // (codegen'd) probes it with the same hash, so no false negatives
+    // — identical guarantee to the sketch library's string API. The
+    // expressions are constructed directly (the SQL names are in
+    // Spark's internal-only registry, reserved for the runtime-filter
+    // rewrite rule).
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(n, fpp)
     val bfBytes = seenKeys
-      .agg(expr(s"bloom_filter_agg(xxhash64(dedup_key), ${n}L, ${numBits}L)")
-        .as("bf"))
+      .agg(GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          GraftColumnBridge.expression(xxhash64(col("dedup_key"))),
+          GraftColumnBridge.expression(lit(n)),
+          GraftColumnBridge.expression(lit(numBits)))
+          .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
     val keyed = withKey(fresh, textCol)
-    val might = call_function("might_contain",
-      lit(bfBytes), xxhash64(col("dedup_key")))
+    val might = GraftColumnBridge.column(
+      new BloomFilterMightContain(
+        GraftColumnBridge.expression(lit(bfBytes)),
+        GraftColumnBridge.expression(xxhash64(col("dedup_key")))))
     // null-key rows (null text) bypass to the "definitely new" branch:
     // an anti-join never matches a null key, so both paths agree —
     // and the probe expression never sees a null (ADVICE r1)
