@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.core.GraftSession
+
+/** Plan-shape invariants for scale-critical registry queries — the
+  * properties that make them survive a 100× scale-up, asserted against
+  * the optimized physical plan so a refactor can't silently regress
+  * them (e.g. a lost broadcast hint turning a bucketed pipeline into a
+  * cartesian product). */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def planOf(name: String): String = {
+    GraftSession.tune(spark)
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dedup_embedding (RHP-LSH path) has no cartesian/nested-loop join") {
+    val p = planOf("dedup_embedding")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+  }
+
+  test("dedup_minhash_lsh has no cartesian/nested-loop join") {
+    val p = planOf("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q1 scan prunes to the referenced lineitem columns") {
+    val p = planOf("q1_pricing_summary")
+    // the pricing summary touches 7 of 16 lineitem columns; a full-width
+    // ReadSchema means projection pushdown broke
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"),
+      s"unpruned scan: $read")
+  }
+
+  test("curate_decontam probes a broadcast (corpus side never shuffles pre-join)") {
+    val p = planOf("curate_decontam")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"benchmark side got shuffled:\n$p")
+  }
+
+  test("no pre-explode filter recomputes the shingle expression (InferFiltersFromGenerate excluded)") {
+    val p = planOf("curate_decontam")
+    // with the rule excluded, no Filter node should contain the shingle
+    // transform (the expensive array expression appears exactly once,
+    // in the Project feeding Generate)
+    val filterLines = p.linesIterator.filter(_.trim.startsWith("+- Filter")).toSeq ++
+      p.linesIterator.filter(_.trim.startsWith(":- Filter")).toSeq
+    assert(!filterLines.exists(_.contains("array_distinct")),
+      s"shingle expression recomputed in a filter:\n${filterLines.mkString("\n")}")
+  }
+
+  test("sim_ivf_topk joins on buckets, not all pairs") {
+    val p = planOf("sim_ivf_topk")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("dedup_incremental_bloom probes the native bloom expression, no UDF") {
+    val p = planOf("dedup_incremental_bloom")
+    assert(p.contains("might_contain"), s"native bloom probe missing:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF("),
+      s"UDF in bloom path:\n$p")
+  }
+}
