@@ -162,6 +162,44 @@ object SimQueries extends graft.QueryModule {
        |  WHERE x.vec_id <> p.query_id) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Two-stage quantized retrieval: symmetric int8 codes of the unit
+    * vectors → integer-dot shortlist (top 50) → exact rescore (top 5).
+    * The oracle replays the quantization, the integer surrogate
+    * ranking, and the rescore — all integer or identically-evaluated
+    * IEEE math, so the result is bit-stable. */
+  def simQuantizedTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    graft.sim.Quantize.topK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, shortlistK = 50)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+  val quantizedSql: String = vecCte +
+    """, codes AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(round(x / nrm * 127.0) AS INT)) AS q
+      |  FROM n),
+      |shortlist AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        CAST(list_sum(list_transform(generate_series(1, len(q.q)),
+      |          i -> CAST(q.q[i] AS BIGINT) * CAST(c.q[i] AS BIGINT))) AS BIGINT)
+      |          DESC, c.vec_id ASC) AS srank
+      |    FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 10) t
+      |  WHERE srank <= 50)
+      |SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    round(""".stripMargin + cosSql("q", "c") + """, 4) AS cos,
+      |    row_number() OVER (PARTITION BY s.query_id
+      |      ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) DESC,
+      |        s.neighbor_id ASC) AS rank
+      |  FROM shortlist s
+      |  JOIN n q ON q.vec_id = s.query_id
+      |  JOIN n c ON c.vec_id = s.neighbor_id) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Random-hyperplane LSH near-dup pairs over embeddings ∪ planted
     * near-duplicates (deterministic multiplicative ripple, cos ≈ 0.9996;
     * the original corpus tops out at cos 0.51, so threshold 0.9 isolates
@@ -204,11 +242,13 @@ object SimQueries extends graft.QueryModule {
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
+    "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_rhp_pairs" -> (simRhpPairs _))
 
   def oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteSql,
     "sim_ivf_topk" -> ivfSql,
     "sim_kmeans_ivf" -> kmeansIvfSql,
+    "sim_quantized_topk" -> quantizedSql,
     "sim_rhp_pairs" -> rhpSql)
 }

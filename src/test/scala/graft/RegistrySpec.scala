@@ -48,7 +48,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 115, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 115) // every query oracle-gated
+    assert(SparkEntry.queries.size == 116, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 116) // every query oracle-gated
   }
 }

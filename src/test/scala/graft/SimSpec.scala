@@ -101,6 +101,24 @@ class SimSpec extends SparkSpecBase {
     assert(nCands < n * (n - 1) / 2 / 10, "LSH pruned less than 90% of the pair space")
   }
 
+  test("quantized two-stage retrieval recovers most exact top-5 neighbors") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = graft.sim.Quantize.topK(emb, queries, "vec_id", "embedding",
+        k = 5, shortlistK = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.map { case (q, ns) => (quant.getOrElse(q, Set.empty) & ns).size }.sum
+    val total = exact.values.map(_.size).sum
+    info(s"recall@5 = $hits/$total")
+    // 8-bit codes on random 64-dim data with a 50-wide shortlist should
+    // recover a solid majority of true neighbors
+    assert(hits.toDouble / total >= 0.6, s"recall $hits/$total")
+  }
+
   test("native DotProduct kernel is bit-identical to the declarative HOF path") {
     val emb = Tables.embeddings(spark, sfDir)
     val pairs = emb.select($"vec_id".as("a"), $"embedding".as("va"))
