@@ -23,6 +23,24 @@ object ExactDedup {
     keyed.join(winners, Seq("dedup_key", idCol), "left_semi").drop("dedup_key")
   }
 
+  /** Keep the BEST copy (highest `priorityCol`, ties → lowest id) per
+    * canonical text — the production refinement of keep-first: when a
+    * document exists in several sources/snapshots, retain the copy
+    * from the preferred source (e.g. highest quality score or most
+    * recent crawl). Same scale shape as [[dedupKeepFirst]]: the argmax
+    * is one map-side-combinable max(struct), shuffling only
+    * (key, priority, id). */
+  def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                    priorityCol: String): DataFrame = {
+    val keyed = withKey(docs, textCol)
+    val winners = keyed
+      .select(col("dedup_key"), col(idCol), col(priorityCol))
+      .groupBy("dedup_key")
+      .agg(max(struct(col(priorityCol), (-col(idCol)).as("negid"))).as("m"))
+      .select(col("dedup_key"), (-col("m.negid")).as(idCol))
+    keyed.join(winners, Seq("dedup_key", idCol), "left_semi").drop("dedup_key")
+  }
+
   /** Cross-snapshot incremental dedup: keep only rows of `fresh` whose
     * canonical text never appeared in `seen` — the per-crawl pass that
     * admits a new snapshot against the accumulated corpus.

@@ -34,6 +34,36 @@ object DedupQueries extends graft.QueryModule {
       |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
       |ORDER BY 1""".stripMargin
 
+  /** Priority-aware dedup: planted higher-priority copies (source
+    * bumped to 99) must WIN over the originals; unique docs keep their
+    * original row. */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        regexp_extract(col("source"), "\\d+", 0).cast("int").as("pri"))
+    val copies = d.where(col("doc_id") < 50)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+        lit(99).as("pri"))
+    ExactDedup.dedupKeepBest(d.unionByName(copies), "doc_id", "text", "pri")
+      .select("doc_id").orderBy("doc_id")
+  }
+  val dedupKeepBestSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text,
+      |    CAST(regexp_extract(source, '\d+') AS INT) AS pri
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, 99 FROM documents WHERE doc_id < 50),
+      |k AS (
+      |  SELECT doc_id, pri,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS key
+      |  FROM corpus),
+      |r AS (
+      |  SELECT doc_id, row_number() OVER (PARTITION BY key
+      |    ORDER BY pri DESC, doc_id ASC) AS rn
+      |  FROM k)
+      |SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** The exact all-pairs ground truth both LSH variants are graded
     * against (shared SQL). */
   private val exactPairsSql: String =
@@ -287,6 +317,7 @@ object DedupQueries extends graft.QueryModule {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -297,6 +328,7 @@ object DedupQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_minhash_lsh" -> exactPairsSql,
     "dedup_ngram_jaccard" -> exactPairsSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -48,7 +48,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 116, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 116) // every query oracle-gated
+    assert(SparkEntry.queries.size == 117, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 117) // every query oracle-gated
   }
 }
