@@ -43,7 +43,8 @@ object Shingles {
     * concrete column first so the shingle lambda reads an attribute
     * instead of re-running split() per element. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    graft.core.Parallelism.widen(docs)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
       // size(__toks) >= n ⟺ shingles nonempty, but filtering on the
       // token count keeps Catalyst from pushing the full shingle
       // expression into the filter and computing it twice per row

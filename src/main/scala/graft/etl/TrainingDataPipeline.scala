@@ -32,8 +32,10 @@ object TrainingDataPipeline {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              conf: Config): DataFrame = {
     // persist: the regex-scored filter feeds both sides of the exact
-    // dedup's semi-join; without it the 7 regexp passes run twice
-    val filtered = docs
+    // dedup's semi-join; without it the 7 regexp passes run twice.
+    // widen: the regex passes are CPU-bound — a narrow scan would
+    // serialize them on one core (core/Parallelism.scala)
+    val filtered = graft.core.Parallelism.widen(docs)
       .withColumn("__lang", TextAnalysis.langId(col(textCol)))
       .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
       .where(col("__lang").isin(conf.langs.toSeq: _*) &&

@@ -21,7 +21,8 @@ object Vocab {
   /** (id, n_toks, token) exploded view; tokens lowercased, one row per
     * occurrence. */
   def docTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), Shingles.tokens(lower(col(textCol))).as("__toks"))
+    graft.core.Parallelism.widen(docs)
+      .select(col(idCol), Shingles.tokens(lower(col(textCol))).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("n_toks"),
         explode(col("__toks")).as("token"))
 
