@@ -27,7 +27,8 @@ object SparkEntry {
     graft.queries.ExtQueries,
     graft.queries.BonusQueries,
     graft.queries.PerfQueries,
-    graft.queries.CurateQueries)
+    graft.queries.CurateQueries,
+    graft.queries.SketchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.core.Tables
+import graft.sketch.Sketches
+
+/** Sketch/profiling gate queries: deterministic, oracle-replayable
+  * approximate statistics (see graft.sketch.Sketches for why the
+  * portable-hash family replaces HLL/theta here).
+  */
+object SketchQueries extends QueryModule {
+
+  private val K = 16 // KMV size: error ~ 1/sqrt(16) = 25%, exact below 16
+
+  /** Per-language distinct-text cardinality via KMV: the O(k)-state
+    * groupBy that replaces count(DISTINCT) at corpus scale. */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Sketches.distinctByGroup(
+      Tables.documents(spark, sfDir), "lang", "text", K)
+      .orderBy("lang")
+
+  val kmvSql: String =
+    s"""WITH h AS (
+       |  SELECT lang, ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+       |  FROM documents),
+       |d AS (SELECT DISTINCT lang, hv FROM h),
+       |mk AS (
+       |  SELECT lang, list_sort(list(hv))[1:$K] AS mins, count(*) AS nd
+       |  FROM d GROUP BY lang),
+       |n AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang)
+       |SELECT n.lang, n.n_rows,
+       |  CASE WHEN mk.nd < $K THEN mk.nd
+       |       ELSE CAST(floor(${K - 1}.0 * 1152921504606846976.0
+       |                       / greatest(mins[$K], 1)) AS BIGINT)
+       |  END AS kmv_distinct
+       |FROM n JOIN mk USING (lang) ORDER BY lang""".stripMargin
+
+  private val CmDepth = 4  // hash rows
+  private val CmWidth = 64 // counters per row
+
+  /** Count-min sketch of the token-frequency stream, then probe the
+    * top-5 exact tokens against it: (token, exact_cnt, cm_est), with
+    * cm_est >= exact_cnt by construction (collisions only inflate).
+    *
+    * Scale shape: the sketch is CmDepth x CmWidth counters built by ONE
+    * partial-aggregable groupBy over the exploded token stream (each
+    * occurrence contributes CmDepth (row, col) increments map-side);
+    * the probe is a broadcast join against the tiny counter table.
+    * Merging two corpora's sketches = summing counters. */
+  def countminProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = graft.text.Vocab.docTokens(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+      .select("token")
+    // (row i, col h_i(tok) % w) per occurrence, all CmDepth rows at once
+    val cells = toks.select(posexplode(array((0 until CmDepth).map { i =>
+      pmod(Sketches.hash60(concat(lit(i.toString), col("token"))),
+        lit(CmWidth.toLong))
+    }: _*)).as(Seq("i", "c")))
+    val sketch = cells.groupBy("i", "c").agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token").asc).limit(5)
+    val probes = exact.select(col("token"), col("exact_cnt"),
+      posexplode(array((0 until CmDepth).map { i =>
+        pmod(Sketches.hash60(concat(lit(i.toString), col("token"))),
+          lit(CmWidth.toLong))
+      }: _*)).as(Seq("i", "c")))
+    probes.join(broadcast(sketch), Seq("i", "c"))
+      .groupBy("token", "exact_cnt")
+      .agg(min(col("cnt")).as("cm_est"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+  }
+
+  val countminSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |cells AS (
+       |  SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR) || token), 1, 15))::BIGINT
+       |           % $CmWidth AS c
+       |  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS i)),
+       |sketch AS (SELECT i, c, count(*) AS cnt FROM cells GROUP BY i, c),
+       |exact AS (
+       |  SELECT token, count(*) AS exact_cnt FROM toks GROUP BY token
+       |  ORDER BY exact_cnt DESC, token ASC LIMIT 5),
+       |probes AS (
+       |  SELECT token, exact_cnt, i,
+       |    ('0x' || substr(md5(CAST(i AS VARCHAR) || token), 1, 15))::BIGINT
+       |      % $CmWidth AS c
+       |  FROM exact CROSS JOIN (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS i))
+       |SELECT p.token, p.exact_cnt, min(s.cnt) AS cm_est
+       |FROM probes p JOIN sketch s ON p.i = s.i AND p.c = s.c
+       |GROUP BY p.token, p.exact_cnt
+       |ORDER BY p.exact_cnt DESC, p.token ASC""".stripMargin
+
+  /** Hash-threshold sampled heavy hitters: restrict the token groupBy
+    * to the deterministic 1/8 hash sample of token TYPES (hash60 <
+    * 2^57), count those exactly, keep counts >= 20. At 100 TB this
+    * shrinks the aggregation keyspace 8x while every sampled type's
+    * count stays exact; the sample is the same on every engine and
+    * every run. */
+  def sampledHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = graft.text.Vocab.docTokens(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+      .select("token")
+      .where(Sketches.hash60(col("token")) < lit(1L << 57))
+    toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 20)
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
+  val sampledSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |s AS (
+      |  SELECT token, count(*) AS cnt FROM toks
+      |  WHERE ('0x' || substr(md5(token), 1, 15))::BIGINT < 144115188075855872
+      |  GROUP BY token)
+      |SELECT token, cnt FROM s WHERE cnt >= 20
+      |ORDER BY cnt DESC, token ASC""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_distinct" -> (kmvDistinct _),
+    "sketch_countmin_probe" -> (countminProbe _),
+    "sketch_sampled_hitters" -> (sampledHitters _))
+
+  def oracles: Map[String, String] = Map(
+    "sketch_kmv_distinct" -> kmvSql,
+    "sketch_countmin_probe" -> countminSql,
+    "sketch_sampled_hitters" -> sampledSql)
+}

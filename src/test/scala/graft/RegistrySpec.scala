@@ -20,7 +20,8 @@ class RegistrySpec extends AnyFunSuite {
     "ExtQueries" -> queries.ExtQueries,
     "BonusQueries" -> queries.BonusQueries,
     "PerfQueries" -> queries.PerfQueries,
-    "CurateQueries" -> queries.CurateQueries)
+    "CurateQueries" -> queries.CurateQueries,
+    "SketchQueries" -> queries.SketchQueries)
 
   test("query names are globally unique (no silent map overwrite)") {
     val all = modules.flatMap { case (m, q) => q.defs.keys.map(_ -> m) }
@@ -48,7 +49,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 117, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 117) // every query oracle-gated
+    assert(SparkEntry.queries.size == 120, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 120) // every query oracle-gated
   }
 }
