@@ -238,17 +238,56 @@ object SimQueries extends graft.QueryModule {
       |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.9
       |ORDER BY a, b""".stripMargin
 
+  /** Semantic dedup (SemDeDup): kmeans(k=8, 2 iters) buckets, then
+    * within-bucket cosine >= 0.46 drops the higher id of each pair.
+    * The oracle replays the full quantizer (same CTEs as
+    * sim_kmeans_ivf), the assignment, and the within-bucket pair
+    * verification. */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sim.SemDedup.survivors(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", k = 8, iterations = 2, tau = 0.46)
+      .orderBy("vec_id")
+
+  val semanticSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |${kmIterSql("c0", 1)},
+       |${kmIterSql("c1", 2)},
+       |af AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
+       |nn AS (SELECT vec_id, v,
+       |  sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM e),
+       |losers AS (
+       |  SELECT DISTINCT bb.vec_id
+       |  FROM af aa JOIN af bb ON aa.bucket = bb.bucket AND aa.vec_id < bb.vec_id
+       |  JOIN nn x ON x.vec_id = aa.vec_id
+       |  JOIN nn y ON y.vec_id = bb.vec_id
+       |  WHERE round(list_sum(list_transform(generate_series(1, len(x.v)),
+       |      i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 4) >= 0.46)
+       |SELECT a.vec_id, a.bucket FROM af a
+       |WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
+       |ORDER BY a.vec_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
-    "sim_rhp_pairs" -> (simRhpPairs _))
+    "sim_rhp_pairs" -> (simRhpPairs _),
+    "dedup_semantic" -> (dedupSemantic _))
 
   def oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteSql,
     "sim_ivf_topk" -> ivfSql,
     "sim_kmeans_ivf" -> kmeansIvfSql,
     "sim_quantized_topk" -> quantizedSql,
-    "sim_rhp_pairs" -> rhpSql)
+    "sim_rhp_pairs" -> rhpSql,
+    "dedup_semantic" -> semanticSql)
 }
