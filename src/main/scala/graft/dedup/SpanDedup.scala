@@ -1,0 +1,79 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-substring detection (the distributed form of Lee
+  * et al. 2021, "Deduplicating Training Data Makes Language Models
+  * Better", arXiv:2107.06499 §4): every W-token window of every
+  * document is fingerprinted; a window whose fingerprint occurs in
+  * more than one distinct document is a cross-document duplicated
+  * span (boilerplate, licenses, templated text) even when the
+  * documents as a whole are NOT near-duplicates.
+  *
+  * The reference algorithm builds a corpus suffix array — inherently
+  * single-machine. The Spark-native shape used by production corpus
+  * pipelines: explode windows (rows ∝ corpus tokens), one groupBy on
+  * the 60-bit fingerprint to find cross-doc hashes, one join back to
+  * attribute spans to documents. Both exchanges are keyed on the
+  * fingerprint, so AQE's skew handling covers degenerate boilerplate
+  * (the same span in millions of docs).
+  */
+object SpanDedup {
+
+  /** Portable 60-bit window fingerprint (same md5 idiom as
+    * sketch/Sketches.hash60 — DuckDB-replayable). */
+  def windowHash(win: Column): Column =
+    conv(substring(md5(win), 1, 15), 16, 10).cast("long")
+
+  /** (id, pos, wh): one fingerprint per W-token window position. */
+  def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+                   w: Int): DataFrame =
+    graft.core.Parallelism.widen(docs)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .where(size(col("__toks")) >= w)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__toks")) - (w - 1)),
+          i => windowHash(concat_ws(" ", slice(col("__toks"), i, lit(w))))))
+        .as(Seq("pos", "wh")))
+
+  /** Per-document count of window positions whose span also occurs in
+    * some OTHER document: (idCol, dup_spans), docs with none omitted. */
+  def dupSpanCounts(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int): DataFrame = {
+    val wins = windowHashes(docs, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val crossDoc = wins.select(col("wh"), col(idCol)).distinct()
+      .groupBy("wh").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") > 1)
+      .select("wh")
+    wins.join(crossDoc, Seq("wh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_spans"))
+  }
+
+  /** Document pairs sharing at least `minShared` distinct duplicated
+    * spans — the candidate set for span-level excision or doc-level
+    * drop policies. Pair formation is keyed on the fingerprint
+    * (never all-pairs); `maxDocsPerSpan` caps degenerate boilerplate
+    * spans the same way MinHashLSH.maxBucketSize does. */
+  def spanPairs(docs: DataFrame, idCol: String, textCol: String,
+                w: Int, minShared: Long = 1,
+                maxDocsPerSpan: Int = 100): DataFrame = {
+    val wins = windowHashes(docs, idCol, textCol, w)
+      .select(col("wh"), col(idCol)).distinct()
+    val sized = wins
+      .withColumn("__nd", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("wh")))
+      .where(col("__nd") > 1 && col("__nd") <= maxDocsPerSpan)
+      .drop("__nd")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = sized.select(col("wh"), col(idCol).as("a"))
+    val r = sized.select(col("wh"), col(idCol).as("b"))
+    l.join(r, Seq("wh"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("shared_spans"))
+      .where(col("shared_spans") >= minShared)
+  }
+}

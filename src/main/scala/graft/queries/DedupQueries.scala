@@ -314,7 +314,65 @@ object DedupQueries extends graft.QueryModule {
       .select("doc_id").orderBy("doc_id")
   }
 
+  private val SpanW = 8 // window length in tokens (50 at corpus scale)
+
+  /** Duplicated-substring detection: per-doc count of 8-token window
+    * positions whose exact span occurs in some other document. */
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.SpanDedup.dupSpanCounts(
+      Tables.documents(spark, sfDir).select("doc_id", "text"),
+      "doc_id", "text", w = SpanW)
+      .orderBy("doc_id")
+
+  val dedupSpansSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |ws AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(tk) - ${SpanW - 1}),
+       |    i -> ('0x' || substr(md5(array_to_string(tk[i:i+${SpanW - 1}], ' ')),
+       |          1, 15))::BIGINT)) AS wh
+       |  FROM t WHERE len(tk) >= $SpanW),
+       |cross_doc AS (
+       |  SELECT wh FROM (
+       |    SELECT wh, count(DISTINCT doc_id) AS nd FROM ws GROUP BY wh)
+       |  WHERE nd > 1)
+       |SELECT w.doc_id, count(*) AS dup_spans
+       |FROM ws w JOIN cross_doc USING (wh)
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
+  /** Duplicated-substring doc pairs: documents sharing >= 2 distinct
+    * 8-token spans, with the shared-span count. */
+  def dedupSpanPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.SpanDedup.spanPairs(
+      Tables.documents(spark, sfDir).select("doc_id", "text"),
+      "doc_id", "text", w = SpanW, minShared = 2)
+      .orderBy("a", "b")
+
+  val dedupSpanPairsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |ws AS (
+       |  SELECT DISTINCT doc_id, wh FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, len(tk) - ${SpanW - 1}),
+       |      i -> ('0x' || substr(md5(array_to_string(tk[i:i+${SpanW - 1}], ' ')),
+       |            1, 15))::BIGINT)) AS wh
+       |    FROM t WHERE len(tk) >= $SpanW)),
+       |sized AS (
+       |  SELECT doc_id, wh FROM (
+       |    SELECT doc_id, wh, count(*) OVER (PARTITION BY wh) AS nd FROM ws)
+       |  WHERE nd > 1 AND nd <= 100)
+       |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_spans
+       |FROM sized l JOIN sized r ON l.wh = r.wh AND l.doc_id < r.doc_id
+       |GROUP BY a, b HAVING count(*) >= 2
+       |ORDER BY a, b""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans" -> (dedupSpans _),
+    "dedup_span_pairs" -> (dedupSpanPairs _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -327,6 +385,8 @@ object DedupQueries extends graft.QueryModule {
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_spans" -> dedupSpansSql,
+    "dedup_span_pairs" -> dedupSpanPairsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_minhash_lsh" -> exactPairsSql,
