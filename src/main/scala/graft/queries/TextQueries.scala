@@ -117,6 +117,50 @@ object TextQueries extends graft.QueryModule {
       |FROM d WHERE width > 0 AND height > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Perceptual-hash near-dup over binary payloads: the corpus plus a
+    * length-preserving one-byte-edit copy of every payload (the
+    * planted near-dups, same pattern as dedup_embedding's perturbed
+    * oracle); the banded signature join must recover exactly the 500
+    * planted pairs at Hamming <= 3 (pigeonhole-complete banding) with
+    * no false positives — the natural inter-doc minimum is 15. */
+  def mmPhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val variants = docs.select((col("doc_id") + 10000).as("doc_id"),
+      concat(lit("X"), expr("substring(text, 2)")).as("text"))
+    val payloads = BinaryPipeline.withPayload(
+      docs.unionByName(variants), "doc_id", "text")
+    graft.multimodal.Phash.nearPairs(
+        graft.multimodal.Phash.signatures(payloads), maxHamming = 3)
+      .orderBy("a", "b")
+  }
+  val mmPhashSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, 'X' || substr(text, 2) FROM documents),
+      |b AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n FROM corpus),
+      |by AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, n),
+      |    j -> struct_pack(seg := ((j-1) * 64) // n,
+      |                     v := ('0x' || substr(hx, 2*j-1, 2))::BIGINT))) AS e
+      |  FROM b),
+      |segs AS (
+      |  SELECT doc_id, e.seg AS seg, sum(e.v) AS s FROM by GROUP BY doc_id, e.seg),
+      |sig AS (
+      |  SELECT doc_id, sum(CASE WHEN s % 2 = 1
+      |    THEN (1::HUGEINT << CAST(seg AS INT)) ELSE 0::HUGEINT END) AS su
+      |  FROM segs GROUP BY doc_id),
+      |sigs AS (
+      |  SELECT doc_id, CAST(CASE WHEN su >= 9223372036854775808
+      |    THEN su - 18446744073709551616 ELSE su END AS BIGINT) AS sg
+      |  FROM sig)
+      |SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.sg, b.sg)) AS hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sg, b.sg)) <= 3
+      |ORDER BY a, b""".stripMargin
+
   /** Multimodal frame sampling: every 5th frame of each video payload,
     * with deterministic per-frame stub checksums. */
   def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
@@ -298,6 +342,7 @@ object TextQueries extends graft.QueryModule {
     "mm_decode_stub" -> (mmDecodeStub _),
     "mm_resize" -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_phash_neardup" -> (mmPhashNeardup _),
     "profile_stats" -> (profileStats _),
     "text_vocab" -> (textVocab _),
     "text_tfidf" -> (textTfidf _))
@@ -314,6 +359,7 @@ object TextQueries extends graft.QueryModule {
     "mm_decode_stub" -> mmSql,
     "mm_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSql,
+    "mm_phash_neardup" -> mmPhashSql,
     "profile_stats" -> profileSql,
     "text_vocab" -> vocabSql,
     "text_tfidf" -> tfidfSql)

@@ -49,7 +49,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 123, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 123) // every query oracle-gated
+    assert(SparkEntry.queries.size == 124, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 124) // every query oracle-gated
   }
 }
