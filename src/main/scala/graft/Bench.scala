@@ -40,7 +40,11 @@ object Bench {
     "text_tfidf",            // tf-idf term statistics + per-doc top-k
     "curate_decontam",       // broadcast n-gram decontamination
     "curate_pack",           // partition-local sequence packing
-    "vt_time_travel")        // versioned-table lifecycle (Delta ops)
+    "vt_time_travel",        // versioned-table lifecycle (Delta ops)
+    "dedup_spans",           // duplicated-substring windows
+    "dedup_semantic",        // kmeans-bucketed embedding dedup
+    "sketch_kmv_distinct",   // KMV cardinality (BoundedMinK agg)
+    "mm_phash_neardup")      // payload phash banded near-dup
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -64,4 +64,30 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF("),
       s"UDF in bloom path:\n$p")
   }
+
+  test("dedup_semantic pairs only inside kmeans buckets (no cartesian)") {
+    val p = planOf("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("dedup_spans joins key on the window fingerprint (no cartesian/NLJ)") {
+    val p = planOf("dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in:\n$p")
+  }
+
+  test("mm_phash_neardup candidates come from the banded bucket join") {
+    val p = planOf("mm_phash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in:\n$p")
+  }
+
+  test("sketch_kmv_distinct partially aggregates the BoundedMinK state") {
+    val p = planOf("sketch_kmv_distinct")
+    // ObjectHashAggregate must run in partial then merge mode: the
+    // exchange carries k longs per group, never the raw rows
+    assert(p.contains("ObjectHashAggregate"), s"typed agg missing:\n$p")
+    assert(p.contains("partial_min_k_distinct"),
+      s"map-side combine lost for min_k_distinct:\n$p")
+  }
 }
