@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.BonusQueries,
     graft.queries.PerfQueries,
     graft.queries.CurateQueries,
-    graft.queries.SketchQueries)
+    graft.queries.SketchQueries,
+    graft.queries.SqlSurfaceQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -11,4 +11,17 @@ object GraftColumnBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Register a function builder into an EXISTING session's registry —
+    * the runtime counterpart of SparkSessionExtensions.injectFunction
+    * for sessions graft does not construct (Verify/Bench receive a
+    * driver-owned session). Same shim rationale as above:
+    * `sessionState` is private[sql] in Spark 4. */
+  def registerFunction(
+      spark: SparkSession,
+      ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState
+      .functionRegistry.registerFunction(ident, info, builder)
 }

@@ -21,7 +21,8 @@ class RegistrySpec extends AnyFunSuite {
     "BonusQueries" -> queries.BonusQueries,
     "PerfQueries" -> queries.PerfQueries,
     "CurateQueries" -> queries.CurateQueries,
-    "SketchQueries" -> queries.SketchQueries)
+    "SketchQueries" -> queries.SketchQueries,
+    "SqlSurfaceQueries" -> queries.SqlSurfaceQueries)
 
   test("query names are globally unique (no silent map overwrite)") {
     val all = modules.flatMap { case (m, q) => q.defs.keys.map(_ -> m) }
@@ -49,7 +50,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 124, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 124) // every query oracle-gated
+    assert(SparkEntry.queries.size == 126, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 126) // every query oracle-gated
   }
 }
