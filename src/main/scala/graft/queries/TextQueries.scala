@@ -117,6 +117,25 @@ object TextQueries extends graft.QueryModule {
       |FROM d WHERE width > 0 AND height > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE pair statistics: top-15 frequency-weighted adjacent character
+    * pairs over the distinct-word table — the first-merge statistics
+    * of tokenizer training, computed vocab-sized not corpus-sized. */
+  def textBpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.BpePairs.topPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text", k = 15)
+  val bpePairsSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      |  FROM documents),
+      |wf AS (SELECT word, count(*) AS freq FROM toks GROUP BY word),
+      |p AS (
+      |  SELECT freq, unnest(list_transform(
+      |    generate_series(1, length(word) - 1),
+      |    i -> substr(word, i, 2))) AS pair
+      |  FROM wf WHERE length(word) >= 2)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 15""".stripMargin
+
   /** Perceptual-hash near-dup over binary payloads: the corpus plus a
     * length-preserving one-byte-edit copy of every payload (the
     * planted near-dups, same pattern as dedup_embedding's perturbed
@@ -343,6 +362,7 @@ object TextQueries extends graft.QueryModule {
     "mm_resize" -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
+    "text_bpe_pairs" -> (textBpePairs _),
     "profile_stats" -> (profileStats _),
     "text_vocab" -> (textVocab _),
     "text_tfidf" -> (textTfidf _))
@@ -360,6 +380,7 @@ object TextQueries extends graft.QueryModule {
     "mm_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSql,
     "mm_phash_neardup" -> mmPhashSql,
+    "text_bpe_pairs" -> bpePairsSql,
     "profile_stats" -> profileSql,
     "text_vocab" -> vocabSql,
     "text_tfidf" -> tfidfSql)
