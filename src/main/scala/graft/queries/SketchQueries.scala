@@ -121,13 +121,40 @@ object SketchQueries extends QueryModule {
       |SELECT token, cnt FROM s WHERE cnt >= 20
       |ORDER BY cnt DESC, token ASC""".stripMargin
 
+  /** Quantiles over the deterministic 1/4 document hash-sample: the
+    * exact interpolated `percentile` holds every group value in
+    * memory — fine per-source at profile time, a state bomb on a
+    * billion-row group. Hash-sampling rows FIRST (by id, so selection
+    * is unbiased w.r.t. the measured value) bounds that state at p·n
+    * while keeping the estimate engine-reproducible — unlike
+    * percentile_approx, whose sketch internals no oracle can replay. */
+  def sampledQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .where(Sketches.hash60(col("doc_id").cast("string")) < lit(1L << 58))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+      .orderBy("source")
+
+  val sampledQuantilesSql: String =
+    """SELECT source, count(*) AS n_sampled,
+      |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+      |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+      |FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      < 288230376151711744
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_countmin_probe" -> (countminProbe _),
-    "sketch_sampled_hitters" -> (sampledHitters _))
+    "sketch_sampled_hitters" -> (sampledHitters _),
+    "sketch_sampled_quantiles" -> (sampledQuantiles _))
 
   def oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvSql,
     "sketch_countmin_probe" -> countminSql,
-    "sketch_sampled_hitters" -> sampledSql)
+    "sketch_sampled_hitters" -> sampledSql,
+    "sketch_sampled_quantiles" -> sampledQuantilesSql)
 }

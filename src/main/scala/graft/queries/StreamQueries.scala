@@ -127,13 +127,73 @@ object StreamQueries extends graft.QueryModule {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Stream-stream interval join: clicks joined to the same user's
+    * purchases within the following hour, both sides watermarked (the
+    * state-bounding contract — without watermarks a stream-stream join
+    * buffers forever). Aggregated per user-decile for a deterministic
+    * scalar gate; oracle = the equivalent batch interval join. */
+  private var joinCtr = 0
+  def t7StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = synchronized { joinCtr += 1; s"graft_stream_join_$joinCtr" }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def side(tpe: String, idAs: String, tsAs: String, valueAs: String) =
+      spark.readStream.schema(schema)
+        .parquet(s"$sfDir/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .where(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id").as(idAs),
+          col("ts").as(tsAs), col("value").as(valueAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "click_id", "click_ts", "click_value")
+    val purchases = side("purchase", "purchase_id", "purchase_ts", "purchase_value")
+    val joined = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(clicks("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy((col("user_id") % 10).as("user_decile"))
+      .agg(count(lit(1)).as("n_attributed"),
+        countDistinct(col("click_id")).as("n_clicks"),
+        round(sum(col("purchase_value")), 2).as("attributed_value"))
+      .orderBy("user_decile")
+  }
+  val t7Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, event_id AS purchase_id,
+      |    CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT c.user_id, c.click_id, p.purchase_id, p.purchase_value
+      |  FROM c JOIN p ON c.user_id = p.user_id
+      |    AND p.purchase_ts >= c.click_ts
+      |    AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR)
+      |SELECT user_id % 10 AS user_decile, count(*) AS n_attributed,
+      |  count(DISTINCT click_id) AS n_clicks,
+      |  round(sum(purchase_value), 2) AS attributed_value
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_stream_ingest" -> (t1StreamIngest _),
     "t5_stream_window" -> (t5StreamWindow _),
-    "t3_stream_dedup" -> (t3StreamDedup _))
+    "t3_stream_dedup" -> (t3StreamDedup _),
+    "t7_stream_join" -> (t7StreamJoin _))
 
   def oracles: Map[String, String] = Map(
     "t1_stream_ingest" -> t1Sql,
     "t5_stream_window" -> t5Sql,
-    "t3_stream_dedup" -> t3Sql)
+    "t3_stream_dedup" -> t3Sql,
+    "t7_stream_join" -> t7Sql)
 }

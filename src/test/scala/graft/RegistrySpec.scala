@@ -50,7 +50,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 127, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 127) // every query oracle-gated
+    assert(SparkEntry.queries.size == 129, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 129) // every query oracle-gated
   }
 }
