@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.plans.{BoundedMinK, DotProduct, MinHashSig, SimHashSig}
+import graft.plans.{BoundedMinK, BoundedTopK, DotProduct, MinHashSig, SimHashSig}
 
 /** SQL surface for graft's native Catalyst expressions, so
   * spark.sql(...) users get the same kernels the DataFrame API uses:
@@ -74,6 +74,12 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "min_k_distinct takes 2 arguments")
         BoundedMinK(args.head, litInt(args(1), "min_k_distinct k"))
+      }),
+    (FunctionIdentifier("bounded_top_k"),
+      info("bounded_top_k", "bounded_top_k(x, k) - k largest values of the group, descending (any orderable type)"),
+      { args =>
+        require(args.length == 2, "bounded_top_k takes 2 arguments")
+        BoundedTopK(args.head, litInt(args(1), "bounded_top_k k"))
       }))
 
   /** Runtime registration into an existing session (idempotent —

@@ -139,7 +139,30 @@ object BonusQueries extends graft.QueryModule {
       |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
       |  o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Top-3 events by (value, event_id) per type through the O(k)-state
+    * BoundedTopK aggregate — the scale-safe replacement for
+    * `row_number() OVER (...) <= k`, which sorts every row of every
+    * group. The heap combines map-side; the exchange carries 3 structs
+    * per group. */
+  def xTopkPerGroup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(graft.plans.BoundedTopK(
+        struct(col("value"), col("event_id")), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("event_type"), (col("i") + 1).as("rank"),
+        col("e.value").as("value"), col("e.event_id").as("event_id"))
+      .orderBy("event_type", "rank")
+  val topkSql: String =
+    """SELECT event_type, rank, value, event_id FROM (
+      |  SELECT event_type, value, event_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id DESC) AS rank
+      |  FROM events) t
+      |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_topk_per_group" -> (xTopkPerGroup _),
     "x_rollup" -> (xRollup _),
     "x_pivot" -> (xPivot _),
     "x_semi_anti" -> (xSemiAnti _),
@@ -149,6 +172,7 @@ object BonusQueries extends graft.QueryModule {
     "x_grouping_sets" -> (xGroupingSets _))
 
   def oracles: Map[String, String] = Map(
+    "x_topk_per_group" -> topkSql,
     "x_rollup" -> rollupSql,
     "x_pivot" -> pivotSql,
     "x_semi_anti" -> semiAntiSql,

@@ -82,6 +82,13 @@ class PlanShapeSpec extends SparkSpecBase {
       s"all-pairs join in:\n$p")
   }
 
+  test("x_topk_per_group combines the top-k heap map-side (no window sort)") {
+    val p = planOf("x_topk_per_group")
+    assert(p.contains("partial_bounded_top_k"),
+      s"map-side combine lost for bounded_top_k:\n$p")
+    assert(!p.contains("Window"), s"fell back to a window sort:\n$p")
+  }
+
   test("sketch_kmv_distinct partially aggregates the BoundedMinK state") {
     val p = planOf("sketch_kmv_distinct")
     // ObjectHashAggregate must run in partial then merge mode: the

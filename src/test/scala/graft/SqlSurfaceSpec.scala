@@ -44,6 +44,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
     // accept the injector; function behavior itself is covered above
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("dot_product", "min_k_distinct", "minhash_sig", "simhash_sig"))
+      Seq("bounded_top_k", "dot_product", "min_k_distinct", "minhash_sig",
+        "simhash_sig"))
   }
 }
