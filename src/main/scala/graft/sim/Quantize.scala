@@ -2,7 +2,6 @@ package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Symmetric int8 embedding quantization + two-stage retrieval — the
   * memory/IO lever for ANN over a 100 TB embedding corpus: codes are
@@ -51,25 +50,29 @@ object Quantize {
       encodeUnit(col("__u")).as("qq"))
     // stage 1: integer surrogate score — broadcast the (small) query
     // side; the corpus-side scan reads codes, which at scale are the
-    // 4×-smaller columns
-    val wShort = Window.partitionBy("query_id")
-      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    // 4×-smaller columns. Shortlist selection through the O(k) heap
+    // (same selection as a window rank on qscore DESC, id ASC, but no
+    // per-query sort of the full corpus); the payload vectors ride in
+    // the struct behind the (qscore, -id) ranking prefix so stage 2
+    // needs no rejoin.
     val shortlist = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("qn"),
         col("cv"), col("cn"),
         Similarity.dot(col("qq").cast("array<double>"),
           col("cq").cast("array<double>")).cast("long").as("qscore"))
-      .withColumn("srank", row_number().over(wShort))
-      .where(col("srank") <= shortlistK)
+      .groupBy("query_id")
+      .agg(graft.plans.BoundedTopK(
+        struct(col("qscore"), (-col("neighbor_id")).as("nid"),
+          col("qv"), col("qn"), col("cv"), col("cn")), shortlistK).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), (-col("e.nid")).as("neighbor_id"),
+        col("e.qv").as("qv"), col("e.qn").as("qn"),
+        col("e.cv").as("cv"), col("e.cn").as("cn"))
     // stage 2: exact rescore of the shortlist only
-    val wFinal = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    shortlist
-      .select(col("query_id"), col("neighbor_id"),
+    Similarity.rankTopK(
+      shortlist.select(col("query_id"), col("neighbor_id"),
         round(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")),
-          roundTo).as("cos"))
-      .withColumn("rank", row_number().over(wFinal))
-      .where(col("rank") <= k)
+          roundTo).as("cos")), k)
   }
 }

@@ -2,7 +2,6 @@ package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -10,8 +9,9 @@ import org.apache.spark.sql.expressions.Window
   *   aggregate), left-to-right accumulation in double so results are
   *   reproducible across engines.
   * - `bruteForceTopK` — the exact baseline: broadcast the (small) query
-  *   set against the corpus, window-rank per query. Corpus-side scan is
-  *   embarrassingly parallel; the only shuffle is the per-query top-k.
+  *   set against the corpus, O(k)-heap rank per query (rankTopK).
+  *   Corpus-side scan is embarrassingly parallel; the only shuffle
+  *   carries k structs per query.
   * - `Ivf` — the scale path: deterministic coarse quantizer; corpus
   *   bucketed by nearest centroid (computed once, reusable); queries
   *   probe only `nprobe` nearest buckets. At 100 TB the bucketed
@@ -41,6 +41,23 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Top-k rows per query by (cos DESC, neighbor_id ASC) through the
+    * O(k)-heap BoundedTopK aggregate. The window-rank formulation
+    * sorts EVERY scored candidate of every query after the shuffle —
+    * at corpus scale that is a |queries|×|corpus| sort; the heap
+    * combines map-side and ships k structs per query. Tie-break
+    * parity with the window: the heap keeps the largest
+    * (cos, -neighbor_id) structs, so equal scores resolve to the
+    * smallest id, and the descending eval order reproduces
+    * row_number's sequence exactly. */
+  private[sim] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.plans.BoundedTopK(
+        struct(col("cos"), (-col("neighbor_id")).as("nid")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), (-col("e.nid")).as("neighbor_id"),
+        col("e.cos").as("cos"), (col("i") + 1).as("rank"))
+
   /** Exact top-k neighbors for each query vector (excluding self).
     * Scores rounded to `roundTo` BEFORE ranking so ordering (with id
     * tie-break) is engine-reproducible. */
@@ -54,10 +71,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** IVF-style approximate search with a deterministic coarse
@@ -93,24 +107,26 @@ object Similarity {
         norm(col(vecCol)).as("qn"))
       val cents = centroids.select(col("centroid_id"), col("cvec"),
         norm(col("cvec")).as("cnrm"))
-      val wProbe = Window.partitionBy("query_id")
-        .orderBy(col("cscore").desc, col("centroid_id").asc)
+      // top-nprobe buckets per query through the same O(k) heap as
+      // rankTopK (qv/qn are group-constant, carried via first())
       val probes = q.crossJoin(broadcast(cents))
         .withColumn("cscore", round(
           dot(col("qv"), col("cvec")) / (col("qn") * col("cnrm")), roundTo))
-        .withColumn("crank", row_number().over(wProbe))
-        .where(col("crank") <= nprobe)
-        .select(col("query_id"), col("qv"), col("qn"), col("centroid_id").as("bucket"))
-      val wRank = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        .groupBy("query_id")
+        .agg(graft.plans.BoundedTopK(
+            struct(col("cscore"), (-col("centroid_id")).as("nid")), nprobe).as("top"),
+          first(col("qv")).as("qv"), first(col("qn")).as("qn"))
+        .select(col("query_id"), col("qv"), col("qn"),
+          explode(col("top")).as("e"))
+        .select(col("query_id"), col("qv"), col("qn"),
+          (-col("e.nid")).as("bucket"))
+      val scored = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           norm(col(vecCol)).as("cn"), col("bucket"))
         .join(broadcast(probes), Seq("bucket"))
         .where(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
-        .withColumn("rank", row_number().over(wRank))
-        .where(col("rank") <= k)
+      rankTopK(scored, k)
     }
   }
 

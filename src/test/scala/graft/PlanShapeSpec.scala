@@ -89,6 +89,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"fell back to a window sort:\n$p")
   }
 
+  test("sim top-k paths rank via the heap aggregate, not a window sort") {
+    Seq("sim_bruteforce_topk", "sim_ivf_topk", "sim_quantized_topk").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q fell back to a window sort:\n$p")
+      assert(p.contains("partial_bounded_top_k"),
+        s"$q lost the map-side heap combine:\n$p")
+    }
+  }
+
   test("sketch_kmv_distinct partially aggregates the BoundedMinK state") {
     val p = planOf("sketch_kmv_distinct")
     // ObjectHashAggregate must run in partial then merge mode: the
