@@ -15,12 +15,22 @@ object ExactDedup {
     docs.withColumn("dedup_key", TextAnalysis.fingerprintMd5(col(textCol)))
 
   /** Keep exactly one row (min id) per canonical text. Shuffles only
-    * (key, id) before joining winners back — text bytes move once. */
+    * (key, id) before joining winners back — text bytes move once.
+    *
+    * Null-text rows always survive: a null key cannot be judged a
+    * duplicate of anything, and routing them around the semi-join is
+    * load-bearing — an equi-join on a null key matches nothing, so
+    * without the split EVERY null-text document would silently vanish
+    * from the corpus (caught by NullRobustnessSpec). */
   def dedupKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keyed = withKey(docs, textCol)
-    val winners = keyed.select(col("dedup_key"), col(idCol))
+    val nullKey = col("dedup_key").isNull
+    val winners = keyed.where(!nullKey).select(col("dedup_key"), col(idCol))
       .groupBy("dedup_key").agg(min(col(idCol)).as(idCol))
-    keyed.join(winners, Seq("dedup_key", idCol), "left_semi").drop("dedup_key")
+    keyed.where(!nullKey)
+      .join(winners, Seq("dedup_key", idCol), "left_semi")
+      .unionByName(keyed.where(nullKey))
+      .drop("dedup_key")
   }
 
   /** Keep the BEST copy (highest `priorityCol`, ties → lowest id) per
@@ -33,12 +43,16 @@ object ExactDedup {
   def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
                     priorityCol: String): DataFrame = {
     val keyed = withKey(docs, textCol)
-    val winners = keyed
+    val nullKey = col("dedup_key").isNull
+    val winners = keyed.where(!nullKey)
       .select(col("dedup_key"), col(idCol), col(priorityCol))
       .groupBy("dedup_key")
       .agg(max(struct(col(priorityCol), (-col(idCol)).as("negid"))).as("m"))
       .select(col("dedup_key"), (-col("m.negid")).as(idCol))
-    keyed.join(winners, Seq("dedup_key", idCol), "left_semi").drop("dedup_key")
+    keyed.where(!nullKey)
+      .join(winners, Seq("dedup_key", idCol), "left_semi")
+      .unionByName(keyed.where(nullKey)) // null text: see dedupKeepFirst
+      .drop("dedup_key")
   }
 
   /** Cross-snapshot incremental dedup: keep only rows of `fresh` whose

@@ -103,4 +103,46 @@ object MinHashLSH {
     val cands = candidatePairs(sigs, idCol, bands, numPerms)
     Shingles.verifyPairs(cands, ds, idCol, threshold)
   }
+
+  /** (band_idx, band_hash, id) rows of a signature set. */
+  private def bandRows(sigs: DataFrame, idCol: String, bands: Int,
+                       numPerms: Int): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+        .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Cross-corpus near-duplicates: fresh docs (a) near-duplicating
+    * seen/archive docs (b) — the per-crawl incremental analog of
+    * ExactDedup.dedupAgainst. Candidate buckets join FRESH bands
+    * against SEEN bands only, so fresh×fresh and seen×seen pairs
+    * never form: a daily crawl's candidate volume is proportional to
+    * its true overlap with the archive, not to archive size. At
+    * production scale the archive's banded rows are precomputed once
+    * and stored bucketed on (band_idx, band_hash) — each crawl then
+    * joins without reshuffling the archive. `maxBucketSize` caps
+    * archive-side boilerplate buckets (same policy as
+    * candidatePairs). */
+  def nearDuplicatesAgainst(fresh: DataFrame, seen: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleSize: Int = 3, numPerms: Int = 64,
+                            bands: Int = 16, threshold: Double = 0.5,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val fs = Shingles.docShingles(fresh, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ss = Shingles.docShingles(seen, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fr = bandRows(signaturesNative(fs, idCol, numPerms), idCol, bands, numPerms)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
+    val sr = bandRows(signaturesNative(ss, idCol, numPerms), idCol, bands, numPerms)
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("b"))
+    val cands = fr.join(sr, Seq("band_idx", "band_hash"))
+      .select("a", "b").distinct()
+    Shingles.verifyPairsAcross(cands, fs, ss, idCol, threshold)
+  }
 }

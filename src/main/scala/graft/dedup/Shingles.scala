@@ -55,9 +55,17 @@ object Shingles {
     * both shingle sets and keep those at/above the threshold. The
     * candidate set bounds the join size — LSH prunes, this verifies. */
   def verifyPairs(candidates: DataFrame, docShingles: DataFrame,
-                  idCol: String, threshold: Double): DataFrame = {
-    val left = docShingles.select(col(idCol).as("a"), col("shingles").as("sh_a"))
-    val right = docShingles.select(col(idCol).as("b"), col("shingles").as("sh_b"))
+                  idCol: String, threshold: Double): DataFrame =
+    verifyPairsAcross(candidates, docShingles, docShingles, idCol, threshold)
+
+  /** [[verifyPairs]] with distinct corpora on each side of the pair
+    * (a from `leftShingles`, b from `rightShingles`) — the
+    * cross-corpus incremental form. */
+  def verifyPairsAcross(candidates: DataFrame, leftShingles: DataFrame,
+                        rightShingles: DataFrame, idCol: String,
+                        threshold: Double): DataFrame = {
+    val left = leftShingles.select(col(idCol).as("a"), col("shingles").as("sh_a"))
+    val right = rightShingles.select(col(idCol).as("b"), col("shingles").as("sh_b"))
     candidates
       .join(left, "a").join(right, "b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))

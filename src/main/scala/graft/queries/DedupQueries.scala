@@ -314,6 +314,32 @@ object DedupQueries extends graft.QueryModule {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Incremental cross-corpus near-dup: odd-id docs (the "crawl")
+    * near-duplicating even-id docs (the "archive") — banded candidates
+    * form only ACROSS the corpora. Oracle: exact cross-corpus Jaccard. */
+  def dedupIncrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    MinHashLSH.nearDuplicatesAgainst(
+      docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", ShingleN, numPerms = 64, bands = 16, threshold = Tau)
+      .orderBy("a", "b")
+  }
+  val dedupIncMinhashSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |s AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM d WHERE len(t) >= 3),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+       |  FROM s a JOIN s b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+       |SELECT a, b, round(j, 6) AS jaccard FROM p WHERE j >= $Tau
+       |ORDER BY a, b""".stripMargin
+
   private val SpanW = 8 // window length in tokens (50 at corpus scale)
 
   /** Duplicated-substring detection: per-doc count of 8-token window
@@ -371,6 +397,7 @@ object DedupQueries extends graft.QueryModule {
        |ORDER BY a, b""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_span_pairs" -> (dedupSpanPairs _),
     "dedup_clusters" -> (dedupClusters _),
@@ -385,6 +412,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_incremental_minhash" -> dedupIncMinhashSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_span_pairs" -> dedupSpanPairsSql,
     "dedup_exact" -> dedupExactSql,

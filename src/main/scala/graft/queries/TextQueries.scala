@@ -117,6 +117,37 @@ object TextQueries extends graft.QueryModule {
       |FROM d WHERE width > 0 AND height > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Gopher rule filter: per-doc rule metrics + keep/drop verdict. */
+  def textGopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = graft.text.TextAnalysis.gopherMetrics(col("text"))
+    graft.core.Parallelism.widen(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), m.as("m"))
+      .select(col("doc_id"), col("m.n_words"), col("m.mean_word_len"),
+        col("m.symbol_word_ratio"), col("m.hash_char_ratio"),
+        graft.text.TextAnalysis.gopherPass(col("m")).as("gopher_pass"))
+      .orderBy("doc_id")
+  }
+  val gopherSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks, text
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(toks) AS n_words,
+      |    round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+      |      / len(toks), 6) AS mean_word_len,
+      |    round(CAST(len(list_filter(toks,
+      |        w -> regexp_matches(w, '^[^A-Za-z0-9]+$'))) AS DOUBLE)
+      |      / len(toks), 6) AS symbol_word_ratio,
+      |    round(CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+      |        AS DOUBLE) / greatest(length(text), 1), 6) AS hash_char_ratio
+      |  FROM t)
+      |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, hash_char_ratio,
+      |  (n_words BETWEEN 50 AND 100000
+      |   AND mean_word_len BETWEEN 3.0 AND 10.0
+      |   AND symbol_word_ratio <= 0.1) AS gopher_pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** BPE pair statistics: top-15 frequency-weighted adjacent character
     * pairs over the distinct-word table — the first-merge statistics
     * of tokenizer training, computed vocab-sized not corpus-sized. */
@@ -363,6 +394,7 @@ object TextQueries extends graft.QueryModule {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
     "text_bpe_pairs" -> (textBpePairs _),
+    "text_gopher_rules" -> (textGopherRules _),
     "profile_stats" -> (profileStats _),
     "text_vocab" -> (textVocab _),
     "text_tfidf" -> (textTfidf _))
@@ -381,6 +413,7 @@ object TextQueries extends graft.QueryModule {
     "mm_frame_sample" -> mmFrameSql,
     "mm_phash_neardup" -> mmPhashSql,
     "text_bpe_pairs" -> bpePairsSql,
+    "text_gopher_rules" -> gopherSql,
     "profile_stats" -> profileSql,
     "text_vocab" -> vocabSql,
     "text_tfidf" -> tfidfSql)

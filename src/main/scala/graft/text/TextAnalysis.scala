@@ -70,6 +70,37 @@ object TextAnalysis {
       6)
   }
 
+  /** Gopher-style rule metrics (Rae et al. 2021, arXiv:2112.11446
+    * table A1 subset): word count, mean word length, fully-symbolic
+    * word ratio, hash-character ratio — each a pure Column over a
+    * bound token array (scan-bandwidth, codegen'd). Returned as a
+    * struct so callers project the metrics and the verdict together. */
+  def gopherMetrics(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks).cast("double")
+    val meanLen = round(
+      aggregate(transform(toks, w => length(w).cast("long")),
+        lit(0L), (acc, v) => acc + v).cast("double") / n, 6)
+    val symRatio = round(
+      size(filter(toks, w => w.rlike("^[^A-Za-z0-9]+$"))).cast("double") / n, 6)
+    val hashRatio = round(
+      (length(text) - length(regexp_replace(text, "#", ""))).cast("double") /
+        greatest(length(text), lit(1)).cast("double"), 6)
+    struct(
+      size(toks).as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_word_ratio"),
+      hashRatio.as("hash_char_ratio"))
+  }
+
+  /** The Gopher keep/drop verdict over [[gopherMetrics]] (bounds from
+    * the paper: 50..100k words, mean word length 3..10, ≤10% symbolic
+    * words). */
+  def gopherPass(m: Column): Column =
+    m.getField("n_words").between(50, 100000) &&
+      m.getField("mean_word_len").between(3.0, 10.0) &&
+      m.getField("symbol_word_ratio") <= 0.1
+
   /** Repetition score in [0,1): fraction of duplicated word n-grams
     * (1 - distinct/total) — the Gopher/C4-style within-document
     * repetition filter. 0 for docs shorter than n tokens. Exact

@@ -11,7 +11,11 @@ Usage: python3 tools/check.py [sfdir] [--skip-verify] [name ...]
 import json, sys, subprocess, glob, os
 
 SF = "/root/testdata/sf0.01"
-OUT = "/tmp/graft_verify_out"
+# per-SF output dir: concurrent checks at different SFs must not share
+# spark outputs (learned the hard way -- a background sf0.1 run and a
+# foreground sf0.01 run silently cross-compared each other's parquet)
+def out_dir(sf):
+    return f"/tmp/graft_verify_out_{os.path.basename(sf.rstrip('/'))}"
 
 def run_verify(sf, out, only=None):
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
@@ -111,5 +115,5 @@ if __name__ == "__main__":
         elif a.startswith("/"): sf = a
         else: only.append(a)
     if not skip:
-        run_verify(sf, OUT, set(only) or None)
-    sys.exit(1 if compare(sf, OUT, set(only) or None) else 0)
+        run_verify(sf, out_dir(sf), set(only) or None)
+    sys.exit(1 if compare(sf, out_dir(sf), set(only) or None) else 0)
