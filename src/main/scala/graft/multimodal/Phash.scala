@@ -46,7 +46,9 @@ object Phash {
     sig
   }
 
-  /** (doc_id, phash) via the batched per-partition decode shape. */
+  /** (doc_id, phash) via the batched per-partition decode shape. Total
+    * over null payloads: a null decodes like an empty one (signature
+    * 0L) — corrupt/absent media must not kill a 100 TB pass. */
   def signatures(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
@@ -55,7 +57,7 @@ object Phash {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
-          (id, ofBytes(bytes))
+          (id, if (bytes == null) 0L else ofBytes(bytes))
         })
       }
     ds.toDF("doc_id", "phash")
@@ -63,12 +65,20 @@ object Phash {
 
   /** Near-duplicate pairs at Hamming <= maxHamming via 4×16-bit banded
     * candidates (pigeonhole-complete for maxHamming <= 3; a recall
-    * heuristic above that, like all banded LSH). */
-  def nearPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    * heuristic above that, like all banded LSH). `maxBucketSize` skips
+    * degenerate buckets — byte-identical boilerplate media — exactly
+    * like MinHashLSH.candidatePairs, keeping the join's pair volume
+    * ∝ true near-duplicates at any corpus size. */
+  def nearPairs(sigs: DataFrame, maxHamming: Int,
+                maxBucketSize: Int = 1000): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("phash"), 16 * b).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("band", "bval")))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bval")))
+      .where(col("__n") <= maxBucketSize)
+      .drop("__n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("bval"),
       col("doc_id").as("a"), col("phash").as("pa"))

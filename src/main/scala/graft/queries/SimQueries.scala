@@ -275,13 +275,69 @@ object SimQueries extends graft.QueryModule {
        |WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Semantic dedup with the bucket cap ACTIVE: 250 exact-direction
+    * duplicates (×2-scaled) planted into the corpus and
+    * maxBucketSize=64, forcing every kmeans bucket through the
+    * secondary-RHP sub-split. Scaling by a power of two is exact in
+    * IEEE arithmetic and sign-preserving, so each planted vector has
+    * bit-identical cosines AND an identical RHP sub-bucket to its
+    * original — the split can never separate a planted pair. The base
+    * corpus tops out at cosine 0.51, so at tau=0.9 the capped verified
+    * output equals the uncapped within-bucket result the oracle
+    * computes (data-dependent equivalence, same stance as
+    * sim_rhp_pairs). */
+  def dedupSemanticCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val planted = base.where(col("vec_id") < 250)
+      .select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    graft.sim.SemDedup.survivors(base.unionByName(planted),
+        "vec_id", "embedding", k = 8, iterations = 2, tau = 0.9,
+        maxBucketSize = 64)
+      .orderBy("vec_id")
+  }
+
+  val semanticCappedSql: String =
+    s"""WITH eb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, v FROM eb
+       |  UNION ALL
+       |  SELECT vec_id + 200000 AS vec_id,
+       |    list_transform(v, x -> x * 2.0) AS v
+       |  FROM eb WHERE vec_id < 250),
+       |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |${kmIterSql("c0", 1)},
+       |${kmIterSql("c1", 2)},
+       |af AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
+       |nn AS (SELECT vec_id, v,
+       |  sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM e),
+       |losers AS (
+       |  SELECT DISTINCT bb.vec_id
+       |  FROM af aa JOIN af bb ON aa.bucket = bb.bucket AND aa.vec_id < bb.vec_id
+       |  JOIN nn x ON x.vec_id = aa.vec_id
+       |  JOIN nn y ON y.vec_id = bb.vec_id
+       |  WHERE round(list_sum(list_transform(generate_series(1, len(x.v)),
+       |      i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 4) >= 0.9)
+       |SELECT a.vec_id, a.bucket FROM af a
+       |WHERE a.vec_id NOT IN (SELECT vec_id FROM losers)
+       |ORDER BY a.vec_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_rhp_pairs" -> (simRhpPairs _),
-    "dedup_semantic" -> (dedupSemantic _))
+    "dedup_semantic" -> (dedupSemantic _),
+    "dedup_semantic_capped" -> (dedupSemanticCapped _))
 
   def oracles: Map[String, String] = Map(
     "sim_bruteforce_topk" -> bruteSql,
@@ -289,5 +345,6 @@ object SimQueries extends graft.QueryModule {
     "sim_kmeans_ivf" -> kmeansIvfSql,
     "sim_quantized_topk" -> quantizedSql,
     "sim_rhp_pairs" -> rhpSql,
-    "dedup_semantic" -> semanticSql)
+    "dedup_semantic" -> semanticSql,
+    "dedup_semantic_capped" -> semanticCappedSql)
 }

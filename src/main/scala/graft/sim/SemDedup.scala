@@ -1,7 +1,9 @@
 package graft.sim
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
   * arXiv:2303.09540): k-means-bucket the embedding space, then drop
@@ -13,35 +15,103 @@ import org.apache.spark.sql.functions._
   * (sim/KMeans, k·dim doubles on the driver); assignment is one
   * broadcast argmax over the corpus; candidate pairs form only INSIDE
   * a bucket — the self-join is keyed on bucket id, so pair count is
-  * Σ_b n_b², bounded by the quantizer granularity (k buckets at 100 TB
-  * ⇒ ~(n/k)·n pairs worst case, tuned by k; boilerplate-heavy buckets
-  * can additionally be capped like MinHashLSH.maxBucketSize). Never an
-  * unblocked cross join. Survivor policy matches the near-dup family:
-  * a vector is dropped iff it is the higher id of some verified pair.
+  * Σ_b n_b², bounded by the quantizer granularity. Never an unblocked
+  * cross join.
+  *
+  * Bucket-size discipline (unlike MinHashLSH, k-means buckets are
+  * n/k-sized BY DESIGN, so skipping an oversized bucket outright would
+  * disable dedup exactly where the duplicate mass is):
+  *  1. buckets above `maxBucketSize` are SPLIT by a secondary
+  *     random-hyperplane band (`subBits` sign bits of the embedding,
+  *     graft.plans.RhpSig) — near-identical vectors agree on every
+  *     sign with probability 1 - θ/π per bit, so true duplicate pairs
+  *     stay co-bucketed while the pair count drops by ~2^subBits;
+  *  2. sub-buckets STILL above the cap (degenerate boilerplate mass,
+  *     e.g. millions of byte-identical embeddings) are excluded from
+  *     pair formation entirely — the MinHashLSH.maxBucketSize policy.
+  * Candidate pairs are therefore ≤ Σ min(n_sb, maxBucketSize)² over
+  * sub-buckets: one dense cluster can no longer go quadratic.
+  *
+  * Bucket sizes come from a k-row aggregate broadcast back onto the
+  * corpus (a Window over `bucket` alone would shuffle the corpus into
+  * k partitions — k ≪ cores at production scale); the sub-bucket cap
+  * IS a window count, but over (bucket, sub) whose cardinality scales
+  * with the split factor, and the pair join below shuffles on the same
+  * key, so the exchange is reused.
+  *
+  * Survivor policy matches the near-dup family: a vector is dropped
+  * iff it is the higher id of some verified pair.
   */
 object SemDedup {
 
-  /** Survivors of within-bucket cosine dedup: (idCol, bucket) for every
-    * vector not dropped. `tau` on the cosine rounded to `roundTo`
-    * digits (engine-reproducible, same contract as Ivf.assign). */
-  def survivors(emb: DataFrame, idCol: String, vecCol: String,
-                k: Int, iterations: Int, tau: Double,
-                roundTo: Int = 4): DataFrame = {
-    val centroids = KMeans.train(emb, idCol, vecCol, k, iterations)
-    val assigned = Similarity.Ivf.assign(emb, centroids, idCol, vecCol, roundTo)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withNorm = assigned.select(col("bucket"), col(idCol),
+  /** Verified within-bucket duplicate pairs (a < b, rounded cosine ≥
+    * tau) under the capping discipline documented above, from an
+    * already-assigned (id, vec, bucket) frame. */
+  private def verifiedPairs(assigned: DataFrame, idCol: String, vecCol: String,
+                            tau: Double, roundTo: Int, maxBucketSize: Int,
+                            subBits: Int, seed: Long, dim: Int): DataFrame = {
+    val sizes = broadcast(
+      assigned.groupBy("bucket").agg(count(lit(1)).as("__bn")))
+    val planes = RhpLsh.planeMatrix(dim, subBits, seed)
+    // oversized buckets: secondary RHP band; small buckets: one group
+    val sub = assigned.join(sizes, "bucket")
+      .withColumn("__sub", when(col("__bn") > maxBucketSize,
+          graft.plans.RhpSig(col(vecCol).cast("array<double>"), planes))
+        .otherwise(lit(-1L)))
+      .drop("__bn")
+    // degenerate sub-buckets (identical-embedding mass) are excluded
+    // from pair formation, like MinHashLSH.candidatePairs
+    val capped = sub
+      .withColumn("__sn",
+        count(lit(1)).over(Window.partitionBy("bucket", "__sub")))
+      .where(col("__sn") <= maxBucketSize)
+      .drop("__sn")
+    val withNorm = capped.select(col("bucket"), col("__sub"), col(idCol),
       col(vecCol), Similarity.norm(col(vecCol)).as("__nrm"))
-    val l = withNorm.select(col("bucket"), col(idCol).as("a"),
+    val l = withNorm.select(col("bucket"), col("__sub"), col(idCol).as("a"),
       col(vecCol).as("va"), col("__nrm").as("na"))
-    val r = withNorm.select(col("bucket"), col(idCol).as("b"),
+    val r = withNorm.select(col("bucket"), col("__sub"), col(idCol).as("b"),
       col(vecCol).as("vb"), col("__nrm").as("nb"))
-    val losers = l.join(r, Seq("bucket"))
+    l.join(r, Seq("bucket", "__sub"))
       .where(col("a") < col("b"))
       .where(round(Similarity.dot(col("va"), col("vb")) /
         (col("na") * col("nb")), roundTo) >= tau)
+      .select(col("a"), col("b"))
+  }
+
+  /** Survivors of within-bucket cosine dedup: (idCol, bucket) for every
+    * vector not dropped. `tau` on the cosine rounded to `roundTo`
+    * digits (engine-reproducible, same contract as Ivf.assign).
+    * `maxBucketSize` bounds pair formation as documented above; the
+    * default keeps the guard in the plan while splitting nothing at
+    * test scale. Vectors whose (sub-)bucket was excluded by the cap
+    * survive unconditionally — the skip costs recall on degenerate
+    * mass, never precision. */
+  def survivors(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, iterations: Int, tau: Double,
+                roundTo: Int = 4, maxBucketSize: Int = 1 << 20,
+                subBits: Int = 16, seed: Long = 42): DataFrame = {
+    val centroids = KMeans.train(emb, idCol, vecCol, k, iterations)
+    val assigned = Similarity.Ivf.assign(emb, centroids, idCol, vecCol, roundTo)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val losers = verifiedPairs(assigned, idCol, vecCol, tau, roundTo,
+        maxBucketSize, subBits, seed, dim)
       .select(col("b").as(idCol)).distinct()
     assigned.join(losers, Seq(idCol), "left_anti")
       .select(col(idCol), col("bucket"))
+  }
+
+  /** [[verifiedPairs]] end-to-end from a raw corpus — exposed so skew
+    * fixtures can assert the candidate volume directly. */
+  private[graft] def cappedPairs(emb: DataFrame, idCol: String, vecCol: String,
+                                 k: Int, iterations: Int, tau: Double,
+                                 roundTo: Int = 4, maxBucketSize: Int = 1 << 20,
+                                 subBits: Int = 16, seed: Long = 42): DataFrame = {
+    val centroids = KMeans.train(emb, idCol, vecCol, k, iterations)
+    val assigned = Similarity.Ivf.assign(emb, centroids, idCol, vecCol, roundTo)
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    verifiedPairs(assigned, idCol, vecCol, tau, roundTo,
+      maxBucketSize, subBits, seed, dim)
   }
 }

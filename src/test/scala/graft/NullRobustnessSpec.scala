@@ -54,9 +54,14 @@ class NullRobustnessSpec extends SparkSpecBase {
   }
 
   test("phash signatures are total over null payloads") {
+    // genuinely null payload rows (null text -> encode(null) = null)
     val payloads = docs.select(col("doc_id"),
-      encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
-    assert(graft.multimodal.Phash.signatures(payloads).count() == 6)
+      encode(col("text"), "UTF-8").as("payload"))
+    assert(payloads.where(col("payload").isNull).count() > 0,
+      "fixture must exercise a real null payload")
+    val sigs = graft.multimodal.Phash.signatures(payloads)
+    assert(sigs.count() == 6)
+    assert(sigs.where(col("phash").isNull).count() == 0)
   }
 
   test("sketches treat null values as absent, not as a key") {

@@ -70,6 +70,16 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("dedup_semantic_capped keeps the bucket-size guard in the plan") {
+    val p = planOf("dedup_semantic_capped")
+    // (a BroadcastNestedLoopJoin IS expected: Ivf.assign crosses the
+    // corpus with the broadcast k-row centroid set — same as
+    // dedup_semantic)
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the RHP sub-split kernel must gate pair formation
+    assert(p.contains("rhp_sig"), s"secondary-band split missing:\n$p")
+  }
+
   test("dedup_spans joins key on the window fingerprint (no cartesian/NLJ)") {
     val p = planOf("dedup_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
