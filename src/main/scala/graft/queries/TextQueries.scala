@@ -299,7 +299,7 @@ object TextQueries extends graft.QueryModule {
       |  WHERE tf.doc_id < 20)
       |SELECT doc_id, rank, token, score FROM (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id
-      |    ORDER BY score DESC, token) AS rank FROM scored) t
+      |    ORDER BY score DESC, token DESC) AS rank FROM scored) t
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
   /** Within-document repetition (duplicated 3-gram fraction). */
@@ -348,10 +348,13 @@ object TextQueries extends graft.QueryModule {
       |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
       |  FROM documents),
       |v AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+      |kept AS (SELECT token, cnt FROM v WHERE cnt >= 2),
+      |oov AS (SELECT coalesce(sum(cnt), 0) AS oov_cnt FROM v WHERE cnt < 2),
       |tot AS (SELECT count(*) AS total FROM toks),
       |s AS (
-      |  SELECT t.doc_id, count(*) AS n_tok, sum(ln(v.cnt)) AS sl
-      |  FROM toks t JOIN v USING (token) GROUP BY t.doc_id)
+      |  SELECT t.doc_id, count(*) AS n_tok,
+      |    sum(ln(coalesce(k.cnt, (SELECT oov_cnt FROM oov)))) AS sl
+      |  FROM toks t LEFT JOIN kept k USING (token) GROUP BY t.doc_id)
       |SELECT doc_id,
       |  round(sl / n_tok - ln((SELECT total FROM tot)), 6) AS lm_logprob
       |FROM s ORDER BY doc_id""".stripMargin

@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.dedup.Shingles
 
 /** Vocabulary + TF-IDF over a document corpus — the term-statistics
@@ -41,17 +40,35 @@ object Vocab {
     * − ln N. Outlier-low docs are gibberish, outlier-high are
     * degenerate repetition.
     *
+    * Vocab bound (CCNet practice): tokens below `minCount` pool into a
+    * single OOV bucket whose count is their combined mass, so an OOV
+    * token scores ln(Σ cnt_rare) — rare-token mass is priced, never
+    * dropped. The broadcast side is the FLOORED vocab, ≤ N/minCount
+    * entries by construction: raw whitespace types over web text (URLs,
+    * typos, code) reach billions of distinct values, and broadcasting
+    * them unfloored OOMs the executors; the floor is the knob that
+    * keeps the broadcast ∝ corpus/minCount. For corpora where even
+    * that exceeds broadcast limits, raise `minCount` — the score
+    * degrades gracefully as more of the tail pools into OOV.
+    *
     * Scale shape: the token explode feeds one partial-aggregable count;
-    * the vocab (tokens × 16 bytes, millions of rows at 100 TB — not
-    * billions) broadcasts back onto the token stream, so raw text never
-    * shuffles and no sort appears anywhere. Rounded to 6 digits: the
-    * per-doc sum of ~10²  ln-terms carries ≲1e-12 of order-dependent
-    * error, far inside the rounding slack. */
-  def lmLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * the floored vocab broadcasts back onto the token stream, so raw
+    * text never shuffles and no sort appears anywhere. Rounded to 6
+    * digits: the per-doc sum of ~10² ln-terms carries ≲1e-12 of
+    * order-dependent error, far inside the rounding slack. */
+  def lmLogProb(docs: DataFrame, idCol: String, textCol: String,
+                minCount: Int = 2): DataFrame = {
     val toks = docTokens(docs, idCol, textCol)
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val kept = vocab.where(col("cnt") >= minCount)
+    // OOV bucket: combined count of all floored-out tokens (0 only when
+    // no token is rare, in which case it is never referenced)
+    val oov = vocab.where(col("cnt") < minCount)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("oov_cnt"))
     val total = vocab.agg(sum(col("cnt")).as("total"))
-    toks.join(broadcast(vocab), "token")
+    toks.join(broadcast(kept), Seq("token"), "left_outer")
+      .crossJoin(broadcast(oov))
+      .select(col(idCol), coalesce(col("cnt"), col("oov_cnt")).as("cnt"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tok"), sum(log(col("cnt"))).as("sl"))
       .crossJoin(broadcast(total))
@@ -62,7 +79,14 @@ object Vocab {
   /** Top-`perDoc` terms per document by tf·idf with natural-log idf
     * over the FULL corpus (`nDocs` passed in so callers control the
     * count pass); `docFilter` restricts which docs are scored without
-    * narrowing the df statistics. */
+    * narrowing the df statistics.
+    *
+    * Ranked through the O(k)-heap BoundedTopK aggregate like every
+    * other top-k path in the repo — a window row_number sorts every
+    * scored (doc, token) row after the shuffle, the heap combines
+    * map-side and ships perDoc structs per doc. Ties resolve token
+    * DESC (the struct ordering's natural direction; (doc, token) is
+    * unique so ordering is total and engine-reproducible). */
   def tfIdfTop(docs: DataFrame, idCol: String, textCol: String,
                nDocs: Long, perDoc: Int,
                docFilter: org.apache.spark.sql.Column): DataFrame = {
@@ -75,10 +99,11 @@ object Vocab {
       .withColumn("score", round(
         (col("cnt").cast("double") / col("n_toks")) *
           log(lit(nDocs).cast("double") / col("df")), 6))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("score").desc, col("token").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= perDoc)
-      .select(col(idCol), col("rank"), col("token"), col("score"))
+    scored.groupBy(col(idCol))
+      .agg(graft.plans.BoundedTopK(
+        struct(col("score"), col("token")), perDoc).as("top"))
+      .select(col(idCol), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col(idCol), (col("i") + 1).as("rank"),
+        col("e.token").as("token"), col("e.score").as("score"))
   }
 }

@@ -108,6 +108,13 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("text_tfidf ranks per-doc terms via the heap aggregate, not a window sort") {
+    val p = planOf("text_tfidf")
+    assert(!p.contains("Window"), s"fell back to a window sort:\n$p")
+    assert(p.contains("partial_bounded_top_k"),
+      s"lost the map-side heap combine:\n$p")
+  }
+
   test("sketch_kmv_distinct partially aggregates the BoundedMinK state") {
     val p = planOf("sketch_kmv_distinct")
     // ObjectHashAggregate must run in partial then merge mode: the

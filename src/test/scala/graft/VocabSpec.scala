@@ -47,6 +47,31 @@ class VocabSpec extends SparkSpecBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("tfIdfTop resolves score ties token-DESC (heap struct order)") {
+    val s = spark
+    import s.implicits._
+    // doc 0: x and y both tf=1/2, df=1 → identical scores; DESC keeps y first
+    val d = Seq((0L, "x y"), (1L, "p q")).toDF("doc_id", "text")
+    val out = Vocab.tfIdfTop(d, "doc_id", "text", nDocs = 2L, perDoc = 2,
+        docFilter = col("doc_id") === 0L)
+      .orderBy("rank").collect().map(_.getString(2)).toSeq
+    assert(out == Seq("y", "x"), s"got $out")
+  }
+
+  test("lmLogProb pools sub-minCount tokens into one OOV bucket") {
+    val s = spark
+    import s.implicits._
+    // corpus: a a a b c (N=5): cnt(a)=3 kept; b,c rare -> oov_cnt=2
+    val d = Seq((1L, "a a a"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Vocab.lmLogProb(d, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == r6(math.log(3) - math.log(5)))
+    // b and c each score ln(oov mass)=ln 2, NOT ln(1)=0
+    assert(out(2L) == r6(math.log(2) - math.log(5)))
+  }
+
   test("lmLogProb matches hand-computed mean unigram log-prob") {
     val s = spark
     import s.implicits._
