@@ -51,7 +51,9 @@ object Clusters {
       labels = step.select("id", "cluster")
       converged = changed == 0
     }
-    edges.unpersist()
-    labels
+    // the label map is tiny next to the cached edge/step working set:
+    // checkpoint it and release EVERYTHING — before r3 the final step
+    // cache backed the returned frame and leaked into the session
+    graft.core.Caching.reap(labels, cached, edges)
   }
 }

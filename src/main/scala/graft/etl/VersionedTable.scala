@@ -148,12 +148,34 @@ object VersionedTable {
     removable
   }
 
-  /** (version, is_snapshot, n_rows) per commit — the table history. */
+  /** (version, is_snapshot, n_rows) per commit — the table history.
+    *
+    * ONE Spark job regardless of commit count: every version directory
+    * is scanned in a single unioned plan tagged with its commit id and
+    * counted by one groupBy (a count() per version would launch one
+    * job each — 10k commits = 10k jobs for a metadata view). Snapshot
+    * flags are filesystem metadata, never a job. */
   def history(spark: SparkSession, root: String): DataFrame = {
-    val rows = versions(spark, root).map { v =>
-      (v, isSnapshot(spark, root, v), spark.read.parquet(s"$root/v=$v").count())
-    }
     import spark.implicits._
-    rows.toDF("version", "is_snapshot", "n_rows")
+    val vs = versions(spark, root)
+    if (vs.isEmpty)
+      return Seq.empty[(Long, Boolean, Long)]
+        .toDF("version", "is_snapshot", "n_rows")
+    // one schema probe for the whole chain: per-dir inference would
+    // launch a footer-reading job per version (measured: 10 versions =
+    // 10 pre-action jobs). The newest schema reads older files with
+    // nulls for later-added columns — and the count needs no columns.
+    val schema = spark.read.parquet(s"$root/v=${vs.last}").schema
+    val counts = vs.map { v =>
+        spark.read.schema(schema).parquet(s"$root/v=$v")
+          .select(lit(v).as("version"))
+      }.reduce(_.unionByName(_))
+      .groupBy("version").agg(count(lit(1)).as("n_rows"))
+    val meta = vs.map(v => (v, isSnapshot(spark, root, v)))
+      .toDF("version", "is_snapshot")
+    // left join from metadata so an empty commit still shows n_rows=0
+    meta.join(counts, Seq("version"), "left_outer")
+      .select(col("version"), col("is_snapshot"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
 }

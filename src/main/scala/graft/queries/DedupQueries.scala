@@ -316,7 +316,17 @@ object DedupQueries extends graft.QueryModule {
 
   /** Incremental cross-corpus near-dup: odd-id docs (the "crawl")
     * near-duplicating even-id docs (the "archive") — banded candidates
-    * form only ACROSS the corpora. Oracle: exact cross-corpus Jaccard. */
+    * form only ACROSS the corpora. Oracle: exact cross-corpus Jaccard.
+    *
+    * RECALL ASSUMPTION (same stance as dedup_minhash_lsh): the LSH
+    * banding at 16 bands × 4 rows detects a pair at jaccard j with
+    * prob 1-(1-j⁴)¹⁶ — ~0.47 at j=0.5, >1-4e-8 at j≥0.9. The gate
+    * matches the EXACT all-pairs oracle only because this corpus's
+    * true near-dups sit far above the band threshold (~0.56), where
+    * the miss probability is negligible; it is a data-dependent
+    * equivalence, not an operator guarantee. A corpus with mass just
+    * above `Tau` would need more bands (or fewer rows per band) for
+    * the same agreement. */
   def dedupIncrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     MinHashLSH.nearDuplicatesAgainst(

@@ -61,6 +61,14 @@ class DedupSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents releases every cached block it created") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    Clusters.connectedComponents(pairs).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
+  }
+
   test("exact dedup keeps lowest id per canonical text") {
     val out = ExactDedup.dedupKeepFirst(corpus, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted

@@ -61,6 +61,31 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(state(root, 0L) == Map(1L -> 1.0, 2L -> 2.0))
   }
 
+  test("history is one action, not one job per version") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    (0 until 9).foreach { i =>
+      VersionedTable.commitUpsert(spark, root, Seq((i.toLong, i * 1.0)).toDF("k", "v"))
+    }
+    val group = s"hist-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "history job count", false)
+    val h = try VersionedTable.history(spark, root).collect()
+      finally spark.sparkContext.clearJobGroup()
+    assert(h.length == 10)
+    // listener-fed tracker: wait for the job-start events to land
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.currentTimeMillis + 10000
+    while (tracker.getJobIdsForGroup(group).isEmpty &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    Thread.sleep(200) // drain any stragglers
+    val jobs = tracker.getJobIdsForGroup(group).length
+    // AQE may stage-materialize a couple of jobs; the old per-version
+    // count() path launched >= 10
+    assert(jobs >= 1 && jobs <= 5, s"history launched $jobs jobs for 10 versions")
+  }
+
   test("reads after a snapshot ignore older commits (pruned lineage)") {
     val s = spark
     import s.implicits._
