@@ -5,15 +5,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: opaque `binary` payloads + typed
-  * metadata, batched per-partition "decode".
+  * metadata, batched per-partition decode.
   *
   * The Spark-side shape is the real deliverable: schema (binary payload
   * + metadata struct), partition-parallel batched decoding via
   * mapPartitions (the Scala analog of mapInPandas batches), and typed
-  * decoded output. The decode itself is STUBBED deterministically —
-  * image/audio codecs are not in this container — behind
-  * `DecodedMedia.stubDecode`; swap that single function for a real
-  * codec (JNI/FFI) without touching the pipeline.
+  * decoded output. Two decoders share the shape:
+  *  - [[decodeImages]] — REAL: javax.imageio (PNG/BMP/GIF/JPEG ship
+  *    with the JRE), magic-byte sniffing, pixel checksums, total over
+  *    corrupt payloads. Oracle-gated against actual pixel output
+  *    (`mm_decode`).
+  *  - [[decode]] — STUB for media the JRE has no codec for
+  *    (audio/video): deterministic features from payload bytes; swap
+  *    `stubDecode` for a JNI/FFI codec without touching the pipeline.
   *
   * Scale: decode is a narrow map-only pass; `batchSize` bounds peak
   * memory per task exactly like Arrow batch size does for Pandas UDFs.
@@ -106,5 +110,72 @@ object BinaryPipeline {
         it.grouped(batchSize).flatMap(batch => stubDecode(batch))
       }
     ds.toDF()
+  }
+
+  /** Container sniffing from magic bytes — metadata must come from the
+    * payload, not from whatever a crawler claimed. */
+  def sniffMediaType(b: Array[Byte]): String = {
+    def at(i: Int, v: Int) = i < b.length && (b(i) & 0xFF) == v
+    if (b == null || b.length < 4) "unknown"
+    else if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G')) "image/png"
+    else if (at(0, 'B') && at(1, 'M')) "image/bmp"
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) "image/gif"
+    else if (at(0, 0xFF) && at(1, 0xD8) && at(2, 0xFF)) "image/jpeg"
+    else "unknown"
+  }
+
+  /** REAL image decode: javax.imageio (PNG/BMP/GIF/JPEG readers ship
+    * with every JRE — no external codec needed), in the same batched
+    * mapPartitions shape as the stub. Total over garbage: null, empty,
+    * or undecodable payloads yield a zero-dimension row rather than
+    * killing the pass — at 100 TB some fraction of any crawl's media
+    * is corrupt by construction.
+    *
+    * checksum = Σ_pixels luminance(x,y) · (y·width + x + 1) over band
+    * 0 — an order-sensitive pixel digest that an oracle can replay in
+    * closed form for a known test pattern (SyntheticImages), and that
+    * downstream near-dup ops can treat as a content fingerprint. */
+  def decodeImages(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val ds: Dataset[DecodedMedia] = payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          decodeImage(id, bytes)
+        })
+      }
+    ds.toDF()
+  }
+
+  private def decodeImage(id: Long, bytes: Array[Byte]): DecodedMedia = {
+    if (bytes == null || bytes.isEmpty)
+      return DecodedMedia(id, "unknown", 0L, 0, 0, 0, 0L)
+    val mt = sniffMediaType(bytes)
+    try {
+      SyntheticImages.readImage(bytes) match {
+        case None =>
+          DecodedMedia(id, mt, bytes.length.toLong, 0, 0, 0, 0L)
+        case Some(img) =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var cs = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              cs += raster.getSample(x, y, 0).toLong * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          DecodedMedia(id, mt, bytes.length.toLong, w, h, 1, cs)
+      }
+    } catch {
+      case _: Exception => DecodedMedia(id, mt, bytes.length.toLong, 0, 0, 0, 0L)
+    }
   }
 }

@@ -46,6 +46,67 @@ object Phash {
     sig
   }
 
+  /** REAL grid average-hash of a decoded image: 8×8 cells over band-0
+    * luminance, bit (cy·8+cx) set iff the cell's mean exceeds the
+    * image mean — compared integer-exactly as cellSum·N > totalSum·n_c
+    * so an oracle can replay it without floating point. This is the
+    * classic aHash structure: a localized edit perturbs its cells'
+    * means only, so Hamming distance counts differing regions. */
+  def ofImage(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w == 0 || h == 0) return 0L
+    val raster = img.getRaster
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = cy * 8 + x * 8 / w
+        val v = raster.getSample(x, y, 0).toLong
+        sums(c) += v
+        counts(c) += 1
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0 && sums(b) * n > total * counts(b)) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** (doc_id, phash) from REAL image payloads: javax.imageio decode +
+    * grid hash fused in one batched pass (decode→featurize never
+    * materializes rasters between stages). Null/undecodable payloads
+    * hash to 0L — total like [[signatures]]. */
+  def signaturesFromImages(payloads: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Long)] = payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          val sig =
+            if (bytes == null || bytes.isEmpty) 0L
+            else try SyntheticImages.readImage(bytes).map(ofImage).getOrElse(0L)
+            catch { case _: Exception => 0L }
+          (id, sig)
+        })
+      }
+    ds.toDF("doc_id", "phash")
+  }
+
   /** (doc_id, phash) via the batched per-partition decode shape. Total
     * over null payloads: a null decodes like an empty one (signature
     * 0L) — corrupt/absent media must not kill a 100 TB pass. */

@@ -117,6 +117,86 @@ object TextQueries extends graft.QueryModule {
       |FROM d WHERE width > 0 AND height > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL image decode: deterministic grayscale PNG test patterns
+    * (pixel = f(doc_id, x, y), SyntheticImages) round-tripped through
+    * javax.imageio. PNG is lossless, so the decoded dimensions and
+    * pixel checksum must equal the pattern arithmetic the oracle
+    * computes closed-form — the oracle verifies REAL pixel output
+    * without owning a codec. Encoder byte size is deliberately not
+    * part of the contract (n_bytes excluded). */
+  def mmDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+    val payloads = graft.multimodal.SyntheticImages.withPngPayload(ids)
+    BinaryPipeline.decodeImages(payloads, batchSize = 64)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("n_frames"), col("checksum"))
+      .orderBy("doc_id")
+  }
+  val mmDecodeSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      |  FROM documents)
+      |SELECT doc_id, 'image/png' AS media_type, CAST(w AS INT) AS width,
+      |  CAST(h AS INT) AS height, 1 AS n_frames,
+      |  CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+      |    i -> ((doc_id + 3 * (i % w) + 7 * (i // w)) % 256) * (i + 1)))
+      |    AS BIGINT) AS checksum
+      |FROM px ORDER BY doc_id""".stripMargin
+
+  /** Real decode feeding the resize stage: the decoded (not claimed)
+    * dimensions drive the aspect-preserving downscale. */
+  def mmDecodeResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+    val payloads = graft.multimodal.SyntheticImages.withPngPayload(ids)
+    BinaryPipeline.resizePlan(
+        BinaryPipeline.decodeImages(payloads, batchSize = 64),
+        maxW = 20, maxH = 10)
+      .orderBy("doc_id")
+  }
+  val mmDecodeResizeSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      |  FROM documents)
+      |SELECT doc_id, 'image/png' AS media_type,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  GREATEST(1, CAST(FLOOR(w * LEAST(20.0 / w, 10.0 / h, 1.0)) AS INT)) AS out_width,
+      |  GREATEST(1, CAST(FLOOR(h * LEAST(20.0 / w, 10.0 / h, 1.0)) AS INT)) AS out_height
+      |FROM px ORDER BY doc_id""".stripMargin
+
+  /** Real decode feeding the perceptual hash: 8×8 grid average-hash
+    * over the DECODED luminance raster (integer-exact mean compare),
+    * oracle-replayed from the pattern arithmetic. */
+  def mmPhashDecoded(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+    val payloads = graft.multimodal.SyntheticImages.withPngPayload(ids)
+    graft.multimodal.Phash.signaturesFromImages(payloads, batchSize = 64)
+      .orderBy("doc_id")
+  }
+  val mmPhashDecodedSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      |  FROM documents),
+      |pix AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+      |  FROM px),
+      |p AS (
+      |  SELECT doc_id,
+      |    ((i % w) * 8) // w AS cx, ((i // w) * 8) // h AS cy,
+      |    (doc_id + 3 * (i % w) + 7 * (i // w)) % 256 AS v
+      |  FROM pix),
+      |cells AS (
+      |  SELECT doc_id, cy * 8 + cx AS cell, sum(v) AS s, count(*) AS c,
+      |    sum(sum(v)) OVER (PARTITION BY doc_id) AS ts,
+      |    sum(count(*)) OVER (PARTITION BY doc_id) AS n
+      |  FROM p GROUP BY doc_id, cy * 8 + cx),
+      |sig AS (
+      |  SELECT doc_id, sum(CASE WHEN s * n > ts * c
+      |    THEN (1::HUGEINT << CAST(cell AS INT)) ELSE 0::HUGEINT END) AS su
+      |  FROM cells GROUP BY doc_id)
+      |SELECT doc_id, CAST(CASE WHEN su >= 9223372036854775808
+      |  THEN su - 18446744073709551616 ELSE su END AS BIGINT) AS phash
+      |FROM sig ORDER BY doc_id""".stripMargin
+
   /** Gopher rule filter: per-doc rule metrics + keep/drop verdict. */
   def textGopherRules(spark: SparkSession, sfDir: String): DataFrame = {
     val m = graft.text.TextAnalysis.gopherMetrics(col("text"))
@@ -393,6 +473,9 @@ object TextQueries extends graft.QueryModule {
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
     "mm_decode_stub" -> (mmDecodeStub _),
+    "mm_decode" -> (mmDecode _),
+    "mm_decode_resize" -> (mmDecodeResize _),
+    "mm_phash_decoded" -> (mmPhashDecoded _),
     "mm_resize" -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
@@ -412,6 +495,9 @@ object TextQueries extends graft.QueryModule {
     "text_quality" -> qualitySql,
     "text_fingerprint" -> fingerprintSql,
     "mm_decode_stub" -> mmSql,
+    "mm_decode" -> mmDecodeSql,
+    "mm_decode_resize" -> mmDecodeResizeSql,
+    "mm_phash_decoded" -> mmPhashDecodedSql,
     "mm_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFrameSql,
     "mm_phash_neardup" -> mmPhashSql,
