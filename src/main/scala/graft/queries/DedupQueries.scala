@@ -89,27 +89,25 @@ object DedupQueries extends graft.QueryModule {
       "doc_id", "text", ShingleN, numPerms = 64, bands = 16, threshold = Tau)
       .orderBy("a", "b")
 
-  /** Exact n-gram Jaccard with lossless size-ratio blocking: j ≥ 0.5
-    * implies |A|/|B| ≤ 2, so only same/adjacent log2-size buckets can
-    * pair — the blocked join provably finds every qualifying pair
-    * without O(n²). */
+  /** Exact n-gram Jaccard via lossless PREFIX FILTERING
+    * (Shingles.prefixFilterCandidates): provably finds every pair at
+    * j ≥ 0.5 while verifying only pairs that share a prefix shingle.
+    * Replaced r2's log2-size blocking — lossless too, but at sf0.1 it
+    * verified 9.26M pairs against the prefix filter's 568k (29.1 s →
+    * ~4 s, identical exact output). */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val ds = Shingles.docShingles(
-      Tables.documents(spark, sfDir).select("doc_id", "text"),
-      "doc_id", "text", ShingleN)
-      .withColumn("bucket", floor(log2(size(col("shingles")))).cast("int"))
-    val left = ds.select(col("doc_id").as("a"), col("shingles").as("sh_a"),
-      col("bucket"))
-    // right side appears in its own and both adjacent buckets, so any
-    // pair within one bucket of each other meets exactly once (on the
-    // left side's bucket), regardless of which id is smaller
-    val right = ds.select(col("doc_id").as("b"), col("shingles").as("sh_b"),
-        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
-    left.join(right, Seq("bucket"))
-      .where(col("a") < col("b"))
-      .withColumn("j", Shingles.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("j") >= Tau)
-      .select(col("a"), col("b"), round(col("j"), 6).as("jaccard"))
+        Tables.documents(spark, sfDir).select("doc_id", "text"),
+        "doc_id", "text", ShingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted (a,b) pairs give AQE real stats for the verify joins —
+    // unpersisted, the estimate forces a SortMergeJoin that shuffles
+    // the kilobyte shingle arrays per candidate (measured 8.3 s vs
+    // 1.4 s for the verify stage at sf0.1); same pattern as
+    // MinHashLSH's persisted banded rows
+    val cands = Shingles.prefixFilterCandidates(ds, "doc_id", Tau)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Shingles.verifyPairs(cands, ds, "doc_id", Tau)
       .orderBy("a", "b")
   }
 

@@ -382,11 +382,15 @@ object TextQueries extends graft.QueryModule {
       |    ORDER BY score DESC, token DESC) AS rank FROM scored) t
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
-  /** Within-document repetition (duplicated 3-gram fraction). */
+  /** Within-document repetition (duplicated 3-gram fraction). Tokens
+    * bound to an attribute first — the n-gram lambda would otherwise
+    * re-split the text per element — and the CPU-heavy map widened. */
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    graft.core.Parallelism.widen(Tables.documents(spark, sfDir))
       .select(col("doc_id"),
-        TextAnalysis.repetitionScore(col("text"), 3).as("repetition"))
+        graft.dedup.Shingles.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        TextAnalysis.repetitionScoreFromTokens(col("__toks"), 3).as("repetition"))
       .orderBy("doc_id")
   val repetitionSql: String =
     """SELECT doc_id, CASE WHEN len(string_split_regex(trim(text), '\s+')) - 2 <= 0

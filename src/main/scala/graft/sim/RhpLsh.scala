@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Random-hyperplane (sign-projection) LSH for cosine similarity — the
@@ -71,8 +71,37 @@ object RhpLsh {
     }
   }
 
+  /** Index (0-based) of the first band on which two signatures agree —
+    * pure int64 bit arithmetic: collapse each bandBits-wide group of
+    * the xor into its low bit, invert, isolate the lowest set group
+    * bit, count the bits below it. Defined only for signature pairs
+    * that DO share a band (true of every bucket-joined row, since the
+    * band value IS the band's bits, not a hash of them). */
+  private def firstMatchBand(sa: Column, sb: Column, bandBits: Int): Column = {
+    val x = sa.bitwiseXOR(sb)
+    val collapsed = (0 until bandBits)
+      .map(k => shiftrightunsigned(x, k)).reduce(_.bitwiseOR(_))
+    var mask = 0L
+    var j = 0
+    while (j * bandBits < 64) { mask |= 1L << (j * bandBits); j += 1 }
+    val z = bitwise_not(collapsed).bitwiseAND(lit(mask))
+    (call_function("bit_count", z.bitwiseAND(-z) - 1) / bandBits).cast("int")
+  }
+
   /** Candidate pairs from banded buckets: band b = bits
-    * [b·bandBits, (b+1)·bandBits); equal band value → candidate. */
+    * [b·bandBits, (b+1)·bandBits); equal band value → candidate.
+    *
+    * Uncapped path (`maxBucketSize == Int.MaxValue`): a pair matching
+    * k bands would surface k times, and the distinct() that collapses
+    * them re-shuffles the whole joined stream — at low thresholds
+    * (tiny bands, candidates ≈ pairs) that distinct dominates the
+    * query (measured 6.3 s of dedup_embedding's 7.6 s at sf0.1).
+    * Instead each pair is emitted ONLY at its first matching band
+    * ([[firstMatchBand]] on the signatures both sides already carry),
+    * which is exact and needs no dedup pass. With a bucket cap the
+    * trick is unsafe — the first matching band may have been capped
+    * away while a later one survived — so the capped path keeps
+    * distinct(). */
   def candidatePairs(sigs: DataFrame, nBits: Int, bandBits: Int,
                      maxBucketSize: Int = 1000): DataFrame = {
     val nBands = nBits / bandBits
@@ -81,16 +110,25 @@ object RhpLsh {
       .select(col("id"), col("sig"), col("band"),
         expr(s"shiftrightunsigned(sig, band * $bandBits)")
           .bitwiseAND(lit((1L << bandBits) - 1)).as("bval"))
-    // cap boilerplate-dominated buckets (same guard as MinHashLSH)
-    val sized = banded.withColumn("__n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "bval")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
-    val l = sized.select(col("band"), col("bval"), col("id").as("a"), col("sig").as("siga"))
-    val r = sized.select(col("band"), col("bval"), col("id").as("b"), col("sig").as("sigb"))
-    l.join(r, Seq("band", "bval"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    if (maxBucketSize == Int.MaxValue) {
+      val l = banded.select(col("band"), col("bval"), col("id").as("a"), col("sig").as("siga"))
+      val r = banded.select(col("band"), col("bval"), col("id").as("b"), col("sig").as("sigb"))
+      l.join(r, Seq("band", "bval"))
+        .where(col("a") < col("b"))
+        .where(col("band") === firstMatchBand(col("siga"), col("sigb"), bandBits))
+        .select("a", "b")
+    } else {
+      // cap boilerplate-dominated buckets (same guard as MinHashLSH)
+      val sized = banded.withColumn("__n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bval")))
+        .where(col("__n") <= maxBucketSize).drop("__n")
+      val l = sized.select(col("band"), col("bval"), col("id").as("a"), col("sig").as("siga"))
+      val r = sized.select(col("band"), col("bval"), col("id").as("b"), col("sig").as("sigb"))
+      l.join(r, Seq("band", "bval"))
+        .where(col("a") < col("b"))
+        .select("a", "b").distinct()
+    }
   }
 
   /** End-to-end near-duplicate pairs at/above `threshold`: signature →
@@ -102,7 +140,12 @@ object RhpLsh {
                    seed: Long = 42, roundTo: Int = 4,
                    maxBucketSize: Int = 1000): DataFrame = {
     val sigs = signatures(corpus, idCol, vecCol, nBits, seed)
+    // persisted (a,b) pairs give AQE real stats for the verify joins;
+    // the estimate otherwise forces a SortMergeJoin that shuffles the
+    // embedding arrays once per candidate (the candidate stream is
+    // long-pairs — cheap to spill; the vectors are the heavy side)
     val cands = candidatePairs(sigs, nBits, bandBits, maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       Similarity.norm(col(vecCol)).as("__n"))
     cands

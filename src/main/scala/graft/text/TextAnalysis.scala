@@ -101,18 +101,26 @@ object TextAnalysis {
       m.getField("mean_word_len").between(3.0, 10.0) &&
       m.getField("symbol_word_ratio") <= 0.1
 
-  /** Repetition score in [0,1): fraction of duplicated word n-grams
-    * (1 - distinct/total) — the Gopher/C4-style within-document
-    * repetition filter. 0 for docs shorter than n tokens. Exact
-    * rational arithmetic → engine-reproducible. */
-  def repetitionScore(text: Column, n: Int = 3): Column = {
-    val toks = split(trim(text), "\\s+")
+  /** [[repetitionScore]] over an already-BOUND token-array column —
+    * the form hot paths must use: the n-gram lambda references the
+    * token array per element, so an inline split() here re-tokenizes
+    * O(shingles × n) times per document (measured on text_repetition
+    * at sf0.1: 14.8 s → sub-second bound + widened). */
+  def repetitionScoreFromTokens(toks: Column, n: Int = 3): Column = {
     val total = greatest(size(toks) - (n - 1), lit(0))
     val distinctN = size(graft.dedup.Shingles.shinglesFromTokens(toks, n))
     when(total <= 0, lit(0.0))
       .otherwise(round(lit(1.0) -
         distinctN.cast("double") / total.cast("double"), 6))
   }
+
+  /** Repetition score in [0,1): fraction of duplicated word n-grams
+    * (1 - distinct/total) — the Gopher/C4-style within-document
+    * repetition filter. 0 for docs shorter than n tokens. Exact
+    * rational arithmetic → engine-reproducible. Convenience raw-text
+    * form; bind tokens first (docTokens/select) for corpus-scale work. */
+  def repetitionScore(text: Column, n: Int = 3): Column =
+    repetitionScoreFromTokens(split(trim(text), "\\s+"), n)
 
   /** PII-style redaction: emails and long digit runs replaced with
     * typed placeholders (the standard pre-training scrub pass). */
