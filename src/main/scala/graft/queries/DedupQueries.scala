@@ -104,8 +104,10 @@ object DedupQueries extends graft.QueryModule {
     // unpersisted, the estimate forces a SortMergeJoin that shuffles
     // the kilobyte shingle arrays per candidate (measured 8.3 s vs
     // 1.4 s for the verify stage at sf0.1); same pattern as
-    // MinHashLSH's persisted banded rows
-    val cands = Shingles.prefixFilterCandidates(ds, "doc_id", Tau)
+    // MinHashLSH's persisted banded rows. df-ordered prefixes (the
+    // AllPairs order) keep candidate growth near-linear on the 10×
+    // replica where the hash order went ~n^1.7.
+    val cands = Shingles.prefixFilterCandidatesByDf(ds, "doc_id", Tau)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Shingles.verifyPairs(cands, ds, "doc_id", Tau)
       .orderBy("a", "b")

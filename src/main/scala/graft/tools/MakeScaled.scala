@@ -72,11 +72,17 @@ object MakeScaled {
       d.withColumn("event_id", col("event_id") + lit(k * bEvt))
         .withColumn("user_id", col("user_id") + lit(k * bUser))
     }
-    // per-copy tag => no cross-copy exact/near text duplicates
+    // per-copy tag on EVERY token: a doc-level prefix leaves the other
+    // ~97% of word n-grams identical across copies, i.e. plants
+    // jaccard≈0.94 near-dups and makes dedup timing quadratic in the
+    // copy count; per-token tags give disjoint shingle sets
     write("documents") { (d, k) =>
+      val txt =
+        if (k == 0) col("text")
+        else array_join(transform(split(col("text"), "\\s+"),
+          w => concat(w, lit(s"_$k"))), " ")
       d.withColumn("doc_id", col("doc_id") + lit(k * bDoc))
-        .withColumn("text",
-          if (k == 0) col("text") else concat(lit(s"c$k "), col("text")))
+        .withColumn("text", txt)
     }
     // circular roll by k => distinct directions per copy (norms kept)
     write("embeddings") { (d, k) =>

@@ -51,6 +51,34 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.distinct.length == rows.length)
   }
 
+  test("prefix filtering (both orders) is lossless vs brute-force jaccard") {
+    // seeded random corpus: 40 docs over a 12-word vocabulary so real
+    // mid-range jaccard pairs exist, plus exact/near dups
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (100L, "alpha beta gamma delta eps zeta eta theta")
+      :+ (101L, "alpha beta gamma delta eps zeta eta iota")).toDF("doc_id", "text")
+    val ds = Shingles.docShingles(docs, "doc_id", "text", 3)
+    // brute force: all pairs, exact jaccard
+    val l = ds.select(col("doc_id").as("a"), col("shingles").as("sa"))
+    val r = ds.select(col("doc_id").as("b"), col("shingles").as("sb"))
+    val brute = l.crossJoin(r).where(col("a") < col("b"))
+      .where(Shingles.jaccard(col("sa"), col("sb")) >= 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain qualifying pairs")
+    Seq(
+      Shingles.prefixFilterCandidates(ds, "doc_id", 0.5),
+      Shingles.prefixFilterCandidatesByDf(ds, "doc_id", 0.5)
+    ).foreach { cands =>
+      val got = Shingles.verifyPairs(cands, ds, "doc_id", 0.5)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"prefix filter lost pairs: ${brute -- got}")
+    }
+  }
+
   test("connectedComponents collapses transitive chains to min label") {
     // chain 1-2-3-4 plus pair 10-11 plus chain 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 22L), (20L, 21L))
