@@ -74,11 +74,87 @@ object SqlSurfaceQueries extends QueryModule {
       |  WHERE q.vec_id < 5) t
       |WHERE r = 1 ORDER BY query_id""".stripMargin
 
+  /** Portable SimHash signatures straight from SQL text — the oracle
+    * replays the md5-derived bit votes HUGEINT-exactly (same idiom as
+    * dedup_simhash). */
+  def sqlSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftExtensions.register(spark)
+    graft.dedup.Shingles.docShingles(
+        Tables.documents(spark, sfDir).select("doc_id", "text"),
+        "doc_id", "text", 3)
+      .createOrReplaceTempView("g_shingles")
+    spark.sql("""
+      SELECT doc_id, simhash_sig(shingles, true) AS sig
+      FROM g_shingles ORDER BY doc_id""")
+  }
+
+  val sqlSimhashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM d WHERE len(t) >= 3),
+      |f AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(g), 1, 8))::BIGINT::HUGEINT * 4294967296
+      |      + ('0x' || substr(md5(g), 9, 8))::BIGINT::HUGEINT AS hu
+      |  FROM f),
+      |votes AS (
+      |  SELECT doc_id, b.bit,
+      |    sum(CASE WHEN (hu // (1::HUGEINT << b.bit)) % 2 = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+      |  GROUP BY doc_id, b.bit),
+      |sig AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS su
+      |  FROM votes GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN su >= 9223372036854775808 THEN su - 18446744073709551616
+      |    ELSE su END AS BIGINT) AS sig
+      |FROM sig ORDER BY doc_id""".stripMargin
+
+  /** The O(k)-heap top-k aggregate from SQL text: top-3 lineitems per
+    * returnflag by (quantity, orderkey, linenumber) — the struct's
+    * lexicographic order makes the ranking total, so a window replay
+    * matches exactly. */
+  def sqlTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftExtensions.register(spark)
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("g_li")
+    spark.sql("""
+      SELECT l_returnflag, pos + 1 AS rank, e.q AS qty, e.okey AS okey,
+             e.line AS line
+      FROM (
+        SELECT l_returnflag,
+               bounded_top_k(named_struct(
+                 'q', l_quantity, 'okey', l_orderkey,
+                 'line', l_linenumber), 3) AS top
+        FROM g_li GROUP BY l_returnflag)
+      LATERAL VIEW posexplode(top) t AS pos, e
+      ORDER BY l_returnflag, rank""")
+  }
+
+  val sqlTopKSql: String =
+    """SELECT l_returnflag, rank, qty, okey, line FROM (
+      |  SELECT l_returnflag, l_quantity AS qty, l_orderkey AS okey,
+      |    l_linenumber AS line,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity DESC, l_orderkey DESC, l_linenumber DESC) AS rank
+      |  FROM lineitem) t
+      |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_min_k_distinct" -> (sqlMinK _),
-    "sql_dot_product" -> (sqlDot _))
+    "sql_dot_product" -> (sqlDot _),
+    "sql_simhash_sig" -> (sqlSimhash _),
+    "sql_bounded_top_k" -> (sqlTopK _))
 
   def oracles: Map[String, String] = Map(
     "sql_min_k_distinct" -> sqlMinKSql,
-    "sql_dot_product" -> sqlDotSql)
+    "sql_dot_product" -> sqlDotSql,
+    "sql_simhash_sig" -> sqlSimhashSql,
+    "sql_bounded_top_k" -> sqlTopKSql)
 }
