@@ -215,8 +215,13 @@ object SimQueries extends graft.QueryModule {
       (col("vec_id") + 100000).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         x * (lit(1.0) + lit(0.02) * (i % 5 - lit(2)))).as("embedding"))
+    // 128-bit signatures / 16-bit bands: the production geometry for a
+    // growing corpus (random-pair band collisions drop 256× vs 8-bit
+    // bands — the r3 10×-replica scaling fix); planted pairs at cos
+    // 0.9996 have per-pair miss probability ~1e-7 across the 8 bands,
+    // so the banded output still equals the exact all-pairs oracle.
     graft.sim.RhpLsh.nearDupPairs(base.unionByName(planted),
-        "vec_id", "embedding", threshold = 0.9, nBits = 64, bandBits = 8)
+        "vec_id", "embedding", threshold = 0.9, nBits = 128, bandBits = 16)
       .orderBy("a", "b")
   }
   val rhpSql: String =

@@ -54,7 +54,15 @@ object RhpLsh {
                  native: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    if (native)
+    require(native || nBits <= 64,
+      "the declarative parity path packs one 64-bit word")
+    if (nBits > 64)
+      // wide signature: array of 64-bit words (band geometry must grow
+      // with the corpus — see RhpSigWide)
+      corpus.select(col(idCol).as("id"),
+        graft.plans.RhpSigWide(col(vecCol).cast("array<double>"),
+          planeMatrix(dim, nBits, seed)).as("sig"))
+    else if (native)
       corpus.select(col(idCol).as("id"),
         graft.plans.RhpSig(col(vecCol).cast("array<double>"),
           planeMatrix(dim, nBits, seed)).as("sig"))
@@ -131,6 +139,33 @@ object RhpLsh {
     }
   }
 
+  /** [[candidatePairs]] over wide (array-of-words) signatures:
+    * `bandBits` must divide 64 so no band spans a word boundary; band
+    * b reads bits [b·bandBits, …) of word b·bandBits/64. Keeps the
+    * capped+distinct shape (the first-match trick is specific to
+    * single-word xor arithmetic). */
+  def candidatePairsWide(sigs: DataFrame, nBits: Int, bandBits: Int,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    require(64 % bandBits == 0, s"bandBits must divide 64, got $bandBits")
+    val nBands = nBits / bandBits
+    val perWord = 64 / bandBits
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(sequence(lit(0), lit(nBands - 1))).as(Seq("pos", "band")))
+      .select(col("id"), col("band"),
+        expr(s"shiftrightunsigned(element_at(sig, CAST(band div $perWord AS INT) + 1), " +
+            s"CAST((band % $perWord) * $bandBits AS INT))")
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bval"))
+    val sized = banded.withColumn("__n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "bval")))
+      .where(col("__n") <= maxBucketSize).drop("__n")
+    val l = sized.select(col("band"), col("bval"), col("id").as("a"))
+    val r = sized.select(col("band"), col("bval"), col("id").as("b"))
+    l.join(r, Seq("band", "bval"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** End-to-end near-duplicate pairs at/above `threshold`: signature →
     * banded candidates → exact-cosine verification (so precision is 1
     * by construction; recall is the banding probability, asserted
@@ -144,7 +179,8 @@ object RhpLsh {
     // the estimate otherwise forces a SortMergeJoin that shuffles the
     // embedding arrays once per candidate (the candidate stream is
     // long-pairs — cheap to spill; the vectors are the heavy side)
-    val cands = candidatePairs(sigs, nBits, bandBits, maxBucketSize)
+    val cands = (if (nBits <= 64) candidatePairs(sigs, nBits, bandBits, maxBucketSize)
+                 else candidatePairsWide(sigs, nBits, bandBits, maxBucketSize))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vec = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       Similarity.norm(col(vecCol)).as("__n"))

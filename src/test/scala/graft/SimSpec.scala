@@ -161,6 +161,28 @@ class SimSpec extends SparkSpecBase {
       s"diverging ids: ${nat.keySet.filter(k => nat(k) != dec.getOrElse(k, -1L)).take(5)}")
   }
 
+  test("RhpSigWide word 0 equals RhpSig; wide banding finds planted pairs") {
+    import graft.sim.RhpLsh
+    val emb = Tables.embeddings(spark, sfDir)
+    val narrow = RhpLsh.signatures(emb, "vec_id", "embedding", nBits = 64)
+      .as[(Long, Long)].collect().toMap
+    val wide = RhpLsh.signatures(emb, "vec_id", "embedding", nBits = 128)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(wide.nonEmpty && wide.values.forall(_.length == 2))
+    assert(narrow.keys.forall(k => wide(k).head == narrow(k)),
+      "first 64 planes must produce the identical word")
+    // wide-band candidates still contain every exact-duplicate pair
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val dup = base.select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val cands = RhpLsh.candidatePairsWide(
+      RhpLsh.signatures(base.unionByName(dup), "vec_id", "embedding", nBits = 128),
+      nBits = 128, bandBits = 16)
+      .as[(Long, Long)].collect().toSet
+    val wantPairs = narrow.keySet.map(k => (k, k + 5000))
+    assert(wantPairs.forall(cands.contains),
+      s"missing exact-dup candidates: ${(wantPairs -- cands).take(5)}")
+  }
+
   test("multimodal resize fits the box, preserves aspect, and never upscales") {
     import graft.multimodal.BinaryPipeline
     val docs = Tables.documents(spark, sfDir)
