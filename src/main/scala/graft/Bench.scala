@@ -80,6 +80,23 @@ object Bench {
     // multi-second stalls (JIT storms, VM scheduling) that have nothing
     // to do with plan quality — isolated reruns of a query measured at
     // 109s come in at 2-3s. The min of two runs is the plan's cost.
+    // incremental fallback: rewrite the partial JSON line after every
+    // query so a harness timeout still leaves a parseable (partial)
+    // result file instead of nothing
+    def emit(results: Seq[(String, Double)]): String = {
+      val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    def land(line: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(outFile, "UTF-8")
+        try w.println(line) finally w.close()
+      } catch { case _: Throwable => () }
+
+    var done = List.empty[(String, Double)]
     val results = selected.filter(queries.contains).map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -102,21 +119,17 @@ object Bench {
       }
       val a = once()
       val b = if (a >= 0) once() else a
-      name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
+      val r = name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
+      done = r :: done
+      land(emit(done.reverse))
+      r
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = emit(results)
     // The driver greps stdout for a bare JSON line (build.sbt sets
     // run/outputStrategy=StdoutOutput so sbt does not prefix it).
     println(line)
-    // Belt-and-braces: also land the line in a file.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try {
-      val w = new java.io.PrintWriter(outFile, "UTF-8")
-      try w.println(line) finally w.close()
-    } catch { case _: Throwable => () }
+    // Belt-and-braces: also land the final line in the file.
+    land(line)
     spark.stop()
   }
 }
