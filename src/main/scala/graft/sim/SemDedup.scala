@@ -60,7 +60,9 @@ object SemDedup {
                             tau: Double, roundTo: Int, maxBucketSize: Int,
                             subBits: Int, seed: Long): DataFrame = {
     val sizes = assigned.groupBy("bucket").agg(count(lit(1)).as("__bn"))
-    val maxBucket = sizes.agg(max(col("__bn"))).head().getLong(0)
+    val maxBucket = sizes.agg(coalesce(max(col("__bn")), lit(0L)))
+      .head().getLong(0) // 0 on an empty corpus
+
     val capped =
       if (maxBucket <= maxBucketSize) {
         assigned.withColumn("__sub", lit(-1L))
