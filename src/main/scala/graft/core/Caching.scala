@@ -25,14 +25,33 @@ import org.apache.spark.sql.DataFrame
   */
 object Caching {
 
+  /** Temp checkpoint dirs this JVM created (one per SparkContext; the
+    * r3 shape created a fresh dir lazily and never removed it, so a
+    * long session accumulated unbounded checkpoint data in tmpdir). A
+    * single shutdown hook recursively deletes them all. */
+  private val ownedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val hookInstalled: Unit =
+    sys.addShutdownHook {
+      ownedDirs.forEach { dir =>
+        try {
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
+    }
+
   /** Materialize `result` to a checkpoint, then release the persisted
     * `intermediates` that fed it. Returns the checkpointed frame,
     * whose lineage references the checkpoint files only. */
   def reap(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val sc = result.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt-").toString)
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+      ownedDirs.add(dir); hookInstalled
+      sc.setCheckpointDir(dir.toString)
+    }
     val out = result.checkpoint(eager = true)
     intermediates.foreach(_.unpersist(blocking = false))
     out

@@ -259,8 +259,12 @@ object TextQueries extends graft.QueryModule {
       concat(lit("X"), expr("substring(text, 2)")).as("text"))
     val payloads = BinaryPipeline.withPayload(
       docs.unionByName(variants), "doc_id", "text")
+    // maxBucketSize = MaxValue EXPLICITLY: this gate's contract is
+    // pigeonhole-COMPLETE recall, so the production skew cap must not
+    // apply here even if nearPairs' default changes (r3 ADVICE).
     graft.multimodal.Phash.nearPairs(
-        graft.multimodal.Phash.signatures(payloads), maxHamming = 3)
+        graft.multimodal.Phash.signatures(payloads), maxHamming = 3,
+        maxBucketSize = Int.MaxValue)
       .orderBy("a", "b")
   }
   val mmPhashSql: String =
