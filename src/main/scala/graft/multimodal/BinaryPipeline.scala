@@ -15,9 +15,14 @@ import org.apache.spark.sql.types._
   *    with the JRE), magic-byte sniffing, pixel checksums, total over
   *    corrupt payloads. Oracle-gated against actual pixel output
   *    (`mm_decode`).
-  *  - [[decode]] — STUB for media the JRE has no codec for
-  *    (audio/video): deterministic features from payload bytes; swap
-  *    `stubDecode` for a JNI/FFI codec without touching the pipeline.
+  *  - [[AudioPipeline.decodeAudio]] — REAL: javax.sound.sampled
+  *    (WAV/PCM ships with the JRE), sample checksums, same batch
+  *    shape. Oracle-gated against actual sample output
+  *    (`mm_audio_decode`).
+  *  - [[decode]] — STUB for media the JRE has no codec for (video
+  *    only, now that audio is real): deterministic features from
+  *    payload bytes; swap `stubDecode` for a JNI/FFI codec without
+  *    touching the pipeline.
   *
   * Scale: decode is a narrow map-only pass; `batchSize` bounds peak
   * memory per task exactly like Arrow batch size does for Pandas UDFs.
@@ -121,6 +126,8 @@ object BinaryPipeline {
     else if (at(0, 'B') && at(1, 'M')) "image/bmp"
     else if (at(0, 'G') && at(1, 'I') && at(2, 'F')) "image/gif"
     else if (at(0, 0xFF) && at(1, 0xD8) && at(2, 0xFF)) "image/jpeg"
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+      at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "audio/wav"
     else "unknown"
   }
 

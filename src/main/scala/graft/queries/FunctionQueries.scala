@@ -181,11 +181,17 @@ object FunctionQueries extends graft.QueryModule {
         lit("\"},\"etype\":{\"S\":\""), col("event_type"),
         lit("\"},\"nested\":{\"M\":{\"v\":{\"N\":\""),
         round(col("value"), 2).cast("string"), lit("\"}}}}")))
-    val decoded = typed.withColumn("plain", DdbJson.decodeDdbJson(col("ddb")))
+    // schema-directed decode: ONE from_json parse + codegen'd struct
+    // projection (the r3 shape was UDF decode + 3 get_json_object
+    // re-parses = 4 JSON passes per row)
+    val shape = org.apache.spark.sql.types.StructType.fromDDL(
+      "uid BIGINT, etype STRING, nested STRUCT<v: DOUBLE>")
+    val decoded = typed.withColumn("plain",
+      DdbJson.decodeDdbTyped(col("ddb"), shape))
     decoded.select(col("event_id"),
-        get_json_object(col("plain"), "$.uid").cast("long").as("uid"),
-        get_json_object(col("plain"), "$.etype").as("etype"),
-        get_json_object(col("plain"), "$.nested.v").cast("double").as("v"))
+        col("plain.uid").as("uid"),
+        col("plain.etype").as("etype"),
+        col("plain.nested.v").as("v"))
       .orderBy("event_id")
   }
   val f21Sql: String =

@@ -143,6 +143,33 @@ object TextQueries extends graft.QueryModule {
       |    AS BIGINT) AS checksum
       |FROM px ORDER BY doc_id""".stripMargin
 
+  /** REAL audio decode: deterministic 16-bit mono PCM test signals
+    * (sample = f(doc_id, i), SyntheticAudio) round-tripped through
+    * javax.sound.sampled's WAV codec. PCM is lossless, so the decoded
+    * format fields and sample checksum must equal the signal
+    * arithmetic the oracle computes closed-form — the oracle verifies
+    * REAL sample output without owning a codec. Container byte size
+    * is deliberately not part of the contract (n_bytes excluded). */
+  def mmAudioDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+    val payloads = graft.multimodal.SyntheticAudio.withWavPayload(ids)
+    graft.multimodal.AudioPipeline.decodeAudio(payloads, batchSize = 64)
+      .select(col("doc_id"), col("media_type"), col("sample_rate"),
+        col("channels"), col("bits"), col("n_samples"), col("checksum"))
+      .orderBy("doc_id")
+  }
+  val mmAudioDecodeSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, 400 + doc_id % 200 AS n,
+      |    8000 + (doc_id % 3) * 4000 AS rate
+      |  FROM documents)
+      |SELECT doc_id, 'audio/wav' AS media_type, CAST(rate AS INT) AS sample_rate,
+      |  1 AS channels, 16 AS bits, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(list_sum(list_transform(generate_series(0, n - 1),
+      |    i -> ((doc_id * 31 + i * 17) % 4096 - 2048) * (i + 1)))
+      |    AS BIGINT) AS checksum
+      |FROM sig ORDER BY doc_id""".stripMargin
+
   /** Real decode feeding the resize stage: the decoded (not claimed)
     * dimensions drive the aspect-preserving downscale. */
   def mmDecodeResize(spark: SparkSession, sfDir: String): DataFrame = {
@@ -482,6 +509,7 @@ object TextQueries extends graft.QueryModule {
     "text_fingerprint" -> (textFingerprint _),
     "mm_decode_stub" -> (mmDecodeStub _),
     "mm_decode" -> (mmDecode _),
+    "mm_audio_decode" -> (mmAudioDecode _),
     "mm_decode_resize" -> (mmDecodeResize _),
     "mm_phash_decoded" -> (mmPhashDecoded _),
     "mm_resize" -> (mmResize _),
@@ -504,6 +532,7 @@ object TextQueries extends graft.QueryModule {
     "text_fingerprint" -> fingerprintSql,
     "mm_decode_stub" -> mmSql,
     "mm_decode" -> mmDecodeSql,
+    "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_decode_resize" -> mmDecodeResizeSql,
     "mm_phash_decoded" -> mmPhashDecodedSql,
     "mm_resize" -> mmResizeSql,

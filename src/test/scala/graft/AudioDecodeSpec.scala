@@ -1,0 +1,85 @@
+package graft
+
+import graft.multimodal.{AudioPipeline, BinaryPipeline, SyntheticAudio}
+
+/** Real javax.sound.sampled decode path: exact PCM round-trip,
+  * magic-byte sniffing, and totality over garbage payloads. */
+class AudioDecodeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def expect(id: Long): (Int, Long, Long) = {
+    val n = SyntheticAudio.nSamples(id)
+    var cs = 0L
+    var i = 0
+    while (i < n) { cs += SyntheticAudio.sample(id, i).toLong * (i + 1); i += 1 }
+    (SyntheticAudio.sampleRate(id), n.toLong, cs)
+  }
+
+  test("WAV round-trip reproduces format fields and sample checksum exactly") {
+    val ids = Seq(0L, 1L, 2L, 7L, 199L, 123L).toDF("doc_id")
+    val out = AudioPipeline.decodeAudio(SyntheticAudio.withWavPayload(ids))
+      .select("doc_id", "media_type", "sample_rate", "channels", "bits",
+        "n_samples", "checksum")
+      .as[(Long, String, Int, Int, Int, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    Seq(0L, 1L, 2L, 7L, 199L, 123L).foreach { id =>
+      val (rate, n, cs) = expect(id)
+      assert(out(id) == ((id, "audio/wav", rate, 1, 16, n, cs)),
+        s"id=$id got ${out(id)} want (rate=$rate,n=$n,cs=$cs)")
+    }
+  }
+
+  test("sniffMediaType recognizes the RIFF/WAVE container") {
+    assert(BinaryPipeline.sniffMediaType(SyntheticAudio.wavBytes(5L)) == "audio/wav")
+    // RIFF but not WAVE (e.g. AVI) must not claim audio
+    val avi = "RIFF0000AVI LIST".getBytes("UTF-8")
+    assert(BinaryPipeline.sniffMediaType(avi) == "unknown")
+  }
+
+  test("decode is total over null, empty, and corrupt payloads") {
+    val rows = Seq(
+      (1L, SyntheticAudio.wavBytes(1L)),
+      (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.empty[Byte]),
+      (4L, "definitely not audio".getBytes("UTF-8")),
+      // WAV magic but truncated body: sniffs as wav, decodes to zeros
+      (5L, SyntheticAudio.wavBytes(5L).take(16)))
+      .toDF("doc_id", "payload")
+    val out = AudioPipeline.decodeAudio(rows)
+      .select("doc_id", "sample_rate", "n_samples")
+      .as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 5)
+    assert(out(1L) == ((SyntheticAudio.sampleRate(1L),
+      SyntheticAudio.nSamples(1L).toLong)))
+    Seq(2L, 3L, 4L, 5L).foreach { id =>
+      assert(out(id) == ((0, 0L)), s"corrupt row $id must decode to zeros")
+    }
+  }
+
+  test("stereo 16-bit WAV checksums channel 0 only") {
+    // hand-build a 2-channel stream: ch0 = i*3 - 10, ch1 = junk
+    val n = 50
+    val pcm = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val s0 = (i * 3 - 10).toShort
+      val s1 = (i * 7 + 99).toShort
+      pcm(4 * i) = (s0 & 0xFF).toByte
+      pcm(4 * i + 1) = ((s0 >> 8) & 0xFF).toByte
+      pcm(4 * i + 2) = (s1 & 0xFF).toByte
+      pcm(4 * i + 3) = ((s1 >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val st = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(st,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val rows = Seq((9L, bos.toByteArray)).toDF("doc_id", "payload")
+    val out = AudioPipeline.decodeAudio(rows)
+      .select("doc_id", "channels", "n_samples", "checksum")
+      .as[(Long, Int, Long, Long)].collect().head
+    val cs = (0 until n).map(i => (i * 3 - 10).toLong * (i + 1)).sum
+    assert(out == ((9L, 2, n.toLong, cs)))
+  }
+}

@@ -66,6 +66,29 @@ class FunctionsSpec extends SparkSpecBase {
     assert(DdbJson.decodeItem("not json") == null)
   }
 
+  test("decodeDdbTyped matches the generic decoder on all tag shapes") {
+    import org.apache.spark.sql.types._
+    val in = """{"a":{"N":"42"},"b":{"S":"x"},"c":{"M":{"d":{"BOOL":true},"e":{"NS":["1","2"]}}},"f":{"NULL":true},"g":{"SS":["p","q"]},"h":{"L":[{"N":"7"},{"N":"8"}]}}"""
+    val shape = StructType.fromDDL(
+      "a BIGINT, b STRING, c STRUCT<d: BOOLEAN, e: ARRAY<BIGINT>>, " +
+      "f STRING, g ARRAY<STRING>, h ARRAY<BIGINT>")
+    val row = Seq(in, "not json", null).toDF("j")
+      .select(DdbJson.decodeDdbTyped($"j", shape).as("d"))
+      .select("d.a", "d.b", "d.c.d", "d.c.e", "d.f", "d.g", "d.h", "d")
+      .collect()
+    val ok = row(0)
+    assert(ok.getLong(0) == 42L)
+    assert(ok.getString(1) == "x")
+    assert(ok.getBoolean(2))
+    assert(ok.getSeq[Long](3) == Seq(1L, 2L))
+    assert(ok.isNullAt(4)) // NULL tag → null leaf
+    assert(ok.getSeq[String](5) == Seq("p", "q"))
+    assert(ok.getSeq[Long](6) == Seq(7L, 8L))
+    // malformed JSON → whole struct null (same contract as the UDF)
+    assert(row(1).isNullAt(7))
+    assert(row(2).isNullAt(7))
+  }
+
   test("time parsers return null on failure (non-ANSI)") {
     graft.core.GraftSession.tune(spark)
     val df = Seq("2018.04.16", "garbage").toDF("s")
