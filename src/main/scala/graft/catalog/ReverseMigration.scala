@@ -47,6 +47,27 @@ object ReverseMigration {
     "PARTITION_KEYS", "PARTITIONS", "PARTITION_PARAMS",
     "PARTITION_KEY_VALS")
 
+  /** Direct FK parents per table (Hive metastore schema). The
+    * reference's flat `writeOrder` is ONE topological sort of this
+    * graph; the graph itself is what lets the load run level-parallel
+    * (r3 VERDICT: 19 serial JDBC jobs → 5 level barriers). */
+  val fkParents: Map[String, Seq[String]] = Map(
+    "DATABASE_PARAMS" -> Seq("DBS"),
+    "SERDE_PARAMS" -> Seq("SERDES"),
+    "COLUMNS_V2" -> Seq("CDS"),
+    "SDS" -> Seq("CDS", "SERDES"),
+    "SD_PARAMS" -> Seq("SDS"),
+    "SKEWED_COL_NAMES" -> Seq("SDS"),
+    "SKEWED_STRING_LIST_VALUES" -> Seq("SKEWED_STRING_LIST"),
+    "SKEWED_COL_VALUE_LOC_MAP" -> Seq("SDS", "SKEWED_STRING_LIST"),
+    "SORT_COLS" -> Seq("SDS"),
+    "TBLS" -> Seq("DBS", "SDS"),
+    "TABLE_PARAMS" -> Seq("TBLS"),
+    "PARTITION_KEYS" -> Seq("TBLS"),
+    "PARTITIONS" -> Seq("TBLS", "SDS"),
+    "PARTITION_PARAMS" -> Seq("PARTITIONS"),
+    "PARTITION_KEY_VALS" -> Seq("PARTITIONS"))
+
   /** A7 (`get_start_id_for_id_name` :1205-1225): max(id)+1 per id
     * column of the existing metastore, 0 for absent/empty tables. */
   def startId(existing: Option[DataFrame], idCol: String): Long =
@@ -220,9 +241,11 @@ object ReverseMigration {
       "PARTITION_KEY_VALS" -> partKeyValsOut)
   }
 
-  /** W5: write all 19 tables FK-ordered over JDBC (reference
-    * export_to_metastore :1312-1336). */
+  /** W5: write all 19 tables over JDBC, FK-level-parallel — same
+    * parent-before-child guarantee as the reference's serial order
+    * (export_to_metastore :1312-1336), but independent tables within a
+    * level load concurrently (19 serial jobs → 5 level barriers). */
   def exportToMetastore(tables: Map[String, DataFrame], url: String): Unit =
-    graft.sources.JdbcIO.writeOrdered(url,
-      writeOrder.map(n => n -> tables(n)))
+    graft.sources.JdbcIO.writeLeveled(url,
+      writeOrder.map(n => n -> tables(n)), fkParents)
 }

@@ -52,6 +52,26 @@ class ReverseMigrationSpec extends SparkSpecBase {
     assert(ReverseMigration.writeOrder.toSet == rel.keySet)
   }
 
+  test("FK levels respect every parent edge and compress 19 jobs to 5 barriers") {
+    val lv = graft.sources.JdbcIO.fkLevels(
+      ReverseMigration.writeOrder, ReverseMigration.fkParents)
+    // every child strictly after all its parents
+    ReverseMigration.fkParents.foreach { case (child, parents) =>
+      parents.foreach(p => assert(lv(child) > lv(p),
+        s"$child (level ${lv(child)}) must load after $p (level ${lv(p)})"))
+    }
+    // the flat writeOrder is one valid linearization of the graph:
+    // levels must be monotone along it for parent/child pairs (already
+    // implied above) and the graph must collapse to 5 levels
+    assert(lv.values.max == 4, s"expected 5 levels, got ${lv.values.max + 1}")
+    assert(lv.keySet == ReverseMigration.writeOrder.toSet)
+    // a cycle is a caller error
+    intercept[IllegalArgumentException] {
+      graft.sources.JdbcIO.fkLevels(Seq("A", "B"),
+        Map("A" -> Seq("B"), "B" -> Seq("A")))
+    }
+  }
+
   test("generated ids continue consecutively above the existing max") {
     def ids(t: String, c: String): Seq[Long] =
       rel(t).select(col(c).cast("long")).collect().map(_.getLong(0)).toSeq.sorted
