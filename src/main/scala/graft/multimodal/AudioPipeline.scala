@@ -63,6 +63,29 @@ object AudioPipeline {
   private def decodeWav(id: Long, bytes: Array[Byte]): DecodedAudio = {
     if (bytes == null || bytes.isEmpty) return zeroRow(id, "unknown", 0L)
     val mt = BinaryPipeline.sniffMediaType(bytes)
+    // hot path: plain PCM parses lock-free (AudioSystem's provider
+    // registry is globally synchronized and serializes all executor
+    // threads — see WavCodec); non-PCM encodings fall through to the
+    // full JRE codec below
+    WavCodec.read(bytes) match {
+      case Some(pcm) =>
+        var cs = 0L
+        if (pcm.bits == 16) {
+          val d = pcm.data
+          val fb = pcm.frameBytes
+          var off = 0
+          var i = 0L
+          while (off + fb <= d.length) {
+            val s = ((d(off + 1) << 8) | (d(off) & 0xFF)).toShort
+            cs += s.toLong * (i + 1)
+            i += 1
+            off += fb
+          }
+        }
+        return DecodedAudio(id, mt, bytes.length.toLong,
+          pcm.sampleRate, pcm.channels, pcm.bits, pcm.nFrames, cs)
+      case None => () // not plain PCM: try the general codec
+    }
     try {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {

@@ -30,8 +30,27 @@ object SyntheticAudio {
   def sample(id: Long, i: Int): Short =
     (Math.floorMod(id * 31L + i * 17L, 4096L) - 2048L).toShort
 
-  /** WAV (RIFF/PCM) bytes of the doc's test signal. */
-  def wavBytes(id: Long): Array[Byte] = {
+  /** WAV (RIFF/PCM) bytes of the doc's test signal. Written through
+    * [[WavCodec]] — `AudioSystem.write` consults the same globally
+    * synchronized provider registry as the read side and serialized
+    * the generation half of the gate too. [[wavBytesJre]] keeps the
+    * JRE-writer path for the cross-validation spec. */
+  def wavBytes(id: Long): Array[Byte] =
+    WavCodec.write(sampleRate(id), 1, 16, pcmBytes(id))
+
+  /** The JRE codec's own encoding of the same signal (spec-only). */
+  def wavBytesJre(id: Long): Array[Byte] = {
+    val pcm = pcmBytes(id)
+    val fmt = new AudioFormat(sampleRate(id).toFloat, 16, 1,
+      /* signed = */ true, /* bigEndian = */ false)
+    val stream = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples(id).toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def pcmBytes(id: Long): Array[Byte] = {
     val n = nSamples(id)
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -41,13 +60,7 @@ object SyntheticAudio {
       pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
     }
-    val fmt = new AudioFormat(sampleRate(id).toFloat, 16, 1,
-      /* signed = */ true, /* bigEndian = */ false)
-    val stream = new AudioInputStream(
-      new ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new ByteArrayOutputStream()
-    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    pcm
   }
 
   /** (doc_id, payload) frame of real WAV bytes, generated partition-

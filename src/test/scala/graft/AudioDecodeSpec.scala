@@ -29,6 +29,39 @@ class AudioDecodeSpec extends SparkSpecBase {
     }
   }
 
+  test("WavCodec cross-validates against the JRE codec both directions") {
+    import graft.multimodal.WavCodec
+    Seq(0L, 3L, 42L, 199L).foreach { id =>
+      // 1. the JRE writer's bytes must parse through our direct reader
+      //    with identical format + samples
+      val jre = SyntheticAudio.wavBytesJre(id)
+      val viaOurs = WavCodec.read(jre).get
+      assert(viaOurs.sampleRate == SyntheticAudio.sampleRate(id))
+      assert(viaOurs.channels == 1 && viaOurs.bits == 16)
+      assert(viaOurs.nFrames == SyntheticAudio.nSamples(id).toLong)
+      // 2. our writer's bytes must decode through the JRE codec with
+      //    identical format + samples
+      val ours = SyntheticAudio.wavBytes(id)
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(ours))
+      assert(in.getFormat.getSampleRate.toInt == SyntheticAudio.sampleRate(id))
+      assert(in.getFormat.getChannels == 1)
+      assert(in.getFrameLength == SyntheticAudio.nSamples(id).toLong)
+      val raw = in.readAllBytes()
+      (0 until SyntheticAudio.nSamples(id)).foreach { i =>
+        val s = (((raw(2 * i + 1) & 0xFF) << 8) | (raw(2 * i) & 0xFF)).toShort
+        assert(s == SyntheticAudio.sample(id, i), s"id=$id sample $i")
+      }
+    }
+    // non-PCM (IEEE float) must be rejected by the fast path
+    val floatWav = {
+      val b = WavCodec.write(8000, 1, 16, new Array[Byte](32))
+      b(20) = 3 // audioFormat = WAVE_FORMAT_IEEE_FLOAT
+      b
+    }
+    assert(WavCodec.read(floatWav).isEmpty)
+  }
+
   test("sniffMediaType recognizes the RIFF/WAVE container") {
     assert(BinaryPipeline.sniffMediaType(SyntheticAudio.wavBytes(5L)) == "audio/wav")
     // RIFF but not WAVE (e.g. AVI) must not claim audio
