@@ -19,10 +19,13 @@ import org.apache.spark.sql.types._
   *    (WAV/PCM ships with the JRE), sample checksums, same batch
   *    shape. Oracle-gated against actual sample output
   *    (`mm_audio_decode`).
-  *  - [[decode]] — STUB for media the JRE has no codec for (video
-  *    only, now that audio is real): deterministic features from
-  *    payload bytes; swap `stubDecode` for a JNI/FFI codec without
-  *    touching the pipeline.
+  *  - [[VideoPipeline.decodeVideo]] — REAL: direct RIFF/AVI container
+  *    parse with uncompressed-DIB frames (AviCodec), per-frame pixel
+  *    checksums, same batch shape. Oracle-gated (`mm_video_decode`,
+  *    `mm_video_frames`).
+  *  - [[decode]] — STUB kept as the generic plumbing contract for
+  *    COMPRESSED codecs no JVM API covers (H.264 & co.): swap
+  *    `stubDecode` for a JNI/FFI codec without touching the pipeline.
   *
   * Scale: decode is a narrow map-only pass; `batchSize` bounds peak
   * memory per task exactly like Arrow batch size does for Pandas UDFs.
@@ -128,6 +131,8 @@ object BinaryPipeline {
     else if (at(0, 0xFF) && at(1, 0xD8) && at(2, 0xFF)) "image/jpeg"
     else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
       at(8, 'W') && at(9, 'A') && at(10, 'V') && at(11, 'E')) "audio/wav"
+    else if (at(0, 'R') && at(1, 'I') && at(2, 'F') && at(3, 'F') &&
+      at(8, 'A') && at(9, 'V') && at(10, 'I') && at(11, ' ')) "video/avi"
     else "unknown"
   }
 

@@ -170,6 +170,58 @@ object TextQueries extends graft.QueryModule {
       |    AS BIGINT) AS checksum
       |FROM sig ORDER BY doc_id""".stripMargin
 
+  /** REAL video decode: deterministic uncompressed-DIB AVI test clips
+    * (pixel = f(doc_id, frame, x, y), SyntheticVideo) round-tripped
+    * through the direct RIFF/AVI parser. DIB is lossless, so decoded
+    * dims/fps/frame-count and the frame-weighted pixel checksum must
+    * equal the pattern arithmetic the oracle computes closed-form.
+    * Container byte size is not part of the contract. */
+  def mmVideoDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+    val payloads = graft.multimodal.SyntheticVideo.withAviPayload(ids)
+    graft.multimodal.VideoPipeline.decodeVideo(payloads, batchSize = 64)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("fps"), col("n_frames"), col("checksum"))
+      .orderBy("doc_id")
+  }
+  val mmVideoDecodeSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, 16 + 4 * (doc_id % 4) AS w, 8 + doc_id % 8 AS h,
+      |    4 + doc_id % 6 AS nf, 10 + doc_id % 5 AS fps
+      |  FROM documents)
+      |SELECT doc_id, 'video/avi' AS media_type, CAST(w AS INT) AS width,
+      |  CAST(h AS INT) AS height, CAST(fps AS INT) AS fps,
+      |  CAST(nf AS INT) AS n_frames,
+      |  CAST(list_sum(list_transform(generate_series(0, nf - 1), f -> (f + 1) *
+      |    list_sum(list_transform(generate_series(0, w * h - 1),
+      |      i -> ((doc_id + 11 * f + 3 * (i % w) + 7 * (i // w)) % 256) * (i + 1)))))
+      |    AS BIGINT) AS checksum
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  /** REAL frame extraction: every 2nd frame of each decoded clip as
+    * its own row with a per-frame pixel checksum and timestamp — the
+    * real-decode version of the stub frame sampler. */
+  def mmVideoFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+    val payloads = graft.multimodal.SyntheticVideo.withAviPayload(ids)
+    graft.multimodal.VideoPipeline.decodeFrames(payloads, everyN = 2)
+      .orderBy("doc_id", "frame_idx")
+  }
+  val mmVideoFramesSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, 16 + 4 * (doc_id % 4) AS w, 8 + doc_id % 8 AS h,
+      |    4 + doc_id % 6 AS nf, 10 + doc_id % 5 AS fps
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, w, h, fps, unnest(generate_series(0, nf - 1, 2)) AS f
+      |  FROM v)
+      |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+      |  round(CAST(f AS DOUBLE) / fps, 6) AS frame_ts,
+      |  CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+      |    i -> ((doc_id + 11 * f + 3 * (i % w) + 7 * (i // w)) % 256) * (i + 1)))
+      |    AS BIGINT) AS frame_checksum
+      |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
+
   /** Real decode feeding the resize stage: the decoded (not claimed)
     * dimensions drive the aspect-preserving downscale. */
   def mmDecodeResize(spark: SparkSession, sfDir: String): DataFrame = {
@@ -510,6 +562,8 @@ object TextQueries extends graft.QueryModule {
     "mm_decode_stub" -> (mmDecodeStub _),
     "mm_decode" -> (mmDecode _),
     "mm_audio_decode" -> (mmAudioDecode _),
+    "mm_video_decode" -> (mmVideoDecode _),
+    "mm_video_frames" -> (mmVideoFrames _),
     "mm_decode_resize" -> (mmDecodeResize _),
     "mm_phash_decoded" -> (mmPhashDecoded _),
     "mm_resize" -> (mmResize _),
@@ -533,6 +587,8 @@ object TextQueries extends graft.QueryModule {
     "mm_decode_stub" -> mmSql,
     "mm_decode" -> mmDecodeSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
+    "mm_video_decode" -> mmVideoDecodeSql,
+    "mm_video_frames" -> mmVideoFramesSql,
     "mm_decode_resize" -> mmDecodeResizeSql,
     "mm_phash_decoded" -> mmPhashDecodedSql,
     "mm_resize" -> mmResizeSql,

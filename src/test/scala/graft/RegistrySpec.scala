@@ -50,7 +50,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 139, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 139) // every query oracle-gated
+    assert(SparkEntry.queries.size == 141, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 141) // every query oracle-gated
   }
 }
