@@ -53,6 +53,30 @@ object GraftSession {
     tune(spark)
   }
 
+  /** Run a STREAMING query under an explicit state-partition count,
+    * restoring the session's batch shuffle parallelism afterwards.
+    *
+    * `spark.sql.shuffle.partitions` at stream START fixes the number
+    * of state-store instances for the query's lifetime, and every
+    * instance pays per-micro-batch checkpoint/commit overhead whether
+    * or not it holds state. That cost is ∝ partitions × batches and
+    * independent of data volume, so state parallelism must be sized
+    * to the STREAM's volume, not inherited from the batch session
+    * default (the streaming analog of sizing Kafka partitions or
+    * Flink operator parallelism). Measured (ProfileStreamJoin,
+    * sf0.1 ≈ 100k events): the stream-stream interval join runs
+    * 14.2 s with 32 state partitions vs 4.2 s with 8 — the join work
+    * itself is negligible; 32×4 state stores × per-batch commits was
+    * the entire difference. A high-volume production stream sizes UP
+    * the same knob.
+    */
+  def withStateParallelism[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Per-run scratch dir for sink round-trip operators (S1-S4/S7, W1-W4).
     * Lives under java.io.tmpdir like Spark's own block/staging dirs. */
   def scratch(tag: String): String = {
