@@ -64,9 +64,12 @@ class AudioDecodeSpec extends SparkSpecBase {
 
   test("sniffMediaType recognizes the RIFF/WAVE container") {
     assert(BinaryPipeline.sniffMediaType(SyntheticAudio.wavBytes(5L)) == "audio/wav")
-    // RIFF but not WAVE (e.g. AVI) must not claim audio
+    // RIFF but not WAVE must not claim audio: AVI sniffs as video,
+    // an unhandled RIFF form (RMID = RIFF MIDI) as unknown
     val avi = "RIFF0000AVI LIST".getBytes("UTF-8")
-    assert(BinaryPipeline.sniffMediaType(avi) == "unknown")
+    assert(BinaryPipeline.sniffMediaType(avi) == "video/avi")
+    val rmid = "RIFF0000RMIDdata".getBytes("UTF-8")
+    assert(BinaryPipeline.sniffMediaType(rmid) == "unknown")
   }
 
   test("decode is total over null, empty, and corrupt payloads") {
