@@ -87,32 +87,58 @@ object Shingles {
     * only on small corpora. */
   def prefixFilterCandidatesByDf(docShingles: DataFrame, idCol: String,
                                  tau: Double): DataFrame = {
+    // hash at explode time: every downstream exchange (df groupBy, df
+    // join, rank window, prefix self-join) then carries an 8-byte long
+    // instead of the shingle string (~30-50 bytes) — the r4 profile
+    // showed these exchanges dominating the candidate stage. The
+    // 64-bit coarsening was ALREADY the join key below, so this adds
+    // no new collision exposure (see verifyPairsHashed on why that
+    // exposure is negligible and verified-safe).
     val ex = docShingles.select(col(idCol), size(col("shingles")).as("n"),
       explode(col("shingles")).as("s"))
-    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .select(col(idCol), col("n"), xxhash64(col("s")).as("h"))
+    val df = ex.groupBy("h").agg(count(lit(1)).as("df"))
     // global total order: (df asc, hash) — xxhash64 spreads ties
     // within a df class uniformly; the hash doubles as the join key
-    val ranked = ex.join(df, "s")
-      .select(col(idCol), col("n"), col("df"), xxhash64(col("s")).as("h"))
+    val ranked = ex.join(df, "h")
     val pref = ranked
       .withColumn("r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(idCol).orderBy(col("df"), col("h"))))
       .where(col("r") <= col("n") - ceil(col("n") * tau) + 1)
-      .select(col(idCol), col("n"), col("h"))
-    joinPrefixes(pref, idCol, tau)
+      .select(col(idCol), col("n"), col("h"), col("r"))
+    joinPrefixes(pref, idCol, tau, positional = true)
   }
 
   /** Shared prefix-bucket self-join + size-ratio prune over
-    * (idCol, n, h) prefix rows. */
-  private def joinPrefixes(pref: DataFrame, idCol: String,
-                           tau: Double): DataFrame =
-    pref.select(col("h"), col(idCol).as("a"), col("n").as("na"))
-      .join(pref.select(col("h"), col(idCol).as("b"), col("n").as("nb")), Seq("h"))
+    * (idCol, n, h[, r]) prefix rows.
+    *
+    * `positional` adds the PPJoin position filter (lossless): ranks
+    * are monotone in the shared global order within each doc, so for
+    * the MINIMAL shared prefix element s* of a truly-qualifying pair,
+    * every common element ranks ≥ s* in both docs and overlap ≤ 1 +
+    * min(na − ra, nb − rb); that row therefore survives the filter,
+    * and keeping pairs where ANY generating row passes loses nothing.
+    * Rows generated by later shared elements carry strictly smaller
+    * bounds and are exactly the redundant candidates worth dropping
+    * before the expensive verify join. */
+  private def joinPrefixes(pref: DataFrame, idCol: String, tau: Double,
+                           positional: Boolean = false): DataFrame = {
+    val la = Seq(col("h"), col(idCol).as("a"), col("n").as("na")) ++
+      (if (positional) Seq(col("r").as("ra")) else Nil)
+    val lb = Seq(col("h"), col(idCol).as("b"), col("n").as("nb")) ++
+      (if (positional) Seq(col("r").as("rb")) else Nil)
+    val joined = pref.select(la: _*)
+      .join(pref.select(lb: _*), Seq("h"))
       .where(col("a") < col("b"))
       .where(least(col("na"), col("nb")) >=
         ceil(greatest(col("na"), col("nb")) * tau))
-      .select("a", "b").distinct()
+    val pruned = if (positional)
+      joined.where(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+        ceil(greatest(col("na"), col("nb")) * tau))
+    else joined
+    pruned.select("a", "b").distinct()
+  }
 
   /** Exact all-pairs candidates verification: join candidate pairs with
     * both shingle sets and keep those at/above the threshold. The
@@ -120,6 +146,39 @@ object Shingles {
   def verifyPairs(candidates: DataFrame, docShingles: DataFrame,
                   idCol: String, threshold: Double): DataFrame =
     verifyPairsAcross(candidates, docShingles, docShingles, idCol, threshold)
+
+  /** (doc_id, n, hs) preparation for [[verifyPairsHashed]]: each doc's
+    * shingle set as a SORTED array of xxhash64 values. */
+  def docShingleHashes(docShingles: DataFrame, idCol: String): DataFrame =
+    docShingles.select(col(idCol), size(col("shingles")).as("n"),
+      array_sort(transform(col("shingles"), s => xxhash64(s))).as("hs"))
+
+  /** [[verifyPairs]] over hashed shingle sets: the verify join carries
+    * 8-byte longs instead of shingle strings (3-5× less exchange
+    * volume — the r4 10× profile showed the verify exchange dominating
+    * the whole query), and |A∪B| is derived as na + nb − |A∩B| so the
+    * per-pair work is ONE array_intersect, not intersect + union.
+    *
+    * Exactness: a hash collision can only merge two distinct shingles
+    * — expected colliding shingle pairs ≈ D²/2⁶⁵ for D distinct
+    * shingles, i.e. ~5 corpus-wide even at 10¹⁰ shingles (100 TB
+    * scale), each perturbing only pairs that contain both strings.
+    * The oracle gate verifies the output is exact at test scale; a
+    * caller needing string-exact jaccard regardless of corpus uses
+    * [[verifyPairs]]. */
+  def verifyPairsHashed(candidates: DataFrame, shingleHashes: DataFrame,
+                        idCol: String, threshold: Double): DataFrame = {
+    val left = shingleHashes.select(col(idCol).as("a"),
+      col("n").as("na"), col("hs").as("hs_a"))
+    val right = shingleHashes.select(col(idCol).as("b"),
+      col("n").as("nb"), col("hs").as("hs_b"))
+    candidates
+      .join(left, "a").join(right, "b")
+      .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
 
   /** [[verifyPairs]] with distinct corpora on each side of the pair
     * (a from `leftShingles`, b from `rightShingles`) — the

@@ -109,7 +109,11 @@ object DedupQueries extends graft.QueryModule {
     // replica where the hash order went ~n^1.7.
     val cands = Shingles.prefixFilterCandidatesByDf(ds, "doc_id", Tau)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Shingles.verifyPairs(cands, ds, "doc_id", Tau)
+    // hashed verify: candidates join 8-byte hash arrays, not shingle
+    // strings (r4 10× profile: the verify exchange was the whole
+    // query's dominant cost — 18.3 s of a 29 s cold run)
+    Shingles.verifyPairsHashed(
+        cands, Shingles.docShingleHashes(ds, "doc_id"), "doc_id", Tau)
       .orderBy("a", "b")
   }
 
