@@ -210,6 +210,54 @@ object DedupQueries extends graft.QueryModule {
       |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.46
       |ORDER BY a, b""".stripMargin
 
+  /** Embedding dedup in the PRODUCTION regime (τ = 0.9): the corpus
+    * plus a deterministic multiplicative-ripple copy of every vector
+    * (cos ≈ 0.9996 — real near-dup geometry, unlike the τ=0.46 audit
+    * tail above), RHP-banded candidates at the production geometry
+    * (128-bit signatures, 16-bit bands — random-pair band collisions
+    * ~n²/2¹⁶ per band, so candidate volume tracks the TRUE duplicate
+    * density and the 10×-replica exponent stays sub-linear; see
+    * docs/SCALE.md), exact-cosine verify, then keep-lowest-id
+    * survivors. At per-bit collision p ≈ 0.9936 the per-pair banding
+    * miss probability is (1−p¹⁶)⁸ ≈ 1e-9, so the survivors equal the
+    * exact all-pairs result the oracle computes. `dedup_embedding`
+    * stays as the τ=0.46 audit spec; this is the regime a 100 TB
+    * dedup actually runs in. */
+  def dedupEmbeddingProd(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val planted = base.select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x * (lit(1.0) + lit(0.02) * (i % 5 - lit(2)))).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val pairs = graft.sim.RhpLsh.nearDupPairs(corpus, "vec_id", "embedding",
+      threshold = 0.9, nBits = 128, bandBits = 16, roundTo = 4)
+    corpus.select("vec_id")
+      .join(pairs.select(col("b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+  val dedupEmbeddingProdSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |pert AS (
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_transform(v, (x, i) -> x * (1.0 + 0.02 * ((i - 1) % 5 - 2))) AS v
+      |  FROM base),
+      |c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c),
+      |losers AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+      |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.9)
+      |SELECT c.vec_id FROM c
+      |WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)
+      |ORDER BY vec_id""".stripMargin
+
   /** Near-dup clusters: connected components over the verified minhash
     * pairs (a≈b≈c collapses transitively). Oracle: recursive-CTE
     * reachability over the exact ground-truth pair set. */
@@ -421,6 +469,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_prod" -> (dedupEmbeddingProd _),
     "dedup_lines" -> (dedupLines _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _))
@@ -436,6 +485,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_embedding_prod" -> dedupEmbeddingProdSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_bloom" -> dedupIncrementalSql)

@@ -22,6 +22,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
   }
 
+  test("dedup_embedding_prod (production τ=0.9 geometry) has no cartesian/nested-loop join") {
+    val p = planOf("dedup_embedding_prod")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$p")
+  }
+
   test("dedup_minhash_lsh has no cartesian/nested-loop join") {
     val p = planOf("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
