@@ -110,6 +110,27 @@ object Shingles {
     joinPrefixes(pref, idCol, tau, positional = true)
   }
 
+  /** Driver-side adaptive order choice between the two lossless prefix
+    * filters (the SemDedup lean-plan pattern): both find every
+    * qualifying pair, so the choice is pure cost. The df order pays a
+    * frequency pass over the exploded shingles (agg + join + per-doc
+    * rank window) that the hash order skips — measured ~4 s of the
+    * sf0.1 gate — but keeps candidate growth near-linear where
+    * hash-ordered candidates measured ~n^1.7 on the 10× replica
+    * (common-shingle prefix buckets go quadratic). The crossover sits
+    * between the measured points (hash cheaper at 5 k docs, df 2.5×
+    * faster end-to-end at 50 k), so the default threshold is 20 k
+    * docs. The count() probe is ~free when `docShingles` is persisted
+    * (the gate's pattern): it materializes the cache the downstream
+    * plan reuses. */
+  def prefixFilterCandidatesAdaptive(docShingles: DataFrame, idCol: String,
+                                     tau: Double,
+                                     dfOrderMinDocs: Long = 20000L): DataFrame =
+    if (docShingles.count() >= dfOrderMinDocs)
+      prefixFilterCandidatesByDf(docShingles, idCol, tau)
+    else
+      prefixFilterCandidates(docShingles, idCol, tau)
+
   /** Shared prefix-bucket self-join + size-ratio prune over
     * (idCol, n, h[, r]) prefix rows.
     *

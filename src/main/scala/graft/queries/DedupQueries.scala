@@ -104,10 +104,12 @@ object DedupQueries extends graft.QueryModule {
     // unpersisted, the estimate forces a SortMergeJoin that shuffles
     // the kilobyte shingle arrays per candidate (measured 8.3 s vs
     // 1.4 s for the verify stage at sf0.1); same pattern as
-    // MinHashLSH's persisted banded rows. df-ordered prefixes (the
-    // AllPairs order) keep candidate growth near-linear on the 10×
-    // replica where the hash order went ~n^1.7.
-    val cands = Shingles.prefixFilterCandidatesByDf(ds, "doc_id", Tau)
+    // MinHashLSH's persisted banded rows. Prefix order is chosen
+    // driver-side from corpus size (both orders are lossless): the
+    // df/AllPairs order keeps candidate growth near-linear on the 10×
+    // replica where the hash order went ~n^1.7, but its frequency
+    // pass costs ~4 s the small-corpus hash order doesn't.
+    val cands = Shingles.prefixFilterCandidatesAdaptive(ds, "doc_id", Tau)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hashed verify: candidates join 8-byte hash arrays, not shingle
     // strings (r4 10× profile: the verify exchange was the whole

@@ -79,6 +79,22 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("prefixFilterCandidatesAdaptive picks order by corpus size") {
+    val docs = Seq((1L, "alpha beta gamma delta eps"),
+      (2L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val ds = Shingles.docShingles(docs, "doc_id", "text", 3)
+    // the df/AllPairs order is the only path with a per-doc rank window
+    def hasRankWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("row_number")
+    assert(!hasRankWindow(
+      Shingles.prefixFilterCandidatesAdaptive(ds, "doc_id", 0.5)),
+      "small corpus must take the hash order (no frequency pass)")
+    assert(hasRankWindow(
+      Shingles.prefixFilterCandidatesAdaptive(ds, "doc_id", 0.5,
+        dfOrderMinDocs = 1L)),
+      "above threshold must take the df/AllPairs order")
+  }
+
   test("connectedComponents collapses transitive chains to min label") {
     // chain 1-2-3-4 plus pair 10-11 plus chain 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 22L), (20L, 21L))
