@@ -53,8 +53,8 @@ object GraftSession {
     tune(spark)
   }
 
-  /** Run a STREAMING query under an explicit state-partition count,
-    * restoring the session's batch shuffle parallelism afterwards.
+  /** Build and run a streaming query under an explicit, QUERY-SCOPED
+    * state-partition count.
     *
     * `spark.sql.shuffle.partitions` at stream START fixes the number
     * of state-store instances for the query's lifetime, and every
@@ -69,12 +69,22 @@ object GraftSession {
     * itself is negligible; 32×4 state stores × per-batch commits was
     * the entire difference. A high-volume production stream sizes UP
     * the same knob.
-    */
-  def withStateParallelism[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+    *
+    * `f` receives an ISOLATED session (same SparkContext and cache,
+    * own SQLConf/catalog via `newSession()`) with the partition count
+    * applied, and must build its stream from that session. The r4
+    * version mutated the parent session's conf around `f` and
+    * restored it, which races when two streams start concurrently on
+    * one session (library reality at 100 TB — a shared session runs
+    * many streams); an isolated child session makes the width a
+    * per-query property. ConcurrentStreamsSpec pins two concurrent
+    * streams at different widths. */
+  def stateScoped[T](spark: SparkSession, n: Int)(f: SparkSession => T): T = {
+    // newSession's SQLConf starts from the SparkContext conf, not the
+    // parent's runtime conf.set values — re-apply the engine tuning.
+    val scoped = tune(spark.newSession())
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(scoped)
   }
 
   /** Per-run scratch dir for sink round-trip operators (S1-S4/S7, W1-W4).

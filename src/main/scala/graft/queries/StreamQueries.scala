@@ -71,27 +71,28 @@ object StreamQueries extends graft.QueryModule {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // file stream source needs a directory base path: glob the one file
-    val stream = spark.readStream.schema(schema)
-      .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-    // state parallelism sized to the drain's volume (see
-    // GraftSession.withStateParallelism)
-    GraftSession.withStateParallelism(spark, 8) {
+    // state parallelism sized to the drain's volume, scoped to this
+    // query's isolated session (see GraftSession.stateScoped)
+    GraftSession.stateScoped(spark, 8) { s =>
+      // file stream source needs a directory base path: glob the one file
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$sfDir/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the memory sink registers its table in the scoped session
+      s.table(name)
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("win_start", "event_type")
     }
-    spark.table(name)
-      .select(col("window.start").as("win_start"), col("event_type"),
-        col("n"), col("total"))
-      .orderBy("win_start", "event_type")
   }
   val t5Sql: String =
     """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS win_start,
@@ -109,26 +110,26 @@ object StreamQueries extends graft.QueryModule {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema)
-      .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val atLeastOnce = stream.union(stream)
-    val deduped = graft.streaming.StreamDedup.dedupWithinWatermark(
-      atLeastOnce, Seq("event_id"), "ts", "30 days")
-    // state parallelism sized to the drain's volume (see
-    // GraftSession.withStateParallelism)
-    GraftSession.withStateParallelism(spark, 8) {
+    // state parallelism sized to the drain's volume, scoped to this
+    // query's isolated session (see GraftSession.stateScoped)
+    GraftSession.stateScoped(spark, 8) { s =>
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$sfDir/events.parque[t]")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val atLeastOnce = stream.union(stream)
+      val deduped = graft.streaming.StreamDedup.dedupWithinWatermark(
+        atLeastOnce, Seq("event_id"), "ts", "30 days")
       val q = deduped.writeStream.outputMode("append")
         .format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      s.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("event_type")
     }
-    spark.table(name)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
-        countDistinct("user_id").as("n_users"))
-      .orderBy("event_type")
   }
   val t3Sql: String =
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
@@ -147,39 +148,40 @@ object StreamQueries extends graft.QueryModule {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    def side(tpe: String, idAs: String, tsAs: String, valueAs: String) =
-      spark.readStream.schema(schema)
-        .parquet(s"$sfDir/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .where(col("event_type") === tpe)
-        .select(col("user_id"), col("event_id").as(idAs),
-          col("ts").as(tsAs), col("value").as(valueAs))
-        .withWatermark(tsAs, "1 hour")
-    val clicks = side("click", "click_id", "click_ts", "click_value")
-    val purchases = side("purchase", "purchase_id", "purchase_ts", "purchase_value")
-    val joined = clicks.join(purchases,
-      clicks("user_id") === purchases("user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-      .select(clicks("user_id"), col("click_id"), col("purchase_id"),
-        col("purchase_value"))
     // 8 state partitions: a stream-stream join keeps FOUR state stores
     // per partition, so the default 32 meant 128 instances paying
     // per-batch commit overhead for a 100k-event drain — measured
-    // 14.2 s -> 4.2 s (see GraftSession.withStateParallelism)
-    GraftSession.withStateParallelism(spark, 8) {
+    // 14.2 s -> 4.2 s; scoped to this query's isolated session (see
+    // GraftSession.stateScoped)
+    GraftSession.stateScoped(spark, 8) { s =>
+      def side(tpe: String, idAs: String, tsAs: String, valueAs: String) =
+        s.readStream.schema(schema)
+          .parquet(s"$sfDir/events.parque[t]")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .where(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id").as(idAs),
+            col("ts").as(tsAs), col("value").as(valueAs))
+          .withWatermark(tsAs, "1 hour")
+      val clicks = side("click", "click_id", "click_ts", "click_value")
+      val purchases = side("purchase", "purchase_id", "purchase_ts", "purchase_value")
+      val joined = clicks.join(purchases,
+        clicks("user_id") === purchases("user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(clicks("user_id"), col("click_id"), col("purchase_id"),
+          col("purchase_value"))
       val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      s.table(name)
+        .groupBy((col("user_id") % 10).as("user_decile"))
+        .agg(count(lit(1)).as("n_attributed"),
+          countDistinct(col("click_id")).as("n_clicks"),
+          round(sum(col("purchase_value")), 2).as("attributed_value"))
+        .orderBy("user_decile")
     }
-    spark.table(name)
-      .groupBy((col("user_id") % 10).as("user_decile"))
-      .agg(count(lit(1)).as("n_attributed"),
-        countDistinct(col("click_id")).as("n_clicks"),
-        round(sum(col("purchase_value")), 2).as("attributed_value"))
-      .orderBy("user_decile")
   }
   val t7Sql: String =
     """WITH c AS (
