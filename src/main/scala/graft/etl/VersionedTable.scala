@@ -35,6 +35,16 @@ object VersionedTable {
 
   private val Deleted = "__deleted"
 
+  /** A concurrent writer claimed the version this commit targeted.
+    * The losing commit fails ATOMICALLY: its staged data is removed
+    * and the table is untouched — the caller re-reads and retries on
+    * top of the winner's commit (optimistic concurrency, the
+    * Delta/Iceberg commit contract). The reference gets the same
+    * exactly-one-wins property from DynamoDB conditional puts on its
+    * ingestion control table. */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -51,13 +61,67 @@ object VersionedTable {
   private def isSnapshot(spark: SparkSession, root: String, v: Long): Boolean =
     fs(spark, root).exists(new Path(s"$root/v=$v/_SNAPSHOT"))
 
+  /** Version ids ever CLAIMED (committed or in flight / crashed
+    * mid-publish). Superset of [[versions]]; next-version numbering
+    * must skip claims so a crashed claim can never be re-targeted. */
+  private def claimed(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(s"$root/_commits")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).sorted
+  }
+
+  /** Stage → claim → publish commit protocol (exactly one writer wins
+    * any version):
+    *  1. data is written to a staging dir NEXT TO the table, never to
+    *     `v=N` directly — a losing writer's files can't interleave
+    *     with the winner's;
+    *  2. the version is claimed by exclusive-create of
+    *     `_commits/N.commit` — `FileSystem.create(overwrite=false)`
+    *     is the filesystem's atomic test-and-set (the primitive
+    *     Delta's HDFS LogStore commits through); the loser gets
+    *     [[ConcurrentCommitException]], its staging removed, table
+    *     untouched;
+    *  3. the claim holder renames staging onto `v=N` — no other
+    *     writer can target N, so the rename never merges into a
+    *     concurrent writer's directory.
+    * A writer crashing between 2 and 3 leaves an orphan claim: that
+    * version number is burned (numbering skips it) and readers — who
+    * list `v=*` data directories — never see a torn commit. */
+  private[graft] def publish(spark: SparkSession, root: String, df: DataFrame,
+                             snapshot: Boolean, version: Long): Long = {
+    val f = fs(spark, root)
+    val staging = new Path(
+      s"$root/.staging-$version-${java.util.UUID.randomUUID}")
+    df.write.mode("errorifexists").parquet(staging.toString)
+    if (snapshot) f.create(new Path(staging, "_SNAPSHOT")).close()
+    val claim = new Path(s"$root/_commits/$version.commit")
+    f.mkdirs(claim.getParent)
+    val won =
+      try { f.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!won) {
+      f.delete(staging, true)
+      throw new ConcurrentCommitException(
+        s"version $version of $root was claimed by a concurrent writer; " +
+          "re-read the table and retry the commit")
+    }
+    val dst = new Path(s"$root/v=$version")
+    if (!f.rename(staging, dst)) {
+      f.delete(staging, true)
+      throw new IllegalStateException(s"failed to publish $staging -> $dst")
+    }
+    version
+  }
+
   private def write(spark: SparkSession, root: String, df: DataFrame,
                     snapshot: Boolean): Long = {
-    val next = versions(spark, root).lastOption.fold(0L)(_ + 1)
-    val dir = s"$root/v=$next"
-    df.write.mode("errorifexists").parquet(dir)
-    if (snapshot) fs(spark, root).create(new Path(s"$dir/_SNAPSHOT")).close()
-    next
+    val next = (versions(spark, root) ++ claimed(spark, root))
+      .maxOption.fold(0L)(_ + 1)
+    publish(spark, root, df, snapshot, next)
   }
 
   /** v=0 full snapshot. */

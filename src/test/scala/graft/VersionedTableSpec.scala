@@ -30,6 +30,64 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
   }
 
+  test("two writers racing the same version: exactly one wins, loser fails atomically") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    // deterministic contention: both writers target version 1 via the
+    // internal publish step (the public path would re-list and could
+    // serialize into 1 then 2, which is ALSO correct but races nothing)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq(
+      Future(scala.util.Try(VersionedTable.publish(spark, root,
+        Seq((2L, 2.0)).toDF("k", "v").withColumn("__deleted", lit(false)),
+        snapshot = false, version = 1L))),
+      Future(scala.util.Try(VersionedTable.publish(spark, root,
+        Seq((2L, 999.0)).toDF("k", "v").withColumn("__deleted", lit(false)),
+        snapshot = false, version = 1L))))
+      .map(Await.result(_, 120.seconds))
+    val (wins, losses) = attempts.partition(_.isSuccess)
+    assert(wins.size == 1, s"exactly one writer must win: $attempts")
+    assert(losses.head.failed.get
+      .isInstanceOf[VersionedTable.ConcurrentCommitException])
+    // the table holds exactly the winner's rows — no interleaving, and
+    // the loser's staging is gone
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
+    val v2 = state(root, 1L)(2L)
+    assert(v2 == 2.0 || v2 == 999.0)
+    val leftover = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith(".staging"))
+    assert(leftover.isEmpty, s"loser's staging must be cleaned: ${leftover.toSeq}")
+    // the loser retries on top of the winner (the optimistic-
+    // concurrency contract) and lands as version 2
+    assert(VersionedTable.commitUpsert(spark, root,
+      Seq((2L, 42.0)).toDF("k", "v")) == 2L)
+    assert(state(root, 2L)(2L) == 42.0)
+  }
+
+  test("a crashed claim burns its version number; readers never see it") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    // simulate a writer dying between claim and publish: claim file
+    // exists, no v=1 directory
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$root/_commits/1.commit"),
+      false).close()
+    assert(VersionedTable.versions(spark, root) == Seq(0L))
+    // next commit skips the burned number
+    assert(VersionedTable.commitUpsert(spark, root,
+      Seq((2L, 2.0)).toDF("k", "v")) == 2L)
+    assert(state(root, 2L) == Map(1L -> 1.0, 2L -> 2.0))
+  }
+
   test("re-inserting a deleted key resurrects it") {
     val s = spark
     import s.implicits._
