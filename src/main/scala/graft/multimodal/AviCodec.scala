@@ -1,26 +1,36 @@
 package graft.multimodal
 
-/** Direct RIFF/AVI container codec for UNCOMPRESSED (BI_RGB DIB)
-  * video — the video analog of [[WavCodec]], and what retires the
-  * last multimodal stub with REAL decode.
+/** Direct RIFF/AVI container codec for UNCOMPRESSED (BI_RGB DIB) and
+  * MJPG (motion-JPEG) video — the video analog of [[WavCodec]], and
+  * what retires the last multimodal stub with REAL decode.
   *
-  * The JRE ships no video codec at all, so unlike images (imageio)
-  * and audio (javax.sound) there is no built-in fallback — but the
-  * AVI container and the uncompressed DIB frame format are public,
-  * fixed layouts (RIFF lists `hdrl`(avih, strl(strh, strf)) +
-  * `movi`(00db…)), and lossless: a decoded frame's pixels must equal
-  * the encoded pattern exactly, which makes the decoder
-  * closed-form-oracle-checkable the same way PNG and PCM are.
-  * Compressed codecs (MJPG aside, which imageio could decode
-  * per-frame) are out of scope and return None — a production
-  * pipeline plugs an FFI codec into the same [[VideoPipeline]] batch
-  * shape.
+  * The JRE ships no video *container* codec, but the AVI container is
+  * a public, fixed layout (RIFF lists `hdrl`(avih, strl(strh, strf))
+  * + `movi`(00db/00dc…)), and two frame formats are decodable with
+  * zero dependencies:
+  *  - BI_RGB DIB — uncompressed and lossless: a decoded frame's
+  *    pixels must equal the encoded pattern exactly, which makes the
+  *    decoder closed-form-oracle-checkable the same way PNG and PCM
+  *    are;
+  *  - MJPG — each `00dc` chunk is a standalone JPEG, decoded
+  *    per-frame through the same imageio path the image pipeline
+  *    already ships. JPEG is lossy, so MJPG's exactness contract is
+  *    dims/fps/frame-count plus bounded pixel error (MjpgDecodeSpec),
+  *    not a bit-exact checksum.
+  * Other compressed fourccs (XVID, H264, …) return None — a
+  * production pipeline plugs an FFI codec into the same
+  * [[VideoPipeline]] batch shape.
   *
-  * DIB frames are bottom-up BGR24 with rows padded to 4 bytes; the
-  * reader exposes top-down row access so checksum math matches image
+  * Decoded frames are exposed in DIB wire layout regardless of source
+  * codec: bottom-up BGR24 with rows padded to 4 bytes; the reader
+  * exposes top-down row access so checksum math matches image
   * conventions.
   */
 object AviCodec {
+
+  /** 'MJPG' as the little-endian biCompression dword. */
+  private val MjpgFourcc: Long =
+    ('M' & 0xFFL) | (('J' & 0xFFL) << 8) | (('P' & 0xFFL) << 16) | (('G' & 0xFFL) << 24)
 
   final case class Video(width: Int, height: Int, fps: Int,
                          frames: IndexedSeq[Array[Byte]]) {
@@ -79,13 +89,51 @@ object AviCodec {
       true
     }
     if (!walk(12, bytes.length)) return None
-    // BI_RGB (0) 24-bit only; anything else → no built-in decoder
-    if (compression != 0L || bits != 24 || width <= 0 || height <= 0 ||
-        scale <= 0 || rate <= 0 || frames.isEmpty) return None
-    val rb = ((width * 3) + 3) / 4 * 4
-    if (frames.exists(_.length != rb * height)) return None
-    Some(Video(width, height, (rate / scale).toInt, frames.toIndexedSeq))
+    if (width <= 0 || height <= 0 || scale <= 0 || rate <= 0 ||
+        frames.isEmpty) return None
+    val fps = (rate / scale).toInt
+    if (compression == 0L && bits == 24) {
+      // BI_RGB DIB: frames are already in wire layout
+      val rb = ((width * 3) + 3) / 4 * 4
+      if (frames.exists(_.length != rb * height)) return None
+      Some(Video(width, height, fps, frames.toIndexedSeq))
+    } else if (compression == MjpgFourcc) {
+      // MJPG: every chunk is a standalone JPEG; decode per frame and
+      // normalize to the DIB layout so downstream consumers see one
+      // frame format. Any frame failing to decode, or decoding to
+      // dims other than the header's, fails the whole clip (a torn
+      // stream, not a video).
+      val decoded = frames.map(jpegToDib(_, width, height))
+      if (decoded.exists(_.isEmpty)) None
+      else Some(Video(width, height, fps, decoded.map(_.get).toIndexedSeq))
+    } else None // other compressed fourccs: no built-in decoder (FFI slot)
   }
+
+  /** One JPEG frame → bottom-up padded BGR24 (DIB wire layout);
+    * None on decode failure or dimension mismatch. */
+  private def jpegToDib(jpeg: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      if (img == null || img.getWidth != w || img.getHeight != h) None
+      else {
+        val rb = ((w * 3) + 3) / 4 * 4
+        val out = new Array[Byte](rb * h)
+        var y = 0
+        while (y < h) {
+          val rowOff = (h - 1 - y) * rb
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(rowOff + 3 * x) = (rgb & 0xFF).toByte           // B
+            out(rowOff + 3 * x + 1) = ((rgb >> 8) & 0xFF).toByte  // G
+            out(rowOff + 3 * x + 2) = ((rgb >> 16) & 0xFF).toByte // R
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case _: java.io.IOException => None }
 
   /** Minimal uncompressed-DIB AVI bytes: RIFF(hdrl(avih,
     * strl(strh, strf)) + movi(00db…)). `frames` are bottom-up BGR24
@@ -95,8 +143,24 @@ object AviCodec {
     val rb = ((width * 3) + 3) / 4 * 4
     val frameBytes = rb * height
     require(frames.forall(_.length == frameBytes), "bad frame size")
+    container(width, height, fps, handler = "DIB ", compression = 0,
+      sampleSize = frameBytes, chunkId = "00db", frames = frames)
+  }
+
+  /** Minimal MJPG AVI bytes: same container, each frame a standalone
+    * JPEG in a `00dc` chunk (variable-size, word-aligned). */
+  def writeMjpg(width: Int, height: Int, fps: Int,
+                jpegFrames: Seq[Array[Byte]]): Array[Byte] =
+    container(width, height, fps, handler = "MJPG", compression = MjpgFourcc.toInt,
+      sampleSize = 0, chunkId = "00dc", frames = jpegFrames)
+
+  private def container(width: Int, height: Int, fps: Int, handler: String,
+                        compression: Int, sampleSize: Int, chunkId: String,
+                        frames: Seq[Array[Byte]]): Array[Byte] = {
     val n = frames.size
-    val moviSize = 4 + n * (8 + frameBytes)
+    val maxFrame = frames.map(_.length).foldLeft(0)(math.max)
+    // chunks are word-aligned: odd-size frames (JPEG) get a pad byte
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
     val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
     val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
     val out = java.nio.ByteBuffer.allocate(8 + riffSize)
@@ -106,33 +170,36 @@ object AviCodec {
     fourcc("LIST"); out.putInt(hdrlSize); fourcc("hdrl")
     fourcc("avih"); out.putInt(56)
     out.putInt(1000000 / fps)           // dwMicroSecPerFrame
-      .putInt(frameBytes * fps)         // dwMaxBytesPerSec
+      .putInt(maxFrame * fps)           // dwMaxBytesPerSec
       .putInt(0).putInt(0)              // padding, flags
       .putInt(n).putInt(0).putInt(1)    // totalFrames, initial, streams
-      .putInt(frameBytes)               // suggested buffer
+      .putInt(maxFrame)                 // suggested buffer
       .putInt(width).putInt(height)
       .putInt(0).putInt(0).putInt(0).putInt(0) // reserved
     fourcc("LIST"); out.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
     fourcc("strh"); out.putInt(56)
-    fourcc("vids"); fourcc("DIB ")
+    fourcc("vids"); fourcc(handler)
     out.putInt(0)                        // flags
       .putShort(0.toShort).putShort(0.toShort) // priority, language
       .putInt(0)                         // initial frames
       .putInt(1).putInt(fps)             // dwScale, dwRate
       .putInt(0).putInt(n)               // start, length (frames)
-      .putInt(frameBytes).putInt(-1)     // suggested buffer, quality
-      .putInt(frameBytes)                // sample size
+      .putInt(maxFrame).putInt(-1)       // suggested buffer, quality
+      .putInt(sampleSize)                // 0 = variable (compressed)
       .putShort(0.toShort).putShort(0.toShort) // rcFrame
       .putShort(width.toShort).putShort(height.toShort)
     fourcc("strf"); out.putInt(40)
     out.putInt(40)                       // biSize
       .putInt(width).putInt(height)
       .putShort(1.toShort).putShort(24.toShort) // planes, bits
-      .putInt(0)                         // BI_RGB
-      .putInt(frameBytes)
+      .putInt(compression)               // BI_RGB or 'MJPG'
+      .putInt(maxFrame)
       .putInt(0).putInt(0).putInt(0).putInt(0) // pels, clr
     fourcc("LIST"); out.putInt(moviSize); fourcc("movi")
-    frames.foreach { f => fourcc("00db"); out.putInt(frameBytes); out.put(f) }
+    frames.foreach { f =>
+      fourcc(chunkId); out.putInt(f.length); out.put(f)
+      if ((f.length & 1) == 1) out.put(0.toByte)
+    }
     out.array()
   }
 }
