@@ -74,6 +74,15 @@ object VersionedTable {
       .map(_.stripSuffix(".commit").toLong).sorted
   }
 
+  /** Release the claim on `version`, making the number targetable
+    * again. ONLY safe for a caller that owns the table exclusively
+    * (e.g. a CDC drain rolling back its own torn batch — the single
+    * writer that holds the stream checkpoint): with concurrent writers
+    * the claim is the arbitration record and must stay burned. */
+  private[graft] def releaseClaim(spark: SparkSession, root: String,
+                                  version: Long): Unit =
+    fs(spark, root).delete(new Path(s"$root/_commits/$version.commit"), false)
+
   /** Stage → claim → publish commit protocol (exactly one writer wins
     * any version):
     *  1. data is written to a staging dir NEXT TO the table, never to
@@ -100,9 +109,17 @@ object VersionedTable {
     if (snapshot) f.create(new Path(staging, "_SNAPSHOT")).close()
     val claim = new Path(s"$root/_commits/$version.commit")
     f.mkdirs(claim.getParent)
+    // Lost-race detection must be SPECIFIC: only claim-already-exists is
+    // a concurrent winner. A transient IOException (quota, permission,
+    // network) must propagate — reporting it as ConcurrentCommitException
+    // would send the caller into a retry loop against a persistent error.
     val won =
       try { f.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if f.exists(claim) => false
+        case e: java.io.IOException => f.delete(staging, true); throw e
+      }
     if (!won) {
       f.delete(staging, true)
       throw new ConcurrentCommitException(

@@ -62,7 +62,15 @@ object CdcIngest {
     * fully-marked batch: leftovers of a crash between the data commits
     * and the last-batch marker. Replay then recommits the batch from
     * scratch, so version history carries each batch exactly once (the
-    * duplicate-commit window ADVICE r1 flagged). */
+    * duplicate-commit window ADVICE r1 flagged).
+    *
+    * The OCC claim (`_commits/N.commit`) is released along with each
+    * rolled-back data dir — otherwise the replayed batch would land at
+    * a HIGHER version number and the exactly-once-version-history
+    * contract above would break. Releasing is safe here (and only
+    * here) because the CDC drain is the single writer that owns the
+    * stream checkpoint, so no concurrent commit can be racing for the
+    * released number. */
   private[graft] def rollbackPartial(spark: SparkSession, root: String,
                               lastDone: Long): Unit = {
     val fs = markerPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -72,7 +80,10 @@ object CdcIngest {
         val in = fs.open(tag)
         val id = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
                  finally in.close()
-        if (id > lastDone) fs.delete(new Path(s"$root/v=$v"), true)
+        if (id > lastDone) {
+          fs.delete(new Path(s"$root/v=$v"), true)
+          VersionedTable.releaseClaim(spark, root, v)
+        }
       }
     }
   }

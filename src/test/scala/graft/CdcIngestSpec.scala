@@ -77,4 +77,72 @@ class CdcIngestSpec extends SparkSpecBase {
     assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
     assert(state(root) == Map(1L -> 1.0, 2L -> 2.0, 9L -> 9.5))
   }
+
+  test("rollback releases the OCC claim along with the data dir") {
+    GraftSession.tune(spark)
+    val s = spark
+    import s.implicits._
+    val base = GraftSession.scratch("cdc-claim")
+    val root = s"$base/tbl"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def claimExists(v: Long) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/_commits/$v.commit"))
+
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    val torn = VersionedTable.commitUpsert(spark, root,
+      Seq((2L, 2.0)).toDF("k", "v"))
+    CdcIngest.tagBatch(spark, root, torn, 5L)
+    assert(claimExists(torn))
+
+    // marker says batch 4 was the last complete one → v=torn is a
+    // leftover of crashed batch 5: both the dir AND the claim must go,
+    // so the recommit re-lands at the SAME version number
+    CdcIngest.rollbackPartial(spark, root, lastDone = 4L)
+    assert(!claimExists(torn))
+    assert(VersionedTable.versions(spark, root) == Seq(0L))
+    val again = VersionedTable.commitUpsert(spark, root,
+      Seq((2L, 2.5)).toDF("k", "v"))
+    assert(again == torn)
+  }
+
+  test("three-batch replay: crash at batch 2 of 3 keeps versions and marker monotonic") {
+    GraftSession.tune(spark)
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = GraftSession.scratch("cdc-3batch")
+    val root = s"$base/tbl"
+    val ck = s"$base/ck"
+
+    val ms = MemoryStream[(Long, Double, String)]
+    val stream = ms.toDF().toDF("k", "v", "op")
+
+    // batches 0 and 1 land cleanly
+    ms.addData((1L, 1.0, "U"), (2L, 2.0, "U"))
+    CdcIngest.runAvailable(spark, stream, root, Seq("k"), "op", ck)
+    ms.addData((3L, 3.0, "U"))
+    CdcIngest.runAvailable(spark, stream, root, Seq("k"), "op", ck)
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
+
+    // batch 2 crashes mid-flight: data committed + tagged, no marker
+    val torn = VersionedTable.commitUpsert(spark, root,
+      Seq((4L, 4.0)).toDF("k", "v"))
+    CdcIngest.tagBatch(spark, root, torn, 2L)
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
+
+    // the stream redelivers batch 2 (checkpoint never saw it finish),
+    // then batch 3 arrives: replay rolls the torn v=2 back, recommits
+    // it at v=2, and batch 3 lands at v=3 — consecutive, no burn
+    ms.addData((4L, 4.5, "U"))
+    CdcIngest.runAvailable(spark, stream, root, Seq("k"), "op", ck)
+    ms.addData((1L, 0.0, "D"))
+    CdcIngest.runAvailable(spark, stream, root, Seq("k"), "op", ck)
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L, 3L))
+    assert(state(root) == Map(2L -> 2.0, 3L -> 3.0, 4L -> 4.5))
+
+    // replaying with nothing new is still a no-op (marker monotonic)
+    CdcIngest.runAvailable(spark, stream, root, Seq("k"), "op", ck)
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L, 3L))
+  }
 }
