@@ -133,7 +133,13 @@ object AviCodec {
         }
         Some(out)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // ImageIO plugins throw RuntimeExceptions (IllegalArgument,
+      // ArrayIndexOutOfBounds, …) on malformed JPEG bytes, not just
+      // IOException — any decode failure is "torn stream, not a
+      // video", never a crash of the whole read
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Minimal uncompressed-DIB AVI bytes: RIFF(hdrl(avih,
     * strl(strh, strf)) + movi(00db…)). `frames` are bottom-up BGR24

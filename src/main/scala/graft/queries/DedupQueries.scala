@@ -224,7 +224,19 @@ object DedupQueries extends graft.QueryModule {
     * miss probability is (1−p¹⁶)⁸ ≈ 1e-9, so the survivors equal the
     * exact all-pairs result the oracle computes. `dedup_embedding`
     * stays as the τ=0.46 audit spec; this is the regime a 100 TB
-    * dedup actually runs in. */
+    * dedup actually runs in.
+    *
+    * Band geometry is chosen DRIVER-SIDE from the corpus size
+    * (`RhpLsh.chooseProdGeometry`: narrowest bandBits whose value
+    * space covers n, 8 bands — the geometry table is in
+    * docs/SCALE.md), like the n-gram path's adaptive prefix order; at
+    * the gate's 1 000 vectors that resolves to the same 128/16 the
+    * call site used to hard-code, and it widens to 256/32 at
+    * billion-row corpora instead of letting random band collisions go
+    * quadratic. Duplicate clusters larger than the bucket cap degrade
+    * to representative star-links rather than being dropped
+    * (RhpLsh.bucketJoin), so heavy-duplicate corpora — the exact case
+    * a production dedup exists for — still dedup fully. */
   def dedupEmbeddingProd(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
@@ -234,8 +246,11 @@ object DedupQueries extends graft.QueryModule {
       transform(col("embedding"), (x, i) =>
         x * (lit(1.0) + lit(0.02) * (i % 5 - lit(2)))).as("embedding"))
     val corpus = base.unionByName(planted)
+    // one metadata-only count (parquet row-group stats) sizes the
+    // geometry; at 100 TB the same number comes from table stats
+    val (nBits, bandBits) = graft.sim.RhpLsh.chooseProdGeometry(2 * base.count())
     val pairs = graft.sim.RhpLsh.nearDupPairs(corpus, "vec_id", "embedding",
-      threshold = 0.9, nBits = 128, bandBits = 16, roundTo = 4)
+      threshold = 0.9, nBits = nBits, bandBits = bandBits, roundTo = 4)
     corpus.select("vec_id")
       .join(pairs.select(col("b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
       .orderBy("vec_id")

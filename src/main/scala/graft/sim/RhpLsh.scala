@@ -96,6 +96,39 @@ object RhpLsh {
     (call_function("bit_count", z.bitwiseAND(-z) - 1) / bandBits).cast("int")
   }
 
+  /** All-pairs within at-cap buckets, star-links within over-cap ones.
+    *
+    * A bucket larger than `maxBucketSize` is, by the banding math, a
+    * dense duplicate cluster (random band collisions are ~n²/2^bandBits
+    * — sized to stay far below the cap), and all-pairs inside it is the
+    * one quadratic term the bucketed plan can hit. Dropping such
+    * buckets (the pre-r6 behavior) silently un-deduped exactly the
+    * heavy-duplicate clusters a production dedup targets. Instead each
+    * over-cap bucket DEGRADES: every member is linked to the bucket's
+    * minimum id, so candidate volume stays linear in bucket size and a
+    * keep-lowest-id dedup still removes every member that matches the
+    * representative. Exactness caveat: a member whose similarity to
+    * the representative falls below the verify threshold keeps only
+    * its star edge from this bucket (other bands may still pair it),
+    * so for clusters TIGHTER than the threshold — the case that
+    * produces over-cap buckets at all — the result equals all-pairs. */
+  private def bucketJoin(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window.partitionBy("band", "bval")
+    val sized = banded
+      .withColumn("__n", count(lit(1)).over(win))
+      .withColumn("__min", min(col("id")).over(win))
+    val small = sized.where(col("__n") <= maxBucketSize)
+    val l = small.select(col("band"), col("bval"), col("id").as("a"))
+    val r = small.select(col("band"), col("bval"), col("id").as("b"))
+    val allPairs = l.join(r, Seq("band", "bval"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+    val starPairs = sized.where(col("__n") > maxBucketSize)
+      .where(col("id") =!= col("__min"))
+      .select(col("__min").as("a"), col("id").as("b"))
+    allPairs.unionByName(starPairs).distinct()
+  }
+
   /** Candidate pairs from banded buckets: band b = bits
     * [b·bandBits, (b+1)·bandBits); equal band value → candidate.
     *
@@ -109,7 +142,8 @@ object RhpLsh {
     * which is exact and needs no dedup pass. With a bucket cap the
     * trick is unsafe — the first matching band may have been capped
     * away while a later one survived — so the capped path keeps
-    * distinct(). */
+    * distinct(), and over-cap buckets degrade to star-links
+    * ([[bucketJoin]]) instead of being dropped. */
   def candidatePairs(sigs: DataFrame, nBits: Int, bandBits: Int,
                      maxBucketSize: Int = 1000): DataFrame = {
     val nBands = nBits / bandBits
@@ -125,25 +159,15 @@ object RhpLsh {
         .where(col("a") < col("b"))
         .where(col("band") === firstMatchBand(col("siga"), col("sigb"), bandBits))
         .select("a", "b")
-    } else {
-      // cap boilerplate-dominated buckets (same guard as MinHashLSH)
-      val sized = banded.withColumn("__n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bval")))
-        .where(col("__n") <= maxBucketSize).drop("__n")
-      val l = sized.select(col("band"), col("bval"), col("id").as("a"), col("sig").as("siga"))
-      val r = sized.select(col("band"), col("bval"), col("id").as("b"), col("sig").as("sigb"))
-      l.join(r, Seq("band", "bval"))
-        .where(col("a") < col("b"))
-        .select("a", "b").distinct()
-    }
+    } else bucketJoin(banded.drop("sig"), maxBucketSize)
   }
 
   /** [[candidatePairs]] over wide (array-of-words) signatures:
     * `bandBits` must divide 64 so no band spans a word boundary; band
     * b reads bits [b·bandBits, …) of word b·bandBits/64. Keeps the
     * capped+distinct shape (the first-match trick is specific to
-    * single-word xor arithmetic). */
+    * single-word xor arithmetic); over-cap buckets degrade to
+    * star-links ([[bucketJoin]]). */
   def candidatePairsWide(sigs: DataFrame, nBits: Int, bandBits: Int,
                          maxBucketSize: Int = 1000): DataFrame = {
     require(64 % bandBits == 0, s"bandBits must divide 64, got $bandBits")
@@ -155,15 +179,24 @@ object RhpLsh {
         expr(s"shiftrightunsigned(element_at(sig, CAST(band div $perWord AS INT) + 1), " +
             s"CAST((band % $perWord) * $bandBits AS INT))")
           .bitwiseAND(lit((1L << bandBits) - 1)).as("bval"))
-    val sized = banded.withColumn("__n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "bval")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
-    val l = sized.select(col("band"), col("bval"), col("id").as("a"))
-    val r = sized.select(col("band"), col("bval"), col("id").as("b"))
-    l.join(r, Seq("band", "bval"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    bucketJoin(banded, maxBucketSize)
+  }
+
+  /** Driver-side band geometry for the production near-dup regime,
+    * chosen from corpus size the way `Shingles
+    * .prefixFilterCandidatesAdaptive` picks its prefix order: pick the
+    * narrowest bandBits ∈ {8, 16, 32} whose value space covers the
+    * corpus (2^bandBits ≥ n), so EXPECTED random-pair collisions per
+    * band value stay Θ(1) and candidate volume tracks true duplicate
+    * density; keep 8 bands (per-pair miss at the duplicate-regime
+    * per-bit collision p ≈ 0.99: (1 − p^bandBits)^8 — ≤ 4e-9 for
+    * bandBits 8, ≤ 2.4e-7 for 16, bounded by exact verify either way).
+    * Returns (nBits, bandBits); nBits = 8 × bandBits, so n ≤ 256 uses
+    * the single-word kernel and larger corpora the wide one.
+    * Geometry table: see docs/SCALE.md. */
+  def chooseProdGeometry(n: Long): (Int, Int) = {
+    val bandBits = Seq(8, 16, 32).find(b => (1L << b) >= n).getOrElse(32)
+    (8 * bandBits, bandBits)
   }
 
   /** End-to-end near-duplicate pairs at/above `threshold`: signature →

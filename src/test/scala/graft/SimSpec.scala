@@ -183,6 +183,38 @@ class SimSpec extends SparkSpecBase {
       s"missing exact-dup candidates: ${(wantPairs -- cands).take(5)}")
   }
 
+  test("duplicate cluster larger than the bucket cap still dedups fully (star-link degrade)") {
+    import graft.sim.RhpLsh
+    // 1 100 identical vectors — every band bucket exceeds the default
+    // cap of 1 000. Pre-r6 the capped path DROPPED those buckets, so
+    // exactly the heavy-duplicate cluster a production dedup targets
+    // went un-deduped (ADVICE r5); now it degrades to star-links
+    // against the bucket-min id and loses nothing.
+    val one = Tables.embeddings(spark, sfDir)
+      .where($"vec_id" === 0).select($"embedding")
+    val cluster = spark.range(1100).crossJoin(one)
+      .select($"id".as("vec_id"), $"embedding")
+    val others = Tables.embeddings(spark, sfDir)
+      .where($"vec_id" > 0 && $"vec_id" < 20)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding")
+    val corpus = cluster.unionByName(others)
+    val losers = RhpLsh.nearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, nBits = 128, bandBits = 16) // default cap 1000
+      .select($"b").distinct().as[Long].collect().toSet
+    assert(losers == (1L until 1100L).toSet,
+      s"cluster must collapse to vec_id 0: missing=${((1L until 1100L).toSet -- losers).take(5)} " +
+        s"extra=${(losers -- (1L until 1100L).toSet).take(5)}")
+  }
+
+  test("chooseProdGeometry widens bands with corpus size") {
+    import graft.sim.RhpLsh.chooseProdGeometry
+    assert(chooseProdGeometry(200L) == (64, 8))     // single-word kernel
+    assert(chooseProdGeometry(1000L) == (128, 16))  // the gate's corpus
+    assert(chooseProdGeometry(10000L) == (128, 16)) // 10x replica
+    assert(chooseProdGeometry(1000000000L) == (256, 32))
+    assert(chooseProdGeometry(Long.MaxValue) == (256, 32)) // clamped
+  }
+
   test("multimodal resize fits the box, preserves aspect, and never upscales") {
     import graft.multimodal.BinaryPipeline
     val docs = Tables.documents(spark, sfDir)
