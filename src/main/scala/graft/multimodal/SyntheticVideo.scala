@@ -57,4 +57,59 @@ object SyntheticVideo {
       .mapPartitions(_.grouped(batchSize).flatMap(_.map(id => (id, aviBytes(id)))))
       .toDF("doc_id", "payload")
   }
+
+  /** Wrap-free pixel pattern for the LOSSY clips: a gentle gradient
+    * that never leaves [0, 255], so JPEG error measures DCT rounding
+    * — codec fidelity — rather than ringing at the mod-256 cliffs of
+    * [[pixel]] (measured: the wrapping pattern rings to ±73 at
+    * quality 1.0; this one stays within ±4). */
+  def mjpgPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    (Math.floorMod(id, 32) + 2 * x + 4 * y + 3 * Math.floorMod(f.toLong, 8)).toInt
+
+  /** MJPG AVI bytes of the doc's clip: each frame a standalone JPEG
+    * at maximum encoder quality. JPEG is lossy, so the decode contract
+    * is BOUNDED pixel error against [[mjpgPixel]] (the mm_video_mjpg
+    * gate), not the exact checksum the DIB path gets. Frames are
+    * ACHROMATIC RGB (R = G = B), NOT TYPE_BYTE_GRAY: Java's gray type
+    * lives in a linear color space, so the JPEG writer gamma-converts
+    * the samples (2 → 22, 30 → 96 — a ±73 "error" that is color
+    * management, not codec loss); equal-channel RGB maps to Y = v with
+    * constant chroma, leaving only DCT rounding. */
+  def mjpgBytes(id: Long): Array[Byte] = {
+    val (w, h) = (width(id), height(id))
+    val frames = (0 until nFrames(id)).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, 0x010101 * mjpgPixel(id, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    AviCodec.writeMjpg(w, h, fps(id), frames)
+  }
+
+  /** (doc_id, payload) frame of real MJPG AVI bytes. */
+  def withMjpgPayload(ids: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map(id => (id, mjpgBytes(id)))))
+      .toDF("doc_id", "payload")
+  }
 }

@@ -64,6 +64,49 @@ object VideoPipeline {
     ds.toDF()
   }
 
+  final case class VideoFidelity(
+      doc_id: Long, media_type: String, width: Int, height: Int,
+      fps: Int, n_frames: Int, max_err: Int)
+
+  /** Decode-fidelity audit for LOSSY codecs (MJPG today; any FFI codec
+    * later): decode each clip and report the maximum absolute
+    * channel-0 error against a reference pattern `ref(id, frame, x,
+    * y)`. Lossless paths assert exact checksums ([[decodeVideo]]);
+    * lossy ones can only promise a bound, and this makes the bound a
+    * measured, gateable number instead of a claim. Undecodable
+    * payloads report max_err = -1 (distinct from 0 = bit-exact).
+    * Same narrow batched map-only shape as the decoders. */
+  def decodeFidelity(payloads: DataFrame, ref: (Long, Int, Int, Int) => Int,
+                     batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val ds: Dataset[VideoFidelity] = payloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+        val mt = BinaryPipeline.sniffMediaType(bytes)
+        AviCodec.read(bytes) match {
+          case Some(v) =>
+            var err = 0
+            v.frames.iterator.zipWithIndex.foreach { case (f, i) =>
+              var y = 0
+              while (y < v.height) {
+                var x = 0
+                while (x < v.width) {
+                  val d = math.abs(v.channel0(f, x, y) - ref(id, i, x, y))
+                  if (d > err) err = d
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            VideoFidelity(id, mt, v.width, v.height, v.fps, v.frames.size, err)
+          case None => VideoFidelity(id, mt, 0, 0, 0, 0, -1)
+        }
+      }))
+    ds.toDF()
+  }
+
   /** Batched per-partition frame extraction: one row per SAMPLED frame
     * (indexes 0, everyN, 2·everyN, …) with its own checksum and
     * timestamp — the real-decode version of the stub

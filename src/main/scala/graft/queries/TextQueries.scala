@@ -222,6 +222,34 @@ object TextQueries extends graft.QueryModule {
       |    AS BIGINT) AS frame_checksum
       |FROM fr ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** MJPG (JPEG-in-AVI) decode through the real ImageIO codec: exact
+    * container metadata plus a BOUNDED per-pixel fidelity check — the
+    * lossy-codec contract (a checksum gate like mm_video_decode's
+    * would pin encoder internals, not decode correctness). pix_ok
+    * folds the measured max abs error against the closed-form pattern
+    * into a boolean at the spec'd bound (≤ 8; observed 0 at encoder
+    * quality 1.0), which the oracle replays as TRUE — so any clip
+    * drifting past the bound, failing to decode (max_err = −1), or
+    * decoding to wrong dims flips the hash. */
+  def mmVideoMjpg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.documents(spark, sfDir).select("doc_id")
+    val payloads = graft.multimodal.SyntheticVideo.withMjpgPayload(ids)
+    graft.multimodal.VideoPipeline
+      .decodeFidelity(payloads, graft.multimodal.SyntheticVideo.mjpgPixel)
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("fps"), col("n_frames"),
+        (col("max_err") >= 0 && col("max_err") <= 8).as("pix_ok"))
+      .orderBy("doc_id")
+  }
+  val mmVideoMjpgSql: String =
+    """SELECT doc_id, 'video/avi' AS media_type,
+      |  CAST(16 + 4 * (doc_id % 4) AS INT) AS width,
+      |  CAST(8 + doc_id % 8 AS INT) AS height,
+      |  CAST(10 + doc_id % 5 AS INT) AS fps,
+      |  CAST(4 + doc_id % 6 AS INT) AS n_frames,
+      |  TRUE AS pix_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Real decode feeding the resize stage: the decoded (not claimed)
     * dimensions drive the aspect-preserving downscale. */
   def mmDecodeResize(spark: SparkSession, sfDir: String): DataFrame = {
@@ -564,6 +592,7 @@ object TextQueries extends graft.QueryModule {
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_video_decode" -> (mmVideoDecode _),
     "mm_video_frames" -> (mmVideoFrames _),
+    "mm_video_mjpg" -> (mmVideoMjpg _),
     "mm_decode_resize" -> (mmDecodeResize _),
     "mm_phash_decoded" -> (mmPhashDecoded _),
     "mm_resize" -> (mmResize _),
@@ -589,6 +618,7 @@ object TextQueries extends graft.QueryModule {
     "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_video_decode" -> mmVideoDecodeSql,
     "mm_video_frames" -> mmVideoFramesSql,
+    "mm_video_mjpg" -> mmVideoMjpgSql,
     "mm_decode_resize" -> mmDecodeResizeSql,
     "mm_phash_decoded" -> mmPhashDecodedSql,
     "mm_resize" -> mmResizeSql,
