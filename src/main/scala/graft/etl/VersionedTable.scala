@@ -141,6 +141,37 @@ object VersionedTable {
     publish(spark, root, df, snapshot, next)
   }
 
+  /** Run a commit thunk, retrying on [[ConcurrentCommitException]] up
+    * to `maxAttempts` total attempts — the optimistic-concurrency loop
+    * every multi-writer caller needs, provided once instead of
+    * hand-rolled (Delta's commitWithRetries). The thunk re-executes
+    * FROM SCRATCH each attempt, which is exactly right: version
+    * numbering re-lists the table, and state-dependent commits
+    * (compact, read-modify-write merges) re-read the winner's data
+    * before re-attempting. Retries stop at `maxAttempts` so a
+    * persistent conflict storm surfaces as the exception rather than
+    * an unbounded loop; anything that is NOT a lost commit race
+    * propagates immediately. This is the default entry for commits
+    * under possible write contention:
+    * {{{
+    * VersionedTable.commitWithRetry() {
+    *   VersionedTable.commitUpsert(spark, root, batch)
+    * }
+    * }}} */
+  def commitWithRetry[A](maxAttempts: Int = 5)(commit: => A): A = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    var attempt = 1
+    while (true) {
+      try return commit
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** v=0 full snapshot. */
   def init(spark: SparkSession, root: String, df: DataFrame): Long =
     write(spark, root, df.withColumn(Deleted, lit(false)), snapshot = true)

@@ -223,10 +223,20 @@ object ExtQueries extends graft.QueryModule {
       .withColumn("value", col("value") * 10)
     val fresh = spark.range(100)
       .select((col("id") + 2000000).as("event_id"), lit(5.0).as("value"))
-    VersionedTable.commitUpsert(spark, root, upd.unionByName(fresh))   // v1
-    VersionedTable.commitDelete(spark, root,
-      ev.where(col("event_id") % 5 === 0).select("event_id"))          // v2
-    VersionedTable.compact(spark, root, Seq("event_id"))               // v3
+    // commits go through the bounded-retry OCC loop — the default
+    // entry under possible write contention (a no-op when, as here,
+    // the writer is alone; raced deterministically in
+    // VersionedTableSpec)
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsert(spark, root, upd.unionByName(fresh)) // v1
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitDelete(spark, root,
+        ev.where(col("event_id") % 5 === 0).select("event_id"))        // v2
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.compact(spark, root, Seq("event_id"))             // v3
+    }
     (0L to 3L).map { v =>
       VersionedTable.readAsOf(spark, root, Seq("event_id"), v)
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))

@@ -70,6 +70,47 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(state(root, 2L)(2L) == 42.0)
   }
 
+  test("commitWithRetry: loser re-reads and lands on top of the winner") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    // deterministic two-writer interleave: attempt 1 plays the loser —
+    // it targets version 1, which the "other writer" has already
+    // claimed and published; the retry goes through the public path,
+    // re-lists the table (seeing the winner), and lands at version 2
+    VersionedTable.publish(spark, root,
+      Seq((2L, 2.0)).toDF("k", "v").withColumn("__deleted", lit(false)),
+      snapshot = false, version = 1L) // the winning concurrent writer
+    var attempts = 0
+    val v = VersionedTable.commitWithRetry(maxAttempts = 3) {
+      attempts += 1
+      if (attempts == 1)
+        VersionedTable.publish(spark, root,
+          Seq((3L, 3.0)).toDF("k", "v").withColumn("__deleted", lit(false)),
+          snapshot = false, version = 1L) // stale target → loses
+      else
+        VersionedTable.commitUpsert(spark, root, Seq((3L, 3.0)).toDF("k", "v"))
+    }
+    assert(attempts == 2 && v == 2L)
+    assert(state(root, 2L) == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+
+    // exhaustion: a thunk that always loses surfaces the exception
+    // after exactly maxAttempts tries
+    var tries = 0
+    val ex = intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commitWithRetry(maxAttempts = 2) {
+        tries += 1
+        VersionedTable.publish(spark, root,
+          Seq((9L, 9.0)).toDF("k", "v").withColumn("__deleted", lit(false)),
+          snapshot = false, version = 1L)
+      }
+    }
+    assert(tries == 2 && ex.getMessage.contains("version 1"))
+    // the failed attempts left no staging and no table damage
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
+  }
+
   test("a crashed claim burns its version number; readers never see it") {
     val s = spark
     import s.implicits._
