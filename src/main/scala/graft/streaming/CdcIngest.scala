@@ -47,12 +47,12 @@ object CdcIngest {
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Tag a committed version directory with the batch that produced it
-    * (underscore-prefixed → invisible to parquet readers, like
-    * _SNAPSHOT). */
+  /** Tag a committed version's data directory with the batch that
+    * produced it (underscore-prefixed → invisible to parquet
+    * readers). */
   private[graft] def tagBatch(spark: SparkSession, root: String, v: Long,
                        batchId: Long): Unit = {
-    val p = new Path(s"$root/v=$v/_cdc_batch")
+    val p = new Path(s"${VersionedTable.dataDir(spark, root, v)}/_cdc_batch")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
@@ -65,27 +65,36 @@ object CdcIngest {
     * duplicate-commit window ADVICE r1 flagged).
     *
     * The OCC claim (`_commits/N.commit`) is released along with each
-    * rolled-back data dir — otherwise the replayed batch would land at
+    * rolled-back commit — otherwise the replayed batch would land at
     * a HIGHER version number and the exactly-once-version-history
-    * contract above would break. Releasing is safe here (and only
-    * here) because the CDC drain is the single writer that owns the
-    * stream checkpoint, so no concurrent commit can be racing for the
-    * released number. */
+    * contract above would break. So are orphan claims with no
+    * manifest (a crash between claim and manifest, or between a
+    * previous rollback's manifest- and claim-deletion). Releasing is
+    * safe here (and only here) because the CDC drain is the single
+    * writer that owns the stream checkpoint, so no concurrent commit
+    * can be racing for the released numbers. */
   private[graft] def rollbackPartial(spark: SparkSession, root: String,
                               lastDone: Long): Unit = {
     val fs = markerPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     VersionedTable.versions(spark, root).foreach { v =>
-      val tag = new Path(s"$root/v=$v/_cdc_batch")
+      val dir = VersionedTable.dataDir(spark, root, v)
+      val tag = new Path(s"$dir/_cdc_batch")
       if (fs.exists(tag)) {
         val in = fs.open(tag)
         val id = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
                  finally in.close()
         if (id > lastDone) {
-          fs.delete(new Path(s"$root/v=$v"), true)
+          // manifest first (the version atomically disappears), then
+          // the claim, then data — every crash prefix is a state the
+          // next replay handles (orphan claim → the sweep below;
+          // orphan data dir → vacuumOrphans)
           VersionedTable.releaseClaim(spark, root, v)
+          fs.delete(new Path(dir), true)
         }
       }
     }
+    VersionedTable.unpublishedClaims(spark, root)
+      .foreach(VersionedTable.releaseClaim(spark, root, _))
   }
 
   /** Drain everything currently available on `stream` into the table

@@ -54,15 +54,13 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(losses.head.failed.get
       .isInstanceOf[VersionedTable.ConcurrentCommitException])
     // the table holds exactly the winner's rows — no interleaving, and
-    // the loser's staging is gone
+    // the loser's staged data dir is gone (every dir under data/ is
+    // referenced by a manifest)
     assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
     val v2 = state(root, 1L)(2L)
     assert(v2 == 2.0 || v2 == 999.0)
-    val leftover = new org.apache.hadoop.fs.Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-      .listStatus(new org.apache.hadoop.fs.Path(root))
-      .map(_.getPath.getName).filter(_.startsWith(".staging"))
-    assert(leftover.isEmpty, s"loser's staging must be cleaned: ${leftover.toSeq}")
+    val orphans = VersionedTable.vacuumOrphans(spark, root, olderThanMs = 0L)
+    assert(orphans.isEmpty, s"loser's staging must be cleaned: $orphans")
     // the loser retries on top of the winner (the optimistic-
     // concurrency contract) and lands as version 2
     assert(VersionedTable.commitUpsert(spark, root,
@@ -127,6 +125,36 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(VersionedTable.commitUpsert(spark, root,
       Seq((2L, 2.0)).toDF("k", "v")) == 2L)
     assert(state(root, 2L) == Map(1L -> 1.0, 2L -> 2.0))
+  }
+
+  test("data with no manifest is invisible to readers; vacuum reclaims it") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    // simulate a writer that crashed AFTER fully writing its data and
+    // claiming, but BEFORE the manifest landed — the exact torn state
+    // a non-atomic S3 directory rename used to expose to readers
+    Seq((2L, 666.0)).toDF("k", "v").withColumn("__deleted", lit(false))
+      .write.parquet(s"$root/data/v=1-torn-writer")
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$root/_commits/1.commit"),
+      false).close()
+    // readers resolve manifests, never data listings: the torn commit
+    // does not exist
+    assert(VersionedTable.versions(spark, root) == Seq(0L))
+    assert(state(root, 0L) == Map(1L -> 1.0))
+    // a young orphan is protected (could be an in-flight writer) …
+    assert(VersionedTable.vacuumOrphans(spark, root).isEmpty)
+    // … and reclaimed once past the retention horizon
+    assert(VersionedTable.vacuumOrphans(spark, root, olderThanMs = 0L)
+      == Seq("v=1-torn-writer"))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/data/v=1-torn-writer")))
+    // the burned claim still guards the number: next commit lands at 2
+    assert(VersionedTable.commitUpsert(spark, root,
+      Seq((3L, 3.0)).toDF("k", "v")) == 2L)
+    assert(state(root, 2L) == Map(1L -> 1.0, 3L -> 3.0))
   }
 
   test("re-inserting a deleted key resurrects it") {
