@@ -243,6 +243,54 @@ object ExtQueries extends graft.QueryModule {
         .select(lit(v).as("version"), col("n"), col("total"))
     }.reduce(_ unionByName _).orderBy("version")
   }
+  /** Change Data Feed over the versioned table (Delta's
+    * `readChangeFeed` / Iceberg's changelog scan): every row-level
+    * change in (v0, v3], tagged with its commit id and U/D op —
+    * snapshot commits (the v3 compaction) are excluded because they
+    * rewrite, not change. Built on the same commit history as
+    * [[vtTimeTravel]]; summarized per (version, op) so the gate output
+    * is scalar and deterministic. Downstream consumers (incremental
+    * materialized views, CDC fan-out) read deltas only — cost ∝
+    * changes, never table size. */
+  def vtChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtcf") + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    VersionedTable.init(spark, root, ev)                               // v0
+    val upd = ev.where(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") * 10)
+    val fresh = spark.range(100)
+      .select((col("id") + 2000000).as("event_id"), lit(5.0).as("value"))
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsert(spark, root, upd.unionByName(fresh)) // v1
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitDelete(spark, root,
+        ev.where(col("event_id") % 5 === 0).select("event_id"))        // v2
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.compact(spark, root, Seq("event_id"))             // v3
+    }
+    VersionedTable.readChangesBetween(spark, root, 0L, 3L)
+      .groupBy(col("__commit").as("version"), col("__op").as("op"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("total"))
+      .orderBy("version", "op")
+  }
+
+  val vtChangeFeedSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id, value * 10 AS value FROM ev WHERE event_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |delkeys AS (SELECT event_id FROM ev WHERE event_id % 5 = 0)
+      |SELECT 1 AS version, 'U' AS op, count(*) AS n,
+      |  round(sum(value), 2) AS total FROM v1rows
+      |UNION ALL
+      |SELECT 2, 'D', count(*), 0.0 FROM delkeys
+      |ORDER BY version, op""".stripMargin
+
   val vtSql: String =
     """WITH ev AS (SELECT event_id, value FROM events),
       |v1rows AS (
@@ -265,6 +313,7 @@ object ExtQueries extends graft.QueryModule {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vt_time_travel" -> (vtTimeTravel _),
+    "vt_change_feed" -> (vtChangeFeed _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
     "asof_join" -> (asofJoin _),
@@ -274,6 +323,7 @@ object ExtQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "vt_time_travel" -> vtSql,
+    "vt_change_feed" -> vtChangeFeedSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,
     "asof_join" -> asofSql,

@@ -37,6 +37,59 @@ object SketchQueries extends QueryModule {
        |  END AS kmv_distinct
        |FROM n JOIN mk USING (lang) ORDER BY lang""".stripMargin
 
+  private val OverlapK = 128 // pairwise-overlap KMV size: error ~ 9%
+
+  /** Cross-corpus overlap: word-bigram vocabulary overlap between
+    * language groups, estimated from per-group KMV sketches via the
+    * SIGMOD'07 set algebra (union closure + Jaccard numerator) — the
+    * 100 TB answer to "how much does corpus A share with corpus B"
+    * without ever joining the corpora: each group shrinks to k longs,
+    * and the comparison is a broadcast join over the sketch table. */
+  def corpusOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dedup.Shingles
+    val docs = Tables.documents(spark, sfDir)
+    // bind the token array before the shingle lambda (HOF re-eval pitfall)
+    val grams = docs
+      .select(col("lang"), Shingles.tokens(lower(col("text"))).as("__toks"))
+      .select(col("lang"),
+        explode(Shingles.shinglesFromTokens(col("__toks"), 2)).as("bg"))
+    val st = grams.groupBy("lang")
+      .agg(Sketches.kmvState(col("bg"), OverlapK).as("st"))
+    Sketches.overlapEstimates(st, "lang", "st", OverlapK)
+      .orderBy("lang_a", "lang_b")
+  }
+
+  val corpusOverlapSql: String =
+    s"""WITH t AS (
+       |  SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |w AS (
+       |  SELECT DISTINCT lang, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS hv
+       |  FROM (SELECT lang,
+       |          unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |        FROM t)),
+       |mk AS (SELECT lang, list_sort(list(hv))[1:$OverlapK] AS mins
+       |       FROM w GROUP BY lang),
+       |pairs AS (
+       |  SELECT a.lang AS lang_a, b.lang AS lang_b, a.mins AS ma, b.mins AS mb,
+       |    list_sort(list_distinct(a.mins || b.mins))[1:$OverlapK] AS mu
+       |  FROM mk a JOIN mk b ON a.lang < b.lang),
+       |est AS (
+       |  SELECT lang_a, lang_b,
+       |    CASE WHEN len(mu) < $OverlapK THEN len(mu)
+       |         ELSE CAST(floor(${OverlapK - 1}.0 * 1152921504606846976.0
+       |                         / greatest(mu[$OverlapK], 1)) AS BIGINT)
+       |    END AS union_est,
+       |    len(list_filter(mu,
+       |      x -> list_contains(ma, x) AND list_contains(mb, x))) AS overlap_k,
+       |    least($OverlapK, len(mu)) AS kk
+       |  FROM pairs)
+       |SELECT lang_a, lang_b, union_est, overlap_k,
+       |  CAST(floor(CAST(overlap_k AS DOUBLE) * union_est / kk) AS BIGINT)
+       |    AS inter_est
+       |FROM est ORDER BY lang_a, lang_b""".stripMargin
+
   private val CmDepth = 4  // hash rows
   private val CmWidth = 64 // counters per row
 
@@ -148,12 +201,14 @@ object SketchQueries extends QueryModule {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_kmv_distinct" -> (kmvDistinct _),
+    "sketch_corpus_overlap" -> (corpusOverlap _),
     "sketch_countmin_probe" -> (countminProbe _),
     "sketch_sampled_hitters" -> (sampledHitters _),
     "sketch_sampled_quantiles" -> (sampledQuantiles _))
 
   def oracles: Map[String, String] = Map(
     "sketch_kmv_distinct" -> kmvSql,
+    "sketch_corpus_overlap" -> corpusOverlapSql,
     "sketch_countmin_probe" -> countminSql,
     "sketch_sampled_hitters" -> sampledSql,
     "sketch_sampled_quantiles" -> sampledQuantilesSql)

@@ -55,4 +55,44 @@ object Sketches {
       .agg(count(lit(1)).as("n_rows"), kmvState(col(valueCol), k).as("__st"))
       .select(col(groupCol), col("n_rows"),
         kmvEstimate(col("__st"), k).as("kmv_distinct"))
+
+  /** KMV set algebra (Beyer et al., SIGMOD'07 §5): |A∪B| and |A∩B|
+    * estimates for every pair of per-group sketches.
+    *
+    * The union sketch is the k smallest of the merged min-sets
+    * (KMV's closure under union); the Jaccard numerator `overlap_k`
+    * counts union-sketch members present in BOTH input sketches, and
+    * |A∩B| ≈ overlap_k/k · |A∪B|. When the union holds fewer than k
+    * distinct hashes every figure is exact.
+    *
+    * Scale shape: the sketch table has one k-long array per group, so
+    * the pairwise comparison is a broadcast self-join over
+    * (groups choose 2) rows of O(k) state — the corpora themselves are
+    * never re-read or joined. All arithmetic is integer/floor
+    * (midpoint-free), replayed bit-for-bit by the SQL oracle.
+    *
+    * Input: `states(groupCol, stCol)` from [[kmvState]]; output:
+    * ({groupCol}_a, {groupCol}_b, union_est, overlap_k, inter_est)
+    * for every unordered pair a < b. */
+  def overlapEstimates(states: DataFrame, groupCol: String, stCol: String,
+                       k: Int): DataFrame = {
+    val a = states.select(col(groupCol).as(s"${groupCol}_a"), col(stCol).as("__sa"))
+    val b = states.select(col(groupCol).as(s"${groupCol}_b"), col(stCol).as("__sb"))
+    val paired = a.join(broadcast(b),
+        col(s"${groupCol}_a") < col(s"${groupCol}_b"))
+      // bind the union sketch to an attribute: it feeds three
+      // downstream expressions and would otherwise be re-evaluated
+      .withColumn("__mu",
+        slice(array_sort(array_union(col("__sa"), col("__sb"))), 1, k))
+    val overlapK =
+      size(array_intersect(col("__mu"), array_intersect(col("__sa"), col("__sb"))))
+    val kk = least(lit(k), size(col("__mu")))
+    paired
+      .withColumn("union_est", kmvEstimate(col("__mu"), k))
+      .withColumn("overlap_k", overlapK.cast("long"))
+      .withColumn("inter_est",
+        floor(col("overlap_k").cast("double") * col("union_est") / kk)
+          .cast("long"))
+      .drop("__sa", "__sb", "__mu")
+  }
 }

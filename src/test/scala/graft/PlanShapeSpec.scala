@@ -129,4 +129,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("partial_min_k_distinct"),
       s"map-side combine lost for min_k_distinct:\n$p")
   }
+
+  test("sketch_corpus_overlap shrinks corpora map-side; pairing broadcasts sketches") {
+    val p = planOf("sketch_corpus_overlap")
+    // each corpus must collapse to O(k) state before any exchange,
+    // and the all-pairs comparison must join the tiny sketch table
+    // via broadcast — the raw bigram stream never reaches the pairing
+    assert(p.contains("partial_min_k_distinct"),
+      s"map-side combine lost for kmv state:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"sketch pairing is not a broadcast join:\n$p")
+  }
 }

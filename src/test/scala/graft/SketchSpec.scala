@@ -58,6 +58,31 @@ class SketchSpec extends SparkSpecBase {
     assert(direct == merged)
   }
 
+  test("overlapEstimates: exact below k, close above k, pairs are a < b") {
+    val k = 64
+    // A = 1..30, B = 21..50 → |A∪B| = 50, |A∩B| = 10: below k, all exact
+    val small = ((1 to 30).map(i => ("a", s"v-$i")) ++
+      (21 to 50).map(i => ("b", s"v-$i"))).toDF("grp", "value")
+    val st = small.groupBy("grp")
+      .agg(Sketches.kmvState(col("value"), k).as("st"))
+    val exact = Sketches.overlapEstimates(st, "grp", "st", k)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(exact.toSeq == Seq(("a", "b", 50L, 10L, 10L)))
+
+    // X = 1..3000, Y = 2001..5000 → |X∪Y| = 5000, |X∩Y| = 1000:
+    // above k, estimates within 3/sqrt(k) relative error
+    val big = ((1 to 3000).map(i => ("x", s"v-$i")) ++
+      (2001 to 5000).map(i => ("y", s"v-$i"))).toDF("grp", "value")
+      .repartition(8)
+    val stBig = big.groupBy("grp")
+      .agg(Sketches.kmvState(col("value"), k).as("st"))
+    val est = Sketches.overlapEstimates(stBig, "grp", "st", k)
+      .as[(String, String, Long, Long, Long)].collect().head
+    val bound = 3.0 / math.sqrt(k)
+    assert(math.abs(est._3 - 5000.0) / 5000.0 < bound, s"union ${est._3}")
+    assert(math.abs(est._5 - 1000.0) / 1000.0 < 2 * bound, s"inter ${est._5}")
+  }
+
   test("count-min estimate dominates the exact count") {
     val got = queries.SketchQueries.countminProbe(spark, sfDir)
       .as[(String, Long, Long)].collect()
