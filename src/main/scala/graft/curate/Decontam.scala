@@ -33,4 +33,31 @@ object Decontam {
     corpusGrams.join(broadcast(benchGrams), "g")
       .groupBy(idCol).agg(count(lit(1)).as("hits"))
   }
+
+  /** Embedding-space decontamination: corpus rows whose vector has
+    * cosine ≥ `tau` to ANY benchmark vector — the semantic
+    * complement of the n-gram check above (catches paraphrased or
+    * reformatted benchmark leakage that shares no exact n-gram).
+    * Returns (id, hits, max_cos): how many benchmark vectors matched
+    * and the strongest match, both over cosines rounded to 4 decimals
+    * (the registry-wide cross-engine comparison contract).
+    *
+    * Scale shape: same as the n-gram path — the benchmark side is
+    * tiny, so it broadcasts and the corpus streams through a
+    * map-side cosine probe (one pass, no shuffle of corpus vectors);
+    * the only exchange is the per-id (count, max) partial aggregate.
+    * For benchmark sets too big to broadcast, pre-bucket both sides
+    * with [[graft.sim.RhpLsh]] and run this per bucket. */
+  def embeddingContaminated(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            tau: Double): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+    val b = bench.select(col(vecCol).as("__bv"))
+    c.crossJoin(broadcast(b))
+      .withColumn("__cos",
+        round(graft.sim.Similarity.cosine(col("__cv"), col("__bv")), 4))
+      .where(col("__cos") >= tau)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("hits"), max(col("__cos")).as("max_cos"))
+  }
 }

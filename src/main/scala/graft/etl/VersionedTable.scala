@@ -75,14 +75,44 @@ object VersionedTable {
   private def manifestPath(root: String, v: Long) =
     new Path(s"$root/_commits/$v.manifest")
 
+  /** Parsed manifests, keyed by absolute manifest path. A manifest is
+    * IMMUTABLE once its rename lands (the commit point), so a parsed
+    * entry stays valid for the life of the JVM — the only rewrite path
+    * is a SINGLE-WRITER [[releaseClaim]] + re-publish of the same
+    * version number, and both publish and releaseClaim maintain the
+    * cache. Multi-writer tables never rewrite a manifest (claims stay
+    * burned), so cross-process staleness cannot arise. At object-store
+    * scale this turns snapshot resolution from O(commits) GETs into
+    * one GET per manifest EVER (Delta caches parsed snapshots for the
+    * same reason); entries are three short lines each, and [[expire]]
+    * evicts what it deletes. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Commit]()
+
+  /** Evict every cached manifest under `root` — required only if a
+    * table is dropped out-of-band and re-created AT THE SAME PATH
+    * within one JVM (nothing in this module does that; version dirs
+    * carry a UUID so even re-published numbers never alias). */
+  def invalidateCache(root: String): Unit = {
+    val prefix = s"$root/_commits/"
+    manifestCache.keySet.removeIf(_.startsWith(prefix))
+  }
+
   private def readSmall(spark: SparkSession, p: Path): String = {
     val in = fs(spark, p.toString).open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
   }
 
-  /** All committed versions, ascending — ONE listing + one tiny read
-    * per manifest, all driver-side. */
+  private def parseManifest(spark: SparkSession, root: String, v: Long): Commit =
+    manifestCache.computeIfAbsent(manifestPath(root, v).toString, { _ =>
+      val lines = readSmall(spark, manifestPath(root, v)).linesIterator.toSeq
+      Commit(v, s"$root/${lines.head}", lines(1) == "snapshot=true")
+    })
+
+  /** All committed versions, ascending — ONE listing, then cached
+    * parses (a tiny read only for manifests this JVM has never seen),
+    * all driver-side. */
   private def commits(spark: SparkSession, root: String): Seq[Commit] = {
     val dir = new Path(s"$root/_commits")
     val f = fs(spark, root)
@@ -91,16 +121,11 @@ object VersionedTable {
       .map(_.getPath.getName)
       .filter(_.endsWith(".manifest"))
       .map(_.stripSuffix(".manifest").toLong).sorted
-      .map { v =>
-        val lines = readSmall(spark, manifestPath(root, v)).linesIterator.toSeq
-        Commit(v, s"$root/${lines.head}", lines(1) == "snapshot=true")
-      }
+      .map(v => parseManifest(spark, root, v))
   }
 
-  private def commitOf(spark: SparkSession, root: String, v: Long): Commit = {
-    val lines = readSmall(spark, manifestPath(root, v)).linesIterator.toSeq
-    Commit(v, s"$root/${lines.head}", lines(1) == "snapshot=true")
-  }
+  private def commitOf(spark: SparkSession, root: String, v: Long): Commit =
+    parseManifest(spark, root, v)
 
   /** Committed version ids, ascending (empty if uninitialized). */
   def versions(spark: SparkSession, root: String): Seq[Long] =
@@ -130,6 +155,8 @@ object VersionedTable {
     val f = fs(spark, root)
     f.delete(manifestPath(root, version), false)
     f.delete(new Path(s"$root/_commits/$version.commit"), false)
+    // the released number may be re-published with a different data dir
+    manifestCache.remove(manifestPath(root, version).toString)
   }
 
   /** Absolute data directory of committed version `v` (CDC tagging
@@ -204,6 +231,9 @@ object VersionedTable {
       throw new IllegalStateException(
         s"failed to publish manifest for version $version of $root")
     }
+    // the writer already knows the parse — its next read needs no GET
+    manifestCache.put(manifestPath(root, version).toString,
+      Commit(version, s"$root/$rel", snapshot))
     version
   }
 
@@ -334,6 +364,7 @@ object VersionedTable {
     removable.foreach { c =>
       f.delete(manifestPath(root, c.v), false)
       f.delete(new Path(c.dir), true)
+      manifestCache.remove(manifestPath(root, c.v).toString)
     }
     removable.map(_.v)
   }

@@ -217,7 +217,43 @@ object CurateQueries extends graft.QueryModule {
       |      FROM documents LEFT JOIN clu c ON documents.doc_id = c.id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Embedding-space decontamination: the pseudo-benchmark is every
+    * 25th corpus vector, mildly perturbed per-coordinate (×0.99/1.00/
+    * 1.01 cycling) so it is a PARAPHRASE stand-in — near its corpus
+    * original in cosine (~0.9999) but not byte-equal, exactly the
+    * leakage the n-gram check (`curate_decontam`) cannot see. τ=0.95
+    * flags the originals (and any natural neighbor that close); the
+    * oracle replays the same broadcast-probe semantics in SQL. */
+  def curateDecontamEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val bench = base.where(col("vec_id") % 25 === 0)
+      .select(transform(col("embedding"), (x, i) =>
+        x * (lit(1.0) + lit(0.01) * (i % 3 - lit(1)))).as("embedding"))
+    Decontam.embeddingContaminated(base, bench, "vec_id", "embedding", tau = 0.95)
+      .orderBy("vec_id")
+  }
+  val decontamEmbeddingSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT list_transform(generate_series(1, len(v)),
+      |    j -> v[j] * (1.0 + 0.01 * ((j - 1) % 3 - 1))) AS bv
+      |  FROM e WHERE vec_id % 25 = 0),
+      |p AS (
+      |  SELECT e.vec_id,
+      |    round(list_sum(list_transform(generate_series(1, len(e.v)),
+      |        i -> e.v[i] * b.bv[i]))
+      |      / (sqrt(list_sum(list_transform(e.v, y -> y * y)))
+      |         * sqrt(list_sum(list_transform(b.bv, y -> y * y)))), 4) AS c
+      |  FROM e CROSS JOIN b)
+      |SELECT vec_id, count(*) AS hits, max(c) AS max_cos
+      |FROM p WHERE c >= 0.95 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_decontam_embedding" -> (curateDecontamEmbedding _),
     "curate_cluster_split" -> (curateClusterSplit _),
     "curate_mix" -> (curateMix _),
     "curate_pipeline" -> (curatePipeline _),
@@ -227,6 +263,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_pack" -> (curatePack _))
 
   def oracles: Map[String, String] = Map(
+    "curate_decontam_embedding" -> decontamEmbeddingSql,
     "curate_cluster_split" -> clusterSplitSql,
     "curate_mix" -> mixSql,
     "curate_pipeline" -> pipelineSql,

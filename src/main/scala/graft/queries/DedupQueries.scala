@@ -475,7 +475,59 @@ object DedupQueries extends graft.QueryModule {
        |GROUP BY a, b HAVING count(*) >= 2
        |ORDER BY a, b""".stripMargin
 
+  /** URL-level dedup over a synthetic crawl column: each doc gets a
+    * deterministic URL exercising every spelling variant the
+    * canonicalizer collapses (scheme case, `www.`, host case, `utm_*`
+    * tracking params, trailing slash), then docs are grouped by
+    * canonical URL — keep-lowest-id, the cheapest first dedup pass of
+    * a web corpus (URL match before any content hash). Entirely
+    * built-in expressions ([[graft.functions.UrlFns]]) — the
+    * canonicalize + group plan is one codegen stage + one exchange on
+    * the canonical key. */
+  def dedupUrl(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val url = concat(
+      when(col("doc_id") % 3 === 1, lit("HTTP://")).otherwise(lit("https://")),
+      when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".example.com/p/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("?utm_source=feed"))
+        .when(col("doc_id") % 3 === 1, lit("?utm_campaign=c&utm_medium=m"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 3 === 2 && col("doc_id") % 4 === 0, lit("/"))
+        .otherwise(lit("")))
+    docs.withColumn("canonical_url", graft.functions.UrlFns.canonicalizeUrl(url))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("canonical_url")
+  }
+  val dedupUrlSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 3 = 1 THEN 'HTTP://' ELSE 'https://' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+      |    '.example.com/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+      |          WHEN doc_id % 3 = 1 THEN '?utm_campaign=c&utm_medium=m'
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 2 AND doc_id % 4 = 0 THEN '/' ELSE '' END)
+      |      AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(regexp_extract(url,
+      |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') ||
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+      |        'utm_[A-Za-z0-9_]*=[^&#]*&?', '', 'g'),
+      |        '[?&]$', ''), '/$', '') AS canonical_url
+      |  FROM u)
+      |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_docs
+      |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url" -> (dedupUrl _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_span_pairs" -> (dedupSpanPairs _),
@@ -492,6 +544,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_url" -> dedupUrlSql,
     "dedup_incremental_minhash" -> dedupIncMinhashSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_span_pairs" -> dedupSpanPairsSql,

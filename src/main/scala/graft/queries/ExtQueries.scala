@@ -291,6 +291,101 @@ object ExtQueries extends graft.QueryModule {
       |SELECT 2, 'D', count(*), 0.0 FROM delkeys
       |ORDER BY version, op""".stripMargin
 
+  /** Schema evolution across commits (Delta mergeSchema): v1 ADDS a
+    * `tag` column the v0 snapshot never had; merge-on-read unions by
+    * name, so pre-evolution rows read `tag` as null, and the
+    * post-evolution delete (v2) borrows the WIDENED schema for its
+    * tombstones. The gate aggregates the final state per tag — the
+    * null group is the un-evolved remainder, coalesced to '__base'
+    * so the group key is deterministic across engines. */
+  def vtSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtse") + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    VersionedTable.init(spark, root, ev)                               // v0
+    val widened = ev.where(col("event_id") % 6 === 0)
+      .withColumn("value", col("value") * 2)
+      .withColumn("tag", concat(lit("t"), (col("event_id") % 4).cast("string")))
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsert(spark, root, widened)                // v1 +tag
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitDelete(spark, root,
+        ev.where(col("event_id") % 10 === 0).select("event_id"))       // v2
+    }
+    VersionedTable.readLatest(spark, root, Seq("event_id"))
+      .groupBy(coalesce(col("tag"), lit("__base")).as("tag"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("tag")
+  }
+  val vtSchemaEvolutionSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1 AS (
+      |  SELECT event_id, value * 2 AS value,
+      |    't' || CAST(event_id % 4 AS VARCHAR) AS tag
+      |  FROM ev WHERE event_id % 6 = 0),
+      |merged AS (
+      |  SELECT e.event_id,
+      |    CASE WHEN v1.event_id IS NOT NULL THEN v1.value ELSE e.value END AS value,
+      |    v1.tag AS tag
+      |  FROM ev e LEFT JOIN v1 ON e.event_id = v1.event_id),
+      |live AS (SELECT * FROM merged WHERE event_id % 10 <> 0)
+      |SELECT coalesce(tag, '__base') AS tag, count(*) AS n,
+      |  round(sum(value), 2) AS total
+      |FROM live GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The table history view (Delta DESCRIBE HISTORY): one row per
+    * commit with version, snapshot flag and PHYSICAL row count
+    * (tombstones included — history reports what each commit wrote,
+    * not live state). Runs the [[vtTimeTravel]] lifecycle, then gates
+    * `VersionedTable.history`, which counts every version in ONE
+    * unioned job. */
+  def vtHistory(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vth") + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    VersionedTable.init(spark, root, ev)                               // v0
+    val upd = ev.where(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") * 10)
+    val fresh = spark.range(100)
+      .select((col("id") + 2000000).as("event_id"), lit(5.0).as("value"))
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsert(spark, root, upd.unionByName(fresh)) // v1
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitDelete(spark, root,
+        ev.where(col("event_id") % 5 === 0).select("event_id"))        // v2
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.compact(spark, root, Seq("event_id"))             // v3
+    }
+    VersionedTable.history(spark, root).orderBy("version")
+  }
+  val vtHistorySql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id, value * 10 AS value FROM ev WHERE event_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |v2keys AS (SELECT event_id FROM ev WHERE event_id % 5 = 0),
+      |liverows AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |live AS (
+      |  SELECT * FROM liverows
+      |  WHERE event_id >= 2000000 OR event_id % 5 <> 0)
+      |SELECT 0 AS version, TRUE AS is_snapshot, count(*) AS n_rows FROM ev
+      |UNION ALL
+      |SELECT 1, FALSE, count(*) FROM v1rows
+      |UNION ALL
+      |SELECT 2, FALSE, count(*) FROM v2keys
+      |UNION ALL
+      |SELECT 3, TRUE, count(*) FROM live
+      |ORDER BY version""".stripMargin
+
   val vtSql: String =
     """WITH ev AS (SELECT event_id, value FROM events),
       |v1rows AS (
@@ -314,6 +409,8 @@ object ExtQueries extends graft.QueryModule {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vt_time_travel" -> (vtTimeTravel _),
     "vt_change_feed" -> (vtChangeFeed _),
+    "vt_schema_evolution" -> (vtSchemaEvolution _),
+    "vt_history" -> (vtHistory _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
     "asof_join" -> (asofJoin _),
@@ -324,6 +421,8 @@ object ExtQueries extends graft.QueryModule {
   def oracles: Map[String, String] = Map(
     "vt_time_travel" -> vtSql,
     "vt_change_feed" -> vtChangeFeedSql,
+    "vt_schema_evolution" -> vtSchemaEvolutionSql,
+    "vt_history" -> vtHistorySql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,
     "asof_join" -> asofSql,

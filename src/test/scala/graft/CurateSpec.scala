@@ -71,6 +71,27 @@ class CurateSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 1L), (3L, 3L)))
   }
 
+  test("embeddingContaminated flags exactly the planted near-bench vectors") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),   // exact bench direction
+      (2L, Seq(0.99, 0.14, 0.0)), // ~0.990 cosine to bench 1 — above τ
+      (3L, Seq(0.0, 1.0, 0.0)),   // orthogonal
+      (4L, Seq(-1.0, 0.0, 0.0)),  // opposite
+      (5L, Seq(0.6, 0.0, 0.8))    // 0.6 cosine — below τ
+    ).toDF("id", "vec")
+    val bench = Seq(
+      (10L, Seq(2.0, 0.0, 0.0))   // scaled copy of the x-axis
+    ).toDF("id", "vec")
+    val out = Decontam.embeddingContaminated(corpus, bench, "id", "vec", tau = 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq((1L, 1L), (2L, 1L)))
+    assert(out(0)._3 == 1.0)
+    assert(out(1)._3 > 0.98 && out(1)._3 < 1.0)
+  }
+
   test("nextFitPack: exact next-fit bins on a single partition") {
     val s = spark
     import s.implicits._

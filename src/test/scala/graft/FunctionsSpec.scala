@@ -15,6 +15,26 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got(2) == "")
   }
 
+  test("canonicalizeUrl collapses scheme/www/host-case/utm/trailing-slash variants") {
+    val urls = Seq(
+      "https://www.Site.example.com/Page/1",         // host case + www
+      "HTTP://site.example.com/Page/1/",             // scheme case + slash
+      "https://site.example.com/Page/1?utm_source=feed",
+      "https://site.example.com/Page/1?utm_campaign=c&utm_medium=m",
+      "https://site.example.com/Page/1?real=kept&utm_source=x",
+      "https://site.example.com/PAGE/1",             // path case KEPT
+      "not a url")
+    val got = urls.toDF("u")
+      .select(UrlFns.canonicalizeUrl($"u")).as[String].collect()
+    assert(got(0) == "site.example.com/Page/1")
+    assert(got(1) == "site.example.com/Page/1")
+    assert(got(2) == "site.example.com/Page/1")
+    assert(got(3) == "site.example.com/Page/1")
+    assert(got(4) == "site.example.com/Page/1?real=kept")
+    assert(got(5) == "site.example.com/PAGE/1") // distinct: path is case-sensitive
+    assert(got(6) == "")
+  }
+
   test("skewedValuesToStr length-prefixes and skips nulls") {
     val df = Seq((1, Seq("ab", null, "c"))).toDF("id", "arr")
     val got = df.select(StringFns.skewedValuesToStr($"arr")).as[String].head()

@@ -30,6 +30,31 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
   }
 
+  test("manifests are cached once published; invalidateCache forces re-resolution") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    VersionedTable.commitUpsert(spark, root, Seq((2L, 20.0)).toDF("k", "v"))
+    assert(state(root, 1L) == Map(1L -> 1.0, 2L -> 20.0))
+    // corrupt the v=1 manifest CONTENT behind the cache: the listing
+    // still sees the version (listings stay authoritative), but its
+    // parse must be served from cache — proof the content GET is
+    // actually skipped, not merely harmless
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$root/_commits/1.manifest")
+    val f = p.getFileSystem(conf)
+    val out = f.create(p, true)
+    try out.write("data/v=1-GARBAGE\nsnapshot=maybe".getBytes("UTF-8"))
+    finally out.close()
+    assert(state(root, 1L) == Map(1L -> 1.0, 2L -> 20.0))
+    // eviction forces re-resolution: the corrupted dir pointer now
+    // surfaces (reads resolve to a data dir that does not exist)
+    VersionedTable.invalidateCache(root)
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
+    intercept[Exception] { state(root, 1L) }
+  }
+
   test("two writers racing the same version: exactly one wins, loser fails atomically") {
     val s = spark
     import s.implicits._
