@@ -291,6 +291,98 @@ object ExtQueries extends graft.QueryModule {
       |SELECT 2, 'D', count(*), 0.0 FROM delkeys
       |ORDER BY version, op""".stripMargin
 
+  private def vtLifecycle(spark: SparkSession, sfDir: String,
+                          tag: String): String = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch(tag) + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    VersionedTable.init(spark, root, ev)                               // v0
+    val upd = ev.where(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") * 10)
+    val fresh = spark.range(100)
+      .select((col("id") + 2000000).as("event_id"), lit(5.0).as("value"))
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsert(spark, root, upd.unionByName(fresh)) // v1
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitDelete(spark, root,
+        ev.where(col("event_id") % 5 === 0).select("event_id"))        // v2
+    }
+    root
+  }
+
+  /** Change feed with ROW IMAGES (Delta CDF parity): v1's updates emit
+    * their prior row (`U_pre`) alongside the new one (`U_post`), new
+    * keys emit `I`, and v2's deletes emit the LIVE ROW they removed
+    * (`D` carries the prior value, not the null-filled tombstone).
+    * Summarized per (version, op) so the gate is scalar and exact —
+    * the oracle recomputes each image class from the base table. */
+  def vtChangeFeedImages(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = vtLifecycle(spark, sfDir, "vtcfi")
+    VersionedTable.readChangesWithImages(spark, root, Seq("event_id"), 0L, 2L)
+      .groupBy(col("__commit").as("version"), col("__op").as("op"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("version", "op")
+  }
+  val vtChangeFeedImagesSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |upd AS (SELECT event_id, value FROM ev WHERE event_id % 7 = 0),
+      |del AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev WHERE event_id % 5 = 0)
+      |SELECT 1 AS version, 'I' AS op, 100 AS n, 500.0 AS total
+      |UNION ALL
+      |SELECT 1, 'U_pre', count(*), round(sum(value), 2) FROM upd
+      |UNION ALL
+      |SELECT 1, 'U_post', count(*), round(sum(value * 10), 2) FROM upd
+      |UNION ALL
+      |SELECT 2, 'D', count(*), round(sum(value), 2) FROM del
+      |ORDER BY version, op""".stripMargin
+
+  /** Incremental materialized-view maintenance from the image feed:
+    * the MV (per-group count + sum) is computed as v0's aggregate plus
+    * DELTA CONTRIBUTIONS only — `I`/`U_post` add their row, `D`/
+    * `U_pre` subtract theirs — never re-reading the final table. The
+    * oracle computes the final state DIRECTLY, so any error in the
+    * image classes or the delta algebra surfaces as a mismatch. This
+    * is the 100 TB shape for downstream aggregates: cost ∝ changes,
+    * not table size. */
+  def etlIncrementalMv(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = vtLifecycle(spark, sfDir, "vtmv")
+    val grp = (col("event_id") % 10).as("grp")
+    val base = VersionedTable.readAsOf(spark, root, Seq("event_id"), 0L)
+      .select(grp, col("value").as("dv"), lit(1L).as("dn"))
+    val deltas = VersionedTable
+      .readChangesWithImages(spark, root, Seq("event_id"), 0L, 2L)
+      .where(col("__commit") > 0)
+      .select(grp,
+        when(col("__op").isin("I", "U_post"), col("value"))
+          .otherwise(-col("value")).as("dv"),
+        when(col("__op") === "I", 1L)
+          .when(col("__op") === "D", -1L).otherwise(0L).as("dn"))
+    base.unionByName(deltas)
+      .groupBy("grp")
+      .agg(sum("dn").as("n"), round(sum("dv"), 2).as("total"))
+      .orderBy("grp")
+  }
+  val etlIncrementalMvSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |live AS (
+      |  SELECT * FROM v1rows
+      |  WHERE event_id >= 2000000 OR event_id % 5 <> 0)
+      |SELECT event_id % 10 AS grp, count(*) AS n,
+      |  round(sum(value), 2) AS total
+      |FROM live GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Schema evolution across commits (Delta mergeSchema): v1 ADDS a
     * `tag` column the v0 snapshot never had; merge-on-read unions by
     * name, so pre-evolution rows read `tag` as null, and the
@@ -411,6 +503,8 @@ object ExtQueries extends graft.QueryModule {
     "vt_change_feed" -> (vtChangeFeed _),
     "vt_schema_evolution" -> (vtSchemaEvolution _),
     "vt_history" -> (vtHistory _),
+    "vt_change_feed_images" -> (vtChangeFeedImages _),
+    "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
     "asof_join" -> (asofJoin _),
@@ -423,6 +517,8 @@ object ExtQueries extends graft.QueryModule {
     "vt_change_feed" -> vtChangeFeedSql,
     "vt_schema_evolution" -> vtSchemaEvolutionSql,
     "vt_history" -> vtHistorySql,
+    "vt_change_feed_images" -> vtChangeFeedImagesSql,
+    "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,
     "asof_join" -> asofSql,
