@@ -56,7 +56,11 @@ object Decontam {
     c.crossJoin(broadcast(b))
       .withColumn("__cos",
         round(graft.sim.Similarity.cosine(col("__cv"), col("__bv")), 4))
-      .where(col("__cos") >= tau)
+      // zero-norm vectors give 0/0 = NaN, and Spark orders NaN above
+      // every double, so an unguarded `>= tau` would flag them as
+      // contaminated (with max_cos = NaN, which DuckDB hashes
+      // differently). A zero vector has no direction — never a match.
+      .where(!isnan(col("__cos")) && col("__cos") >= tau)
       .groupBy(idCol)
       .agg(count(lit(1)).as("hits"), max(col("__cos")).as("max_cos"))
   }

@@ -75,6 +75,13 @@ object VersionedTable {
   private def manifestPath(root: String, v: Long) =
     new Path(s"$root/_commits/$v.manifest")
 
+  /** Cache key for a manifest: the FULLY-QUALIFIED URI, so two
+    * spellings of the same location (`/t` vs `file:/t`, trailing
+    * slash) hit the same entry instead of silently forking the cache
+    * (and escaping [[invalidateCache]]'s prefix match). */
+  private def cacheKey(spark: SparkSession, root: String, v: Long): String =
+    fs(spark, root).makeQualified(manifestPath(root, v)).toUri.toString
+
   /** Parsed manifests, keyed by absolute manifest path. A manifest is
     * IMMUTABLE once its rename lands (the commit point), so a parsed
     * entry stays valid for the life of the JVM — the only rewrite path
@@ -92,9 +99,16 @@ object VersionedTable {
   /** Evict every cached manifest under `root` — required only if a
     * table is dropped out-of-band and re-created AT THE SAME PATH
     * within one JVM (nothing in this module does that; version dirs
-    * carry a UUID so even re-published numbers never alias). */
-  def invalidateCache(root: String): Unit = {
-    val prefix = s"$root/_commits/"
+    * carry a UUID so even re-published numbers never alias). Keys are
+    * matched on the qualified URI, so any spelling of `root` evicts
+    * the same entries. Note the cache's no-cross-process-staleness
+    * guarantee leans on the [[releaseClaim]] single-writer contract:
+    * a releaseClaim + re-publish must happen in the JVM that owns the
+    * table (the CDC drain), never in a different process than a
+    * reader that already cached that version's manifest. */
+  def invalidateCache(spark: SparkSession, root: String): Unit = {
+    val prefix = fs(spark, root)
+      .makeQualified(new Path(s"$root/_commits")).toUri.toString + "/"
     manifestCache.keySet.removeIf(_.startsWith(prefix))
   }
 
@@ -105,7 +119,7 @@ object VersionedTable {
   }
 
   private def parseManifest(spark: SparkSession, root: String, v: Long): Commit =
-    manifestCache.computeIfAbsent(manifestPath(root, v).toString, { _ =>
+    manifestCache.computeIfAbsent(cacheKey(spark, root, v), { _ =>
       val lines = readSmall(spark, manifestPath(root, v)).linesIterator.toSeq
       Commit(v, s"$root/${lines.head}", lines(1) == "snapshot=true")
     })
@@ -156,7 +170,7 @@ object VersionedTable {
     f.delete(manifestPath(root, version), false)
     f.delete(new Path(s"$root/_commits/$version.commit"), false)
     // the released number may be re-published with a different data dir
-    manifestCache.remove(manifestPath(root, version).toString)
+    manifestCache.remove(cacheKey(spark, root, version))
   }
 
   /** Absolute data directory of committed version `v` (CDC tagging
@@ -232,7 +246,7 @@ object VersionedTable {
         s"failed to publish manifest for version $version of $root")
     }
     // the writer already knows the parse — its next read needs no GET
-    manifestCache.put(manifestPath(root, version).toString,
+    manifestCache.put(cacheKey(spark, root, version),
       Commit(version, s"$root/$rel", snapshot))
     version
   }
@@ -368,7 +382,22 @@ object VersionedTable {
     * commit's preimages are one semi-join of the prior snapshot
     * (merge-on-read, bounded by compaction cadence) against the
     * commit's key set. Writes stay image-free and cheap; pay the
-    * preimage cost only when a consumer actually wants images. */
+    * preimage cost only when a consumer actually wants images.
+    * The prior snapshot is REBUILT per commit via `readAsOf(v-1)`, so
+    * a range of R commits over a merge-on-read chain of depth C scans
+    * O(R × C) version dirs — heavier than [[readChangesBetween]]'s
+    * cost-proportional-to-changes. That is the intended trade for a
+    * lazy, cache-free plan: CDF-with-images consumers poll SMALL
+    * ranges (since the last drain), and compaction cadence bounds C;
+    * for a large backfill range, prefer `readChangesBetween` + a
+    * consumer-side merge, or compact first so C collapses to 1.
+    *
+    * Commits are homogeneous by construction ([[commitUpsert]] forces
+    * `__deleted=false` on every row, [[commitDelete]] forces true), so
+    * no commit can hold a tombstone AND a live row for one key; if a
+    * hand-built commit ever did, the tombstone wins here (the live row
+    * is ignored) rather than emitting a contradictory `D` + `U_post`
+    * pair for a key whose net state did not change. */
   def readChangesWithImages(spark: SparkSession, root: String,
                             keyCols: Seq[String],
                             fromV: Long, toV: Long): DataFrame = {
@@ -393,7 +422,11 @@ object VersionedTable {
             when(col("__is_del"), lit("D")).otherwise(lit("U_pre")))
           .drop("__is_del")
         val hadPrior = preImgs.select(key: _*).withColumn("__had", lit(true))
+        // tombstone-wins guard: drop live rows whose key the SAME
+        // commit also tombstones (unreachable via the public commit
+        // APIs — see doc; empty anti-join side for real commits)
         val post = delta.where(!col(Deleted)).drop(Deleted)
+          .join(delKeys.select(key: _*), keyCols, "left_anti")
           .join(hadPrior, keyCols, "left_outer")
           .withColumn("__op",
             when(col("__had"), lit("U_post")).otherwise(lit("I")))
@@ -419,7 +452,7 @@ object VersionedTable {
     removable.foreach { c =>
       f.delete(manifestPath(root, c.v), false)
       f.delete(new Path(c.dir), true)
-      manifestCache.remove(manifestPath(root, c.v).toString)
+      manifestCache.remove(cacheKey(spark, root, c.v))
     }
     removable.map(_.v)
   }

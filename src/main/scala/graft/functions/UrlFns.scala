@@ -33,7 +33,18 @@ object UrlFns {
     val host = regexp_replace(
       lower(regexp_extract(url, SchemeHost, 1)), "^www\\.", "")
     val rest = regexp_extract(url, AfterHost, 1)
-    val noUtm = regexp_replace(rest, "utm_[A-Za-z0-9_]*=[^&#]*&?", "")
+    // Strip utm_* params anchored to a real param boundary ('?' or
+    // '&') so 'utm_' as a SUBSTRING of another param name
+    // ('?xutm_source=1', '&myutm_b=2') is never touched. Three passes
+    // because a single regex that consumes the trailing '&' skips
+    // consecutive utm params: (1) every non-leading '&utm_…' param
+    // consumes its own '&' (consecutive ones each match); (2) a
+    // leading '?utm_…&' hands its '?' to the next param; (3) a
+    // leading '?utm_…' that is the sole param drops with the '?',
+    // preserving any '#fragment'.
+    val noAmpUtm = regexp_replace(rest, "&utm_[A-Za-z0-9_]*=[^&#]*", "")
+    val noLeadUtm = regexp_replace(noAmpUtm, "\\?utm_[A-Za-z0-9_]*=[^&#]*&", "?")
+    val noUtm = regexp_replace(noLeadUtm, "\\?utm_[A-Za-z0-9_]*=[^&#]*(#|$)", "$1")
     val noDangle = regexp_replace(noUtm, "[?&]$", "")
     val noSlash = regexp_replace(noDangle, "/$", "")
     when(host === "", lit("")).otherwise(concat(host, noSlash))

@@ -518,9 +518,13 @@ object DedupQueries extends graft.QueryModule {
       |  SELECT doc_id,
       |    regexp_replace(lower(regexp_extract(url,
       |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') ||
-      |    regexp_replace(regexp_replace(regexp_replace(
+      |    -- utm strip mirrors UrlFns.canonicalizeUrl: boundary-anchored,
+      |    -- three passes (non-leading &utm_ / leading ?utm_..& / sole ?utm_)
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
-      |        'utm_[A-Za-z0-9_]*=[^&#]*&?', '', 'g'),
+      |        '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g'),
+      |        '\?utm_[A-Za-z0-9_]*=[^&#]*&', '?'),
+      |        '\?utm_[A-Za-z0-9_]*=[^&#]*(#|$)', '\1'),
       |        '[?&]$', ''), '/$', '') AS canonical_url
       |  FROM u)
       |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_docs

@@ -92,6 +92,24 @@ class CurateSpec extends SparkSpecBase {
     assert(out(1)._3 > 0.98 && out(1)._3 < 1.0)
   }
 
+  test("embeddingContaminated never flags zero-norm vectors (NaN cosine guard)") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Seq(0.0, 0.0, 0.0)),  // zero corpus vector: cosine is 0/0
+      (2L, Seq(1.0, 0.0, 0.0))   // genuine match, must still flag
+    ).toDF("id", "vec")
+    val bench = Seq(
+      (10L, Seq(0.0, 0.0, 0.0)), // zero bench vector too
+      (11L, Seq(1.0, 0.0, 0.0))
+    ).toDF("id", "vec")
+    val out = Decontam.embeddingContaminated(corpus, bench, "id", "vec", tau = 0.9)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // without the isnan guard Spark's NaN-above-everything ordering
+    // would flag ids 1 AND 2 against the zero bench vector
+    assert(out.toSeq == Seq((2L, 1L)))
+  }
+
   test("nextFitPack: exact next-fit bins on a single partition") {
     val s = spark
     import s.implicits._

@@ -23,7 +23,14 @@ class FunctionsSpec extends SparkSpecBase {
       "https://site.example.com/Page/1?utm_campaign=c&utm_medium=m",
       "https://site.example.com/Page/1?real=kept&utm_source=x",
       "https://site.example.com/PAGE/1",             // path case KEPT
-      "not a url")
+      "not a url",
+      // utm_ as a SUBSTRING of another param name must be kept: the
+      // strip is anchored to a '?'/'&' boundary (ADVICE r6)
+      "https://site.example.com/p?xutm_source=1",
+      "https://site.example.com/p?a=1&myutm_b=2",
+      // leading utm param hands its '?' to the surviving param
+      "https://site.example.com/p?utm_source=x&real=kept",
+      "https://site.example.com/p?utm_a=1&utm_b=2&real=kept")
     val got = urls.toDF("u")
       .select(UrlFns.canonicalizeUrl($"u")).as[String].collect()
     assert(got(0) == "site.example.com/Page/1")
@@ -33,6 +40,10 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got(4) == "site.example.com/Page/1?real=kept")
     assert(got(5) == "site.example.com/PAGE/1") // distinct: path is case-sensitive
     assert(got(6) == "")
+    assert(got(7) == "site.example.com/p?xutm_source=1")
+    assert(got(8) == "site.example.com/p?a=1&myutm_b=2")
+    assert(got(9) == "site.example.com/p?real=kept")
+    assert(got(10) == "site.example.com/p?real=kept")
   }
 
   test("skewedValuesToStr length-prefixes and skips nulls") {

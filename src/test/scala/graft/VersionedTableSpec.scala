@@ -50,7 +50,10 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(state(root, 1L) == Map(1L -> 1.0, 2L -> 20.0))
     // eviction forces re-resolution: the corrupted dir pointer now
     // surfaces (reads resolve to a data dir that does not exist)
-    VersionedTable.invalidateCache(root)
+    // evict via a DIFFERENT spelling of the same root (qualified URI
+    // keying — ADVICE r6: raw-string keys forked the cache per spelling)
+    VersionedTable.invalidateCache(spark, f.makeQualified(
+      new org.apache.hadoop.fs.Path(root)).toUri.toString)
     assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
     intercept[Exception] { state(root, 1L) }
   }
