@@ -216,24 +216,7 @@ object ExtQueries extends graft.QueryModule {
     * delete semantics, and compaction equivalence (v2 ≡ v3). */
   def vtTimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.etl.VersionedTable
-    val root = GraftSession.scratch("vt") + "/tbl"
-    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
-    VersionedTable.init(spark, root, ev)                               // v0
-    val upd = ev.where(col("event_id") % 7 === 0)
-      .withColumn("value", col("value") * 10)
-    val fresh = spark.range(100)
-      .select((col("id") + 2000000).as("event_id"), lit(5.0).as("value"))
-    // commits go through the bounded-retry OCC loop — the default
-    // entry under possible write contention (a no-op when, as here,
-    // the writer is alone; raced deterministically in
-    // VersionedTableSpec)
-    VersionedTable.commitWithRetry() {
-      VersionedTable.commitUpsert(spark, root, upd.unionByName(fresh)) // v1
-    }
-    VersionedTable.commitWithRetry() {
-      VersionedTable.commitDelete(spark, root,
-        ev.where(col("event_id") % 5 === 0).select("event_id"))        // v2
-    }
+    val root = vtLifecycle(spark, sfDir, "vt")                         // v0-v2
     VersionedTable.commitWithRetry() {
       VersionedTable.compact(spark, root, Seq("event_id"))             // v3
     }
@@ -254,20 +237,7 @@ object ExtQueries extends graft.QueryModule {
     * changes, never table size. */
   def vtChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.etl.VersionedTable
-    val root = GraftSession.scratch("vtcf") + "/tbl"
-    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
-    VersionedTable.init(spark, root, ev)                               // v0
-    val upd = ev.where(col("event_id") % 7 === 0)
-      .withColumn("value", col("value") * 10)
-    val fresh = spark.range(100)
-      .select((col("id") + 2000000).as("event_id"), lit(5.0).as("value"))
-    VersionedTable.commitWithRetry() {
-      VersionedTable.commitUpsert(spark, root, upd.unionByName(fresh)) // v1
-    }
-    VersionedTable.commitWithRetry() {
-      VersionedTable.commitDelete(spark, root,
-        ev.where(col("event_id") % 5 === 0).select("event_id"))        // v2
-    }
+    val root = vtLifecycle(spark, sfDir, "vtcf")                       // v0-v2
     VersionedTable.commitWithRetry() {
       VersionedTable.compact(spark, root, Seq("event_id"))             // v3
     }
@@ -291,6 +261,14 @@ object ExtQueries extends graft.QueryModule {
       |SELECT 2, 'D', count(*), 0.0 FROM delkeys
       |ORDER BY version, op""".stripMargin
 
+  /** The shared versioned-table commit history every vt_* gate builds
+    * on: init snapshot (v0) → upsert of the %7 keys ×10 plus 100
+    * fresh keys (v1) → tombstone delete of the %5 keys (v2). Returns
+    * the table root; gates append further commits (compaction) and
+    * read through their API under test. Commits go through the
+    * bounded-retry OCC loop — the default entry under possible write
+    * contention (a no-op when, as here, the writer is alone; raced
+    * deterministically in VersionedTableSpec). */
   private def vtLifecycle(spark: SparkSession, sfDir: String,
                           tag: String): String = {
     import graft.etl.VersionedTable
@@ -434,20 +412,7 @@ object ExtQueries extends graft.QueryModule {
     * unioned job. */
   def vtHistory(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.etl.VersionedTable
-    val root = GraftSession.scratch("vth") + "/tbl"
-    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
-    VersionedTable.init(spark, root, ev)                               // v0
-    val upd = ev.where(col("event_id") % 7 === 0)
-      .withColumn("value", col("value") * 10)
-    val fresh = spark.range(100)
-      .select((col("id") + 2000000).as("event_id"), lit(5.0).as("value"))
-    VersionedTable.commitWithRetry() {
-      VersionedTable.commitUpsert(spark, root, upd.unionByName(fresh)) // v1
-    }
-    VersionedTable.commitWithRetry() {
-      VersionedTable.commitDelete(spark, root,
-        ev.where(col("event_id") % 5 === 0).select("event_id"))        // v2
-    }
+    val root = vtLifecycle(spark, sfDir, "vth")                        // v0-v2
     VersionedTable.commitWithRetry() {
       VersionedTable.compact(spark, root, Seq("event_id"))             // v3
     }
