@@ -25,17 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS,false); Spark supports only
-    * micro precision, so it is read as nanos-long
-    * (spark.sql.legacy.parquet.nanosAsLong, set in GraftSession.tune)
-    * and truncated to a microsecond timestamp here. Oracle queries must
-    * truncate the same way (DuckDB: CAST(ts AS TIMESTAMP)). */
+  /** events.ts arrives as either parquet TIMESTAMP(NANOS,false) —
+    * older driver snapshots, read as nanos-long via
+    * spark.sql.legacy.parquet.nanosAsLong (set in GraftSession.tune)
+    * — or plain TIMESTAMP(MICROS,false), read as TIMESTAMP_NTZ.
+    * Both normalize to a session-UTC microsecond TimestampType so
+    * every downstream query and oracle sees identical instants
+    * (DuckDB side: CAST(ts AS TIMESTAMP)). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // integral `div`, NOT floor(x/1000): double division loses ulps on
-    // nanosecond epochs (> 2^53) and lands one µs off
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integral `div`, NOT floor(x/1000): double division loses ulps
+        // on nanosecond epochs (> 2^53) and lands one µs off
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ: wall clock == instant under UTC session tz
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -14,6 +14,18 @@ import graft.streaming.IngestionPipeline.RouteSpec
   * state. */
 object StreamQueries extends graft.QueryModule {
 
+  /** File-stream source over the events table. The driver snapshot
+    * stores ts as parquet TIMESTAMP(MICROS,false) (TIMESTAMP_NTZ to
+    * Spark); normalize to session-UTC TimestampType exactly like
+    * [[Tables.events]] so watermarks and oracles agree on instants. */
+  private def eventsStream(s: SparkSession, sfDir: String): DataFrame =
+    s.readStream.schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      .parquet(s"$sfDir/events.parque[t]")
+      .withColumn("ts", col("ts").cast(TimestampType))
+
   /** T1+T2: route-dispatched file ingestion raw→stage with control
     * rows; output = staged zone totals per route. */
   def t1StreamIngest(spark: SparkSession, sfDir: String): DataFrame = {
@@ -67,17 +79,11 @@ object StreamQueries extends graft.QueryModule {
   private var windowCtr = 0
   def t5StreamWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val name = synchronized { windowCtr += 1; s"graft_stream_window_$windowCtr" }
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // state parallelism sized to the drain's volume, scoped to this
     // query's isolated session (see GraftSession.stateScoped)
     GraftSession.stateScoped(spark, 8) { s =>
       // file stream source needs a directory base path: glob the one file
-      val stream = s.readStream.schema(schema)
-        .parquet(s"$sfDir/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, sfDir)
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours"), col("event_type"))
@@ -106,16 +112,10 @@ object StreamQueries extends graft.QueryModule {
   private var dedupCtr = 0
   def t3StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val name = synchronized { dedupCtr += 1; s"graft_stream_dedup_$dedupCtr" }
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // state parallelism sized to the drain's volume, scoped to this
     // query's isolated session (see GraftSession.stateScoped)
     GraftSession.stateScoped(spark, 8) { s =>
-      val stream = s.readStream.schema(schema)
-        .parquet(s"$sfDir/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, sfDir)
       val atLeastOnce = stream.union(stream)
       val deduped = graft.streaming.StreamDedup.dedupWithinWatermark(
         atLeastOnce, Seq("event_id"), "ts", "30 days")
@@ -144,10 +144,6 @@ object StreamQueries extends graft.QueryModule {
   private var joinCtr = 0
   def t7StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val name = synchronized { joinCtr += 1; s"graft_stream_join_$joinCtr" }
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     // 8 state partitions: a stream-stream join keeps FOUR state stores
     // per partition, so the default 32 meant 128 instances paying
     // per-batch commit overhead for a 100k-event drain — measured
@@ -155,9 +151,7 @@ object StreamQueries extends graft.QueryModule {
     // GraftSession.stateScoped)
     GraftSession.stateScoped(spark, 8) { s =>
       def side(tpe: String, idAs: String, tsAs: String, valueAs: String) =
-        s.readStream.schema(schema)
-          .parquet(s"$sfDir/events.parque[t]")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        eventsStream(s, sfDir)
           .where(col("event_type") === tpe)
           .select(col("user_id"), col("event_id").as(idAs),
             col("ts").as(tsAs), col("value").as(valueAs))

@@ -19,7 +19,7 @@ import graft.core.{GraftSession, Tables}
 class ConcurrentStreamsSpec extends SparkSpecBase {
 
   private val schema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -30,7 +30,7 @@ class ConcurrentStreamsSpec extends SparkSpecBase {
     GraftSession.stateScoped(spark, n) { s =>
       val agg = s.readStream.schema(schema)
         .parquet(s"$sfDir/events.parque[t]")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", col("ts").cast(TimestampType))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours"))
         .agg(count(lit(1)).as("cnt"))
