@@ -95,4 +95,29 @@ object Sampling {
       .where(col("__rn") <= col("__quota"))
       .drop("__rn", "__quota")
   }
+
+  /** Curriculum binning: order the corpus by a difficulty proxy
+    * (ascending `orderCol`, ties broken by `idCol` for determinism)
+    * and cut it into `nBins` contiguous rank bins — the easy→hard
+    * schedule a curriculum-trained run consumes bin by bin.
+    *
+    * The global rank comes from a range-partitioned sort +
+    * zipWithIndex ([[graft.ops.IdOps.generateConsecutiveIds]]), NOT a
+    * row_number over an empty window: an un-partitioned window
+    * funnels the whole corpus through one task, while the sort keeps
+    * every partition parallel (same A8 rationale). bin =
+    * rank * nBins / n, so bin sizes differ by at most one and the
+    * boundary arithmetic replays exactly in any engine with
+    * row_number. */
+  def curriculumBins(df: DataFrame, orderCol: String, idCol: String,
+                     nBins: Int): DataFrame = {
+    val n = df.count()
+    require(n > 0, "curriculumBins: empty input")
+    graft.ops.IdOps
+      .generateConsecutiveIds(df.sort(orderCol, idCol), "__rank", 0L)
+      // integral `div`: double `/` is exact here only while 1/n stays
+      // above ulp(nBins) — true even at 1e12 rows, but div costs nothing
+      .withColumn("bin", expr(s"int((__rank * $nBins) div ${n}L)"))
+      .drop("__rank")
+  }
 }

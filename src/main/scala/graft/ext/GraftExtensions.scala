@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.plans.{BoundedMinK, BoundedTopK, DotProduct, MinHashSig, SimHashSig}
+import graft.plans.{NfcNormalize, StripAccents}
 
 /** SQL surface for graft's native Catalyst expressions, so
   * spark.sql(...) users get the same kernels the DataFrame API uses:
@@ -14,6 +15,8 @@ import graft.plans.{BoundedMinK, BoundedTopK, DotProduct, MinHashSig, SimHashSig
   *   simhash_sig(features[, portable]) -- 64-bit SimHash
   *   minhash_sig(shingles, k)       -- k-permutation MinHash signature
   *   min_k_distinct(x, k)           -- bounded k-smallest-distinct agg
+  *   nfc_normalize(s)               -- Unicode NFC composition
+  *   strip_accents(s)               -- NFD + drop combining marks
   *
   * Two registration routes:
   *  - config: `spark.sql.extensions=graft.ext.GraftExtensions`
@@ -80,6 +83,18 @@ object GraftExtensions {
       { args =>
         require(args.length == 2, "bounded_top_k takes 2 arguments")
         BoundedTopK(args.head, litInt(args(1), "bounded_top_k k"))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition"),
+      { args =>
+        require(args.length == 1, "nfc_normalize takes 1 argument")
+        graft.plans.NfcNormalize(args.head)
+      }),
+    (FunctionIdentifier("strip_accents"),
+      info("strip_accents", "strip_accents(s) - NFD + drop combining marks (utf8proc semantics)"),
+      { args =>
+        require(args.length == 1, "strip_accents takes 1 argument")
+        graft.plans.StripAccents(args.head)
       }))
 
   /** Runtime registration into an existing session (idempotent —

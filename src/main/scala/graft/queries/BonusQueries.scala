@@ -161,9 +161,40 @@ object BonusQueries extends graft.QueryModule {
       |  FROM events) t
       |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
 
+  /** Analytic window-function surface: lag/lead, bounded moving
+    * average, running sum and row_number in one pass over a single
+    * hash-partitioned sort (user_id), every frame ROWS-bounded. One
+    * exchange + one sort serves all five functions — Spark pipelines
+    * same-spec window operators. */
+  def xWindowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val mov = w.rowsBetween(-3, 0)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        round(avg("value").over(mov), 4).as("mov_avg4"),
+        round(sum("value").over(cum), 4).as("cum_value"),
+        row_number().over(w).as("rn"))
+      .orderBy("event_id")
+  }
+  val windowFuncsSql: String =
+    """SELECT event_id, user_id,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  round(avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg4,
+      |  round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value,
+      |  row_number() OVER w AS rn
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_topk_per_group" -> (xTopkPerGroup _),
     "x_rollup" -> (xRollup _),
+    "x_window_funcs" -> (xWindowFuncs _),
     "x_pivot" -> (xPivot _),
     "x_semi_anti" -> (xSemiAnti _),
     "x_distinct_agg" -> (xDistinctAgg _),
@@ -174,6 +205,7 @@ object BonusQueries extends graft.QueryModule {
   def oracles: Map[String, String] = Map(
     "x_topk_per_group" -> topkSql,
     "x_rollup" -> rollupSql,
+    "x_window_funcs" -> windowFuncsSql,
     "x_pivot" -> pivotSql,
     "x_semi_anti" -> semiAntiSql,
     "x_distinct_agg" -> distinctSql,

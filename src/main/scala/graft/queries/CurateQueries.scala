@@ -252,12 +252,46 @@ object CurateQueries extends graft.QueryModule {
       |SELECT vec_id, count(*) AS hits, max(c) AS max_cos
       |FROM p WHERE c >= 0.95 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** Curriculum schedule: rank the corpus easy->hard by quality score
+    * and cut into 10 contiguous rank bins (Sampling.curriculumBins —
+    * distributed sort + zipWithIndex, no global window); output
+    * per-bin volume and score envelope. Oracle replays the identical
+    * bin arithmetic with row_number. */
+  def curateCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
+    Sampling.curriculumBins(scored, "q", "doc_id", nBins = 10)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("q").as("min_q"), max("q").as("max_q"),
+        round(sum("q"), 4).as("sum_q"))
+      .orderBy("bin")
+  }
+  val curriculumSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, round(
+      |    0.3 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+      |    + 0.4 * (CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS DOUBLE)
+      |        / (CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) + 1.0))
+      |    + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |        / (CAST(length(text) AS DOUBLE) + 1.0))), 6) AS q
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, q,
+      |    row_number() OVER (ORDER BY q, doc_id) - 1 AS rank,
+      |    count(*) OVER () AS n
+      |  FROM scored)
+      |SELECT CAST((rank * 10) // n AS INT) AS bin, count(*) AS n,
+      |  min(q) AS min_q, max(q) AS max_q, round(sum(q), 4) AS sum_q
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_decontam_embedding" -> (curateDecontamEmbedding _),
     "curate_cluster_split" -> (curateClusterSplit _),
     "curate_mix" -> (curateMix _),
     "curate_pipeline" -> (curatePipeline _),
     "curate_split" -> (curateSplit _),
+    "curate_curriculum" -> (curateCurriculum _),
     "curate_quota" -> (curateQuota _),
     "curate_decontam" -> (curateDecontam _),
     "curate_pack" -> (curatePack _))
@@ -268,6 +302,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_mix" -> mixSql,
     "curate_pipeline" -> pipelineSql,
     "curate_split" -> splitSql,
+    "curate_curriculum" -> curriculumSql,
     "curate_quota" -> quotaSql,
     "curate_decontam" -> decontamSql,
     "curate_pack" -> packSql)

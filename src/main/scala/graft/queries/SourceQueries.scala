@@ -261,6 +261,32 @@ object SourceQueries extends graft.QueryModule {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S11 (format surface beyond the reference, free on Spark): ORC
+    * write/read roundtrip. ORC is the other splittable columnar
+    * container a lake migration meets; the roundtrip pins schema +
+    * value fidelity (timestamps included) and the read-side filter
+    * reaches the ORC scan as a pushed predicate, same as parquet. */
+  def s11OrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("s11")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate")
+      .write.mode(SaveMode.Overwrite).orc(dir)
+    spark.read.orc(dir)
+      .where(col("l_quantity") > 25)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        max(col("l_shipdate").cast("date")).as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+  val s11Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS sum_price,
+      |  max(CAST(l_shipdate AS DATE)) AS max_ship
+      |FROM lineitem WHERE l_quantity > 25
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_csv_roundtrip" -> (s1CsvRoundtrip _),
     "s2_csv_semicolon" -> (s2CsvSemicolon _),
@@ -269,6 +295,7 @@ object SourceQueries extends graft.QueryModule {
     "s5_table_scan" -> (s5TableScan _),
     "s6_jdbc_roundtrip" -> (s6JdbcRoundtrip _),
     "s7_json_schema" -> (s7JsonSchema _),
+    "s11_orc_roundtrip" -> (s11OrcRoundtrip _),
     "w1_parquet_roundtrip" -> (w1ParquetRoundtrip _),
     "w2_dynamic_partition" -> (w2DynamicPartition _),
     "r1_one_file_per_partition" -> (r1OneFilePerPartition _),
@@ -283,6 +310,7 @@ object SourceQueries extends graft.QueryModule {
     "s5_table_scan" -> s5Sql,
     "s6_jdbc_roundtrip" -> s6Sql,
     "s7_json_schema" -> s7Sql,
+    "s11_orc_roundtrip" -> s11Sql,
     "w1_parquet_roundtrip" -> w1Sql,
     "w2_dynamic_partition" -> w2Sql,
     "r1_one_file_per_partition" -> r1Sql,

@@ -515,6 +515,64 @@ object TextQueries extends graft.QueryModule {
       |  AS repetition
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Unicode canonicalization through the native NFC / strip-accents
+    * kernels (plans.UnicodeNorm): every document is prefixed with a
+    * decomposed-form + accent-rich literal so the kernels do real work
+    * on each row, then hashed forms and codepoint lengths pin the
+    * exact output. Oracle: DuckDB's utf8proc-backed nfc_normalize /
+    * strip_accents, whose semantics the kernels match by contract. */
+  def textNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    // "Cafe" + combining acute, then composed Å/ö/ï and pass-through ø/ß
+    val prefix = "Cafe\u0301 \u00C5ngstr\u00F6m na\u00EFve \u00F8re \u00DFe: "
+    val decorated = concat(lit(prefix), col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(decorated).as("len_raw"),
+        length(graft.text.TextClean.normalizeNfc(decorated)).as("len_nfc"),
+        md5(graft.text.TextClean.normalizeNfc(decorated)).as("nfc_md5"),
+        graft.text.TextClean.foldAccents(decorated).as("plain_head"))
+      .withColumn("plain_head", substring(col("plain_head"), 1, 40))
+      .orderBy("doc_id")
+  }
+  val normalizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    'Cafe' || chr(769) || ' ' || chr(197) || 'ngstr' || chr(246) ||
+      |      'm na' || chr(239) || 've ' || chr(248) || 're ' || chr(223) ||
+      |      'e: ' || text AS s
+      |  FROM documents)
+      |SELECT doc_id, length(s) AS len_raw,
+      |  length(nfc_normalize(s)) AS len_nfc,
+      |  md5(nfc_normalize(s)) AS nfc_md5,
+      |  substr(strip_accents(s), 1, 40) AS plain_head
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  /** HTML-to-text extraction: each document is wrapped into a full
+    * HTML page (head/style, comments, entities, trailing script) and
+    * recovered via TextClean.htmlToText; the oracle replays the
+    * identical RE2-safe regex chain. */
+  def textHtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+      col("doc_id"),
+      lit("</h1><!-- hidden --><p class=\"b\">"),
+      substring(col("text"), 1, 300),
+      lit(" &amp; more &lt;tags&gt; &quot;q&quot; &#39;s&nbsp;end" +
+        "</p><script>var x=1;</script></body></html>"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.text.TextClean.htmlToText(page).as("extracted"))
+      .orderBy("doc_id")
+  }
+  val htmlExtractSql: String = {
+    val page = """'<html><head><style>p{color:red}</style></head><body><h1>Doc '
+      | || doc_id || '</h1><!-- hidden --><p class="b">' || substr(text, 1, 300)
+      | || ' &amp; more &lt;tags&gt; &quot;q&quot; &#39;s&nbsp;end</p><script>var x=1;</script></body></html>'"""
+      .stripMargin.replace("\n", "")
+    s"""SELECT doc_id, ${graft.text.TextClean.htmlToTextSql(s"($page)")} AS extracted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** PII redaction over text with injected emails/number runs. */
   def textRedact(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -583,6 +641,8 @@ object TextQueries extends graft.QueryModule {
     "text_lm_score" -> (textLmScore _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
+    "text_normalize" -> (textNormalize _),
+    "text_html_extract" -> (textHtmlExtract _),
     "text_token_counts" -> (textTokenCounts _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
@@ -609,6 +669,8 @@ object TextQueries extends graft.QueryModule {
     "text_lm_score" -> lmScoreSql,
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,
+    "text_normalize" -> normalizeSql,
+    "text_html_extract" -> htmlExtractSql,
     "text_token_counts" -> tokenSql,
     "text_lang_id" -> langSql,
     "text_quality" -> qualitySql,

@@ -45,6 +45,6 @@ class SqlSurfaceSpec extends SparkSpecBase {
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
       Seq("bounded_top_k", "dot_product", "min_k_distinct", "minhash_sig",
-        "simhash_sig"))
+        "nfc_normalize", "simhash_sig", "strip_accents"))
   }
 }
