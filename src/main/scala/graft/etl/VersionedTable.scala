@@ -110,6 +110,7 @@ object VersionedTable {
     val prefix = fs(spark, root)
       .makeQualified(new Path(s"$root/_commits")).toUri.toString + "/"
     manifestCache.keySet.removeIf(_.startsWith(prefix))
+    detailCache.keySet.removeIf(_.startsWith(prefix))
   }
 
   private def readSmall(spark: SparkSession, p: Path): String = {
@@ -171,6 +172,7 @@ object VersionedTable {
     f.delete(new Path(s"$root/_commits/$version.commit"), false)
     // the released number may be re-published with a different data dir
     manifestCache.remove(cacheKey(spark, root, version))
+    detailCache.remove(cacheKey(spark, root, version))
   }
 
   /** Absolute data directory of committed version `v` (CDC tagging
@@ -236,7 +238,11 @@ object VersionedTable {
     }
     val files = f.listStatus(staging).map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
-    val body = (Seq(rel, s"snapshot=$snapshot") ++ files).mkString("\n")
+    val statsLines = files.toSeq.flatMap { name =>
+      fileStatsLines(spark, new Path(staging, name), name)
+    }
+    val body =
+      (Seq(rel, s"snapshot=$snapshot") ++ files ++ statsLines).mkString("\n")
     val tmp = new Path(s"$root/_commits/.$version.manifest.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -256,6 +262,177 @@ object VersionedTable {
     val next = (versions(spark, root) ++ claimed(spark, root))
       .maxOption.fold(0L)(_ + 1)
     publish(spark, root, df, snapshot, next)
+  }
+
+
+  // ------------------------------------------------------------------
+  // Per-file column statistics + data skipping (Delta stats / Iceberg
+  // manifest metrics). Stats are harvested from the parquet FOOTERS of
+  // the files a commit just wrote — the data is not re-scanned — and
+  // recorded in the manifest as one line per (file, column):
+  //   #stats\t<file>\t<col>\t<type>\t<b64(min)>\t<b64(max)>
+  // (base64 so string mins/maxes need no escaping; type tags: l =
+  // integral, d = floating, t = timestamp-micros, s = string, n = the
+  // column is entirely null in this file). Readers that carry a range
+  // predicate then open only the base-snapshot files whose [min,max]
+  // can intersect it — on a 100 TB table with range-clustered layout
+  // (perf.Layout zorderWrite / repartitionByRange) that is the
+  // difference between scanning the table and scanning the few files
+  // that hold the range. Unknown columns and stat-less files (older
+  // manifests) are conservatively kept.
+  // ------------------------------------------------------------------
+
+  private def b64(x: String): String =
+    java.util.Base64.getEncoder.encodeToString(x.getBytes("UTF-8"))
+  private def unb64(x: String): String =
+    new String(java.util.Base64.getDecoder.decode(x), "UTF-8")
+
+  private final case class ColStats(t: String, min: String, max: String)
+
+  /** Footer-derived stats lines for one data file (driver-side, one
+    * footer read — no data pages touched). Unsupported physical /
+    * logical types are silently omitted: absence means "never prune
+    * on this column", which is always safe. */
+  private def fileStatsLines(spark: SparkSession, file: Path,
+                             name: String): Seq[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val in = HadoopInputFile.fromPath(
+      file, spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val chunks = reader.getFooter.getBlocks.asScala.toSeq
+        .flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+      chunks.toSeq.sortBy(_._1).flatMap { case (colName, cks) =>
+        val pt = cks.head.getPrimitiveType
+        val logical = pt.getLogicalTypeAnnotation
+        val tag = (pt.getPrimitiveTypeName, logical) match {
+          case (_, _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) => Some("t")
+          case (_, _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) => None
+          case (INT32 | INT64, _) => Some("l")
+          case (FLOAT | DOUBLE, _) => Some("d")
+          case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) => Some("s")
+          case _ => None
+        }
+        tag.flatMap { t =>
+          val stats = cks.map(_.getStatistics)
+          if (stats.exists(st => st == null || st.isEmpty)) None
+          else {
+            val withVals = stats.filter(_.hasNonNullValue)
+            if (withVals.isEmpty)
+              Some(s"#stats\t$name\t$colName\tn\t\t")
+            else {
+              def render(v: Any): String = v match {
+                case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+                case other => other.toString
+              }
+              val mins = withVals.map(st => render(st.genericGetMin))
+              val maxs = withVals.map(st => render(st.genericGetMax))
+              val (mn, mx) =
+                if (t == "s") (mins.min, maxs.max)
+                else (mins.map(BigDecimal(_)).min.toString,
+                      maxs.map(BigDecimal(_)).max.toString)
+              Some(s"#stats\t$name\t$colName\t$t\t${b64(mn)}\t${b64(mx)}")
+            }
+          }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Parsed (files, per-file column stats) of one manifest. Cached
+    * like [[manifestCache]] — manifests are immutable after publish. */
+  private val detailCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[String], Map[String, Map[String, ColStats]])]()
+
+  private def manifestDetail(spark: SparkSession, root: String, v: Long)
+      : (Seq[String], Map[String, Map[String, ColStats]]) =
+    detailCache.computeIfAbsent(cacheKey(spark, root, v), { _ =>
+      val lines = readSmall(spark, manifestPath(root, v)).linesIterator.toSeq
+      val files = lines.drop(2).filterNot(_.startsWith("#stats\t"))
+        .filter(_.nonEmpty)
+      val stats = lines.filter(_.startsWith("#stats\t"))
+        .map(_.split("\t", -1))
+        .collect { case Array(_, f, c, t, mn, mx) =>
+          (f, c, ColStats(t, unb64(mn), unb64(mx)))
+        }
+        .groupBy(_._1)
+        .map { case (f, xs) => f -> xs.map(x => x._2 -> x._3).toMap }
+      (files, stats)
+    })
+
+  /** Can any row of a file with `st` stats fall inside [lo, hi]?
+    * Missing stats → true (never skip blind). */
+  private def mayMatch(st: Option[ColStats], lo: Any, hi: Any): Boolean =
+    st match {
+      case None => true
+      case Some(ColStats("n", _, _)) => false // all-null: BETWEEN never holds
+      case Some(ColStats("s", mn, mx)) =>
+        !(mx < lo.toString || mn > hi.toString)
+      case Some(ColStats(t, mn, mx)) =>
+        try !(BigDecimal(mx) < numericBound(t, lo) ||
+              BigDecimal(mn) > numericBound(t, hi))
+        catch { case _: NumberFormatException => true }
+    }
+
+  /** Numeric form of a user bound for stats comparison; timestamp
+    * stats are epoch-MICROS longs, so temporal bound types convert. */
+  private def numericBound(t: String, b: Any): BigDecimal = b match {
+    case ts: java.sql.Timestamp if t == "t" =>
+      BigDecimal(ts.getTime) * 1000 + (ts.getNanos / 1000) % 1000
+    case i: java.time.Instant if t == "t" =>
+      BigDecimal(i.getEpochSecond) * 1000000 + i.getNano / 1000
+    case other => BigDecimal(other.toString)
+  }
+
+  /** Range-pruned snapshot read: [[readAsOf]] semantics with the
+    * closed-interval predicate `column BETWEEN lo AND hi`, where the
+    * BASE SNAPSHOT opens only files whose footer stats intersect the
+    * interval. Delta commits after the snapshot are always read in
+    * full — they carry the upserts and tombstones that SHADOW base
+    * rows, so skipping them could resurrect overwritten or deleted
+    * state; they are batch-sized, the base is table-sized, and the
+    * asymmetry is exactly why this prunes where it counts. Skipping a
+    * base file is safe in the other direction: a base row outside
+    * [lo, hi] either stays outside (the predicate drops it anyway) or
+    * was updated into range by a delta (whose newer row wins the merge
+    * regardless of whether the stale base copy was read).
+    * Correct for any layout; FAST when the base is range-clustered on
+    * `column` (perf.Layout.zorderWrite or a repartitionByRange write)
+    * so file ranges are disjoint. */
+  def readAsOfRange(spark: SparkSession, root: String, keyCols: Seq[String],
+                    asOf: Long, column: String, lo: Any, hi: Any): DataFrame =
+    readAsOfRangePruned(spark, root, keyCols, asOf, column, lo, hi)._1
+
+  /** [[readAsOfRange]] plus (kept, total) base-file counts, so specs
+    * and ops dashboards can SEE the skipping happen. */
+  private[graft] def readAsOfRangePruned(
+      spark: SparkSession, root: String, keyCols: Seq[String], asOf: Long,
+      column: String, lo: Any, hi: Any): (DataFrame, Int, Int) = {
+    val cs = commits(spark, root).filter(_.v <= asOf)
+    require(cs.nonEmpty, s"no committed version <= $asOf under $root")
+    val base = cs.reverse.find(_.snapshot).getOrElse(cs.head)
+    val live = cs.filter(_.v >= base.v)
+    val (baseFiles, stats) = manifestDetail(spark, root, base.v)
+    val kept = baseFiles.filter(f =>
+      mayMatch(stats.get(f).flatMap(_.get(column)), lo, hi))
+    val baseDf =
+      if (kept.isEmpty)
+        spark.read.parquet(base.dir).where(lit(false))
+      else if (kept.size == baseFiles.size) spark.read.parquet(base.dir)
+      else spark.read.parquet(kept.map(n => s"${base.dir}/$n"): _*)
+    val merged = (baseDf.withColumn("__commit", lit(base.v)) +:
+      live.filter(_.v != base.v).map { c =>
+        spark.read.parquet(c.dir).withColumn("__commit", lit(c.v))
+      }).reduce(_.unionByName(_, allowMissingColumns = true))
+    val df = Upsert.dedupeLatest(merged, keyCols, "__commit")
+      .where(!col(Deleted)).drop(Deleted, "__commit")
+      .where(col(column).between(lit(lo), lit(hi)))
+    (df, kept.size, baseFiles.size)
   }
 
   /** Run a commit thunk, retrying on [[ConcurrentCommitException]] up
@@ -453,6 +630,7 @@ object VersionedTable {
       f.delete(manifestPath(root, c.v), false)
       f.delete(new Path(c.dir), true)
       manifestCache.remove(cacheKey(spark, root, c.v))
+      detailCache.remove(cacheKey(spark, root, c.v))
     }
     removable.map(_.v)
   }

@@ -261,6 +261,58 @@ object ExtQueries extends graft.QueryModule {
       |SELECT 2, 'D', count(*), 0.0 FROM delkeys
       |ORDER BY version, op""".stripMargin
 
+
+  /** Data-skipping read over the versioned table: the base snapshot is
+    * written range-clustered on `value` (repartitionByRange → disjoint
+    * per-file [min,max] footer stats recorded in the manifest), then a
+    * `value BETWEEN 10 AND 20` read opens ONLY the base files whose
+    * stats intersect the range — delta commits (the upsert + delete)
+    * are always read in full because they shadow base rows
+    * (VersionedTable.readAsOfRange; skipping asserted by
+    * VersionedTableStatsSpec, semantics pinned here). At 100 TB this
+    * is Delta/Iceberg file skipping: cost tracks the selected range,
+    * not the table. */
+  def vtDataSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtds") + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    VersionedTable.init(spark, root, ev.repartitionByRange(8, col("value")))
+    val upd = ev.where(col("event_id") % 7 === 0)
+      .withColumn("value", col("value") * 10)
+    val fresh = spark.range(100)
+      .select((col("id") + 2000000).as("event_id"), lit(5.0).as("value"))
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsert(spark, root, upd.unionByName(fresh))  // v1
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitDelete(spark, root,
+        ev.where(col("event_id") % 5 === 0).select("event_id"))         // v2
+    }
+    VersionedTable
+      .readAsOfRange(spark, root, Seq("event_id"), 2L, "value", 10.0, 20.0)
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        sum((col("event_id") % 7 === 0).cast("long")).as("n_from_updates"))
+  }
+  val vtDataSkippingSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1 AS (
+      |  SELECT event_id, value * 10 AS value FROM ev WHERE event_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 2000000 + i AS event_id, 5.0 AS value FROM range(100) t(i)),
+      |merged AS (
+      |  SELECT * FROM v1
+      |  UNION ALL
+      |  SELECT * FROM ev WHERE event_id NOT IN (SELECT event_id FROM v1)),
+      |live AS (
+      |  SELECT * FROM merged
+      |  WHERE event_id NOT IN (
+      |    SELECT event_id FROM ev WHERE event_id % 5 = 0)),
+      |sel AS (SELECT * FROM live WHERE value BETWEEN 10.0 AND 20.0)
+      |SELECT count(*) AS n, round(sum(value), 2) AS total,
+      |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_from_updates
+      |FROM sel""".stripMargin
+
   /** The shared versioned-table commit history every vt_* gate builds
     * on: init snapshot (v0) → upsert of the %7 keys ×10 plus 100
     * fresh keys (v1) → tombstone delete of the %5 keys (v2). Returns
@@ -468,6 +520,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_change_feed" -> (vtChangeFeed _),
     "vt_schema_evolution" -> (vtSchemaEvolution _),
     "vt_history" -> (vtHistory _),
+    "vt_data_skipping" -> (vtDataSkipping _),
     "vt_change_feed_images" -> (vtChangeFeedImages _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
@@ -482,6 +535,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_change_feed" -> vtChangeFeedSql,
     "vt_schema_evolution" -> vtSchemaEvolutionSql,
     "vt_history" -> vtHistorySql,
+    "vt_data_skipping" -> vtDataSkippingSql,
     "vt_change_feed_images" -> vtChangeFeedImagesSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+import graft.etl.VersionedTable
+
+/** Per-file footer stats in the manifest + data-skipping reads
+  * (readAsOfRange): pruning must actually skip base files on a
+  * range-clustered layout, and must stay CORRECT under merge-on-read
+  * shadowing — deltas are never skipped, so updates into the range and
+  * tombstones over it land even when their keys' base copies were
+  * pruned away. */
+class VersionedTableStatsSpec extends SparkSpecBase {
+
+  private def freshRoot(tag: String): String =
+    GraftSession.scratch(tag) + "/tbl"
+
+  private def ev = Tables.events(spark, sfDir)
+    .select(col("event_id"), col("ts"), col("value"))
+
+  test("range read skips base files and matches unpruned + filter") {
+    val root = freshRoot("vtstats1")
+    // range-clustered on value → disjoint per-file [min,max] boxes
+    VersionedTable.init(spark, root,
+      ev.repartitionByRange(8, col("value")))
+    val (pruned, kept, total) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("event_id"), 0L, "value", 10.0, 20.0)
+    assert(total == 8, s"expected 8 base files, saw $total")
+    assert(kept < total, s"no files skipped (kept=$kept of $total)")
+    val expect = VersionedTable.readAsOf(spark, root, Seq("event_id"), 0L)
+      .where(col("value").between(10.0, 20.0))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val got = pruned.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
+  test("deltas are never pruned: upsert-into-range and delete-in-range land") {
+    val root = freshRoot("vtstats2")
+    VersionedTable.init(spark, root,
+      ev.repartitionByRange(8, col("value")))
+    val all = ev.select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val outOfRange = all.collectFirst {
+      case (id, v) if v > 40.0 => id }.get
+    val inRange = all.collectFirst {
+      case (id, v) if v >= 10.0 && v <= 20.0 => id }.get
+    // v1: move an out-of-range key INTO [10,20]; v2: delete an in-range key
+    VersionedTable.commitUpsert(spark, root,
+      ev.where(col("event_id") === outOfRange).withColumn("value", lit(15.0)))
+    VersionedTable.commitDelete(spark, root,
+      spark.range(1).select(lit(inRange).as("event_id")))
+    val (pruned, kept, total) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("event_id"), 2L, "value", 10.0, 20.0)
+    assert(kept < total)
+    val got = pruned.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(outOfRange), "updated-into-range key missing")
+    assert(!got.contains(inRange), "deleted key resurfaced")
+    val expect = VersionedTable.readAsOf(spark, root, Seq("event_id"), 2L)
+      .where(col("value").between(10.0, 20.0))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
+  test("timestamp column prunes with Timestamp bounds") {
+    val root = freshRoot("vtstats3")
+    VersionedTable.init(spark, root,
+      ev.repartitionByRange(8, col("ts")))
+    val bounds = ev.agg(min("ts"), max("ts")).head()
+    val lo = bounds.getTimestamp(0)
+    val hi = new java.sql.Timestamp(lo.getTime + 3600L * 1000)
+    val (pruned, kept, total) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("event_id"), 0L, "ts", lo, hi)
+    assert(kept < total, s"no ts files skipped (kept=$kept of $total)")
+    val expect = VersionedTable.readAsOf(spark, root, Seq("event_id"), 0L)
+      .where(col("ts").between(lit(lo), lit(hi)))
+      .count()
+    assert(pruned.count() == expect)
+  }
+
+  test("string column prunes lexicographically") {
+    val root = freshRoot("vtstats4")
+    val docs = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang"), col("source"))
+    VersionedTable.init(spark, root, docs.repartitionByRange(4, col("lang")))
+    val (pruned, kept, total) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("doc_id"), 0L, "lang", "de", "de")
+    assert(kept < total)
+    val expect = docs.where(col("lang") === "de").count()
+    assert(pruned.count() == expect)
+  }
+
+  test("empty intersection reads zero base files, returns empty") {
+    val root = freshRoot("vtstats5")
+    VersionedTable.init(spark, root,
+      ev.repartitionByRange(4, col("value")))
+    val (pruned, kept, _) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("event_id"), 0L, "value", 1.0e9, 2.0e9)
+    assert(kept == 0)
+    assert(pruned.count() == 0)
+  }
+
+  test("pre-stats manifests (no #stats lines) keep every file") {
+    val root = freshRoot("vtstats6")
+    VersionedTable.init(spark, root,
+      ev.repartitionByRange(4, col("value")))
+    // strip the stats lines, simulating a manifest written before
+    // footer stats existed — pruning must fall back to reading all
+    val mf = new java.io.File(s"$root/_commits/0.manifest")
+    val stripped = scala.io.Source.fromFile(mf, "UTF-8").getLines()
+      .filterNot(_.startsWith("#stats\t")).mkString("\n")
+    val w = new java.io.PrintWriter(mf, "UTF-8")
+    try w.print(stripped) finally w.close()
+    // the local FS keeps a checksum sidecar; stale after the rewrite
+    new java.io.File(s"$root/_commits/.0.manifest.crc").delete()
+    VersionedTable.invalidateCache(spark, root)
+    val (pruned, kept, total) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("event_id"), 0L, "value", 10.0, 20.0)
+    assert(kept == total, "missing stats must keep every file")
+    val expect = ev.where(col("value").between(10.0, 20.0)).count()
+    assert(pruned.count() == expect)
+  }
+}
