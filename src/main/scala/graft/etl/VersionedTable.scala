@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Upsert
+import scala.jdk.CollectionConverters._
 
 /** Versioned parquet table with snapshot isolation, time travel,
   * tombstone deletes and merge-on-read — the Delta/Iceberg operation
@@ -238,9 +239,13 @@ object VersionedTable {
     }
     val files = f.listStatus(staging).map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
-    val statsLines = files.toSeq.flatMap { name =>
-      fileStatsLines(spark, new Path(staging, name), name)
-    }
+    // footer reads are independent small IO — do them concurrently
+    // (a commit of K files pays one footer latency, not K)
+    val statsLines = java.util.Arrays.stream(files).parallel()
+      .map[Seq[String]](name =>
+        fileStatsLines(spark, new Path(staging, name), name))
+      .collect(java.util.stream.Collectors.toList[Seq[String]])
+      .asScala.toSeq.flatten
     val body =
       (Seq(rel, s"snapshot=$snapshot") ++ files ++ statsLines).mkString("\n")
     val tmp = new Path(s"$root/_commits/.$version.manifest.tmp")
@@ -299,7 +304,6 @@ object VersionedTable {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    import scala.jdk.CollectionConverters._
     val in = HadoopInputFile.fromPath(
       file, spark.sparkContext.hadoopConfiguration)
     val reader = ParquetFileReader.open(in)
