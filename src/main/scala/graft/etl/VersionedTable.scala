@@ -564,14 +564,17 @@ object VersionedTable {
     * (merge-on-read, bounded by compaction cadence) against the
     * commit's key set. Writes stay image-free and cheap; pay the
     * preimage cost only when a consumer actually wants images.
-    * The prior snapshot is REBUILT per commit via `readAsOf(v-1)`, so
-    * a range of R commits over a merge-on-read chain of depth C scans
-    * O(R × C) version dirs — heavier than [[readChangesBetween]]'s
-    * cost-proportional-to-changes. That is the intended trade for a
-    * lazy, cache-free plan: CDF-with-images consumers poll SMALL
-    * ranges (since the last drain), and compaction cadence bounds C;
-    * for a large backfill range, prefer `readChangesBetween` + a
-    * consumer-side merge, or compact first so C collapses to 1.
+    * Cost shape (r7): a SINGLE-commit range — the normal CDF polling
+    * cadence — rebuilds one prior via `readAsOf(v-1)` and stays lazy
+    * and cache-free. A MULTI-commit range ROLLS the prior snapshot
+    * forward instead (prior ∪ delta → newest-per-key, persisted per
+    * step): the base chain is scanned once and each further commit
+    * costs one cached-prior merge, O(chain + range) scans vs the
+    * O(range × chain) of per-commit rebuilds; the result comes back
+    * EAGERLY checkpointed (Caching.reap) so no cache blocks leak.
+    * For a table-sized backfill, `readChangesBetween` + a consumer-
+    * side merge is still the cheaper contract (no per-step snapshot
+    * materialization).
     *
     * Commits are homogeneous by construction ([[commitUpsert]] forces
     * `__deleted=false` on every row, [[commitDelete]] forces true), so
@@ -587,36 +590,86 @@ object VersionedTable {
       .filter(c => c.v == 0L || !c.snapshot)
     require(cs.nonEmpty, s"no change commits in ($fromV, $toV] under $root")
     val key = keyCols.map(col)
-    cs.map { c =>
-      val delta = spark.read.parquet(c.dir)
-      if (c.v == 0L)
-        delta.where(!col(Deleted)).drop(Deleted)
-          .withColumn("__commit", lit(c.v)).withColumn("__op", lit("I"))
-      else {
-        val prior = readAsOf(spark, root, keyCols, c.v - 1)
-        val preImgs = prior.join(
-          delta.select(key: _*).distinct(), keyCols, "left_semi")
-        val delKeys = delta.where(col(Deleted)).select(key: _*)
-          .withColumn("__is_del", lit(true))
-        val pre = preImgs.join(delKeys, keyCols, "left_outer")
-          .withColumn("__op",
-            when(col("__is_del"), lit("D")).otherwise(lit("U_pre")))
-          .drop("__is_del")
-        val hadPrior = preImgs.select(key: _*).withColumn("__had", lit(true))
-        // tombstone-wins guard: drop live rows whose key the SAME
-        // commit also tombstones (unreachable via the public commit
-        // APIs — see doc; empty anti-join side for real commits)
-        val post = delta.where(!col(Deleted)).drop(Deleted)
-          .join(delKeys.select(key: _*), keyCols, "left_anti")
-          .join(hadPrior, keyCols, "left_outer")
-          .withColumn("__op",
-            when(col("__had"), lit("U_post")).otherwise(lit("I")))
-          .drop("__had")
-        // schema evolution: pre-images may lack later-added columns
-        pre.unionByName(post, allowMissingColumns = true)
-          .withColumn("__commit", lit(c.v))
-      }
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    /** Images of one change commit against its prior live snapshot. */
+    def imagesOf(c: Commit, delta: DataFrame, prior: DataFrame): DataFrame = {
+      val preImgs = prior.join(
+        delta.select(key: _*).distinct(), keyCols, "left_semi")
+      val delKeys = delta.where(col(Deleted)).select(key: _*)
+        .withColumn("__is_del", lit(true))
+      val pre = preImgs.join(delKeys, keyCols, "left_outer")
+        .withColumn("__op",
+          when(col("__is_del"), lit("D")).otherwise(lit("U_pre")))
+        .drop("__is_del")
+      val hadPrior = preImgs.select(key: _*).withColumn("__had", lit(true))
+      // tombstone-wins guard: drop live rows whose key the SAME
+      // commit also tombstones (unreachable via the public commit
+      // APIs — see doc; empty anti-join side for real commits)
+      val post = delta.where(!col(Deleted)).drop(Deleted)
+        .join(delKeys.select(key: _*), keyCols, "left_anti")
+        .join(hadPrior, keyCols, "left_outer")
+        .withColumn("__op",
+          when(col("__had"), lit("U_post")).otherwise(lit("I")))
+        .drop("__had")
+      // schema evolution: pre-images may lack later-added columns
+      pre.unionByName(post, allowMissingColumns = true)
+        .withColumn("__commit", lit(c.v))
+    }
+
+    def insertsOf(c: Commit, delta: DataFrame): DataFrame =
+      delta.where(!col(Deleted)).drop(Deleted)
+        .withColumn("__commit", lit(c.v)).withColumn("__op", lit("I"))
+
+    /** Roll the live snapshot forward over one applied delta. */
+    def applied(prior: DataFrame, delta: DataFrame): DataFrame = {
+      val pr = prior.withColumn(Deleted, lit(false))
+        .withColumn("__commit", lit(0L))
+      val dl = delta.withColumn("__commit", lit(1L))
+      Upsert.dedupeLatest(
+          pr.unionByName(dl, allowMissingColumns = true), keyCols, "__commit")
+        .where(!col(Deleted)).drop(Deleted, "__commit")
+    }
+
+    cs match {
+      case Seq(c) if c.v == 0L => insertsOf(c, spark.read.parquet(c.dir))
+      case Seq(c) => // single-commit poll (the common CDF cadence):
+        // one prior rebuild, lazy result, no caching
+        imagesOf(c, spark.read.parquet(c.dir),
+          readAsOf(spark, root, keyCols, c.v - 1))
+      case many =>
+        // multi-commit range: ROLL the prior snapshot incrementally —
+        // the base chain is read ONCE and each commit's prior is the
+        // previous prior plus one delta (O(chain + range) scans, vs
+        // O(range × chain) when every commit rebuilds via readAsOf).
+        // Each rolled prior is persisted so downstream commits and the
+        // final materialization read it from cache; reap() checkpoints
+        // the result and releases every intermediate, so the returned
+        // frame is EAGER and cache-free (gate: vt_change_feed_images).
+        val priors = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        def cache(df: DataFrame): DataFrame = {
+          val c = df.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          priors += c
+          c
+        }
+        var prior: DataFrame = null // live snapshot before current commit
+        val images = many.zipWithIndex.map { case (c, i) =>
+          val delta = spark.read.parquet(c.dir)
+          val img =
+            if (c.v == 0L) insertsOf(c, delta)
+            else {
+              if (prior == null)
+                prior = cache(readAsOf(spark, root, keyCols, c.v - 1))
+              imagesOf(c, delta, prior)
+            }
+          if (i < many.size - 1) // nothing consumes the post-state of the last commit
+            prior = cache(
+              if (c.v == 0L) delta.where(!col(Deleted)).drop(Deleted)
+              else applied(prior, delta))
+          img
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+        graft.core.Caching.reap(images, priors.toSeq: _*)
+    }
   }
 
   /** Expire versions older than the newest snapshot ≤ `keepFrom`,
