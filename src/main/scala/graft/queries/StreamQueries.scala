@@ -195,15 +195,65 @@ object StreamQueries extends graft.QueryModule {
       |  round(sum(purchase_value), 2) AS attributed_value
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** T8: CDC stream → versioned table, end-to-end. Two AvailableNow
+    * drains through streaming.CdcIngest (foreachBatch + batch marker =
+    * exactly-once table state): batch 1 full-loads the events feed
+    * (v0), batch 2 applies updates (value×10 for every 7th key) and
+    * deletes (every 5th key) as separate commits (v1, v2). The gate
+    * reads the final merge-on-read state plus the commit count; the
+    * oracle recomputes the surviving rows directly. */
+  private var cdcCtr = 0
+  def t8CdcPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    import graft.streaming.CdcIngest
+    val tag = synchronized { cdcCtr += 1; s"cdcp$cdcCtr" }
+    val base = GraftSession.scratch(tag)
+    val feed = s"$base/feed"; val root = s"$base/tbl"; val ck = s"$base/ck"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType),
+      StructField("op", StringType)))
+    def drain(s2: SparkSession): Unit =
+      CdcIngest.runAvailable(s2,
+        s2.readStream.schema(schema).parquet(feed),
+        root, Seq("event_id"), "op", ck)
+    GraftSession.stateScoped(spark, 8) { s2 =>
+      // batch 1: initial load, all upserts
+      ev.withColumn("op", lit("U")).write.parquet(feed)
+      drain(s2)
+      // batch 2: CDC tail — updates + tombstones land as new feed files
+      ev.where(col("event_id") % 7 === 0)
+        .withColumn("value", col("value") * 10).withColumn("op", lit("U"))
+        .unionByName(ev.where(col("event_id") % 5 === 0)
+          .withColumn("op", lit("D")))
+        .write.mode("append").parquet(feed)
+      drain(s2)
+      VersionedTable.readLatest(s2, root, Seq("event_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("n"), col("total"),
+          lit(VersionedTable.versions(s2, root).size).as("n_versions"))
+    }
+  }
+  val t8Sql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |live AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev WHERE event_id % 5 <> 0)
+      |SELECT count(*) AS n, round(sum(value), 2) AS total, 3 AS n_versions
+      |FROM live""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_stream_ingest" -> (t1StreamIngest _),
     "t5_stream_window" -> (t5StreamWindow _),
     "t3_stream_dedup" -> (t3StreamDedup _),
-    "t7_stream_join" -> (t7StreamJoin _))
+    "t7_stream_join" -> (t7StreamJoin _),
+    "t8_cdc_pipeline" -> (t8CdcPipeline _))
 
   def oracles: Map[String, String] = Map(
     "t1_stream_ingest" -> t1Sql,
     "t5_stream_window" -> t5Sql,
     "t3_stream_dedup" -> t3Sql,
-    "t7_stream_join" -> t7Sql)
+    "t7_stream_join" -> t7Sql,
+    "t8_cdc_pipeline" -> t8Sql)
 }

@@ -573,6 +573,50 @@ object TextQueries extends graft.QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** BM25 retrieval scoring against a fixed 3-term query (text.Bm25):
+    * corpus constants and per-term dfs broadcast as literals, scoring
+    * is one stateless scan. The oracle replays the exact arithmetic —
+    * integer dfs/lengths are exact in doubles, idf is rounded to 6
+    * before use on both sides, and per-term contributions sum in
+    * query order. */
+  def textBm25(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.Bm25.score(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      Seq("spark", "shuffle", "window"))
+      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+      .orderBy("doc_id")
+  val bm25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |lens AS (SELECT doc_id, t, len(t) AS dl FROM tok),
+      |stats AS (
+      |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM lens),
+      |dfs AS (
+      |  SELECT
+      |    round(ln(1.0 + (count(*) - count(*) FILTER (list_contains(t, 'spark')) + 0.5)
+      |      / (count(*) FILTER (list_contains(t, 'spark')) + 0.5)), 6) AS idf1,
+      |    round(ln(1.0 + (count(*) - count(*) FILTER (list_contains(t, 'shuffle')) + 0.5)
+      |      / (count(*) FILTER (list_contains(t, 'shuffle')) + 0.5)), 6) AS idf2,
+      |    round(ln(1.0 + (count(*) - count(*) FILTER (list_contains(t, 'window')) + 0.5)
+      |      / (count(*) FILTER (list_contains(t, 'window')) + 0.5)), 6) AS idf3
+      |  FROM lens),
+      |scored AS (
+      |  SELECT doc_id,
+      |    (idf1 * (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) * 2.2))
+      |      / (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |    + (idf2 * (CAST(len(list_filter(t, x -> x = 'shuffle')) AS DOUBLE) * 2.2))
+      |      / (CAST(len(list_filter(t, x -> x = 'shuffle')) AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |    + (idf3 * (CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE) * 2.2))
+      |      / (CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS bm25
+      |  FROM lens, stats, dfs)
+      |SELECT doc_id, round(bm25, 4) AS bm25 FROM scored
+      |WHERE bm25 > 0.0 ORDER BY doc_id""".stripMargin
+
   /** PII redaction over text with injected emails/number runs. */
   def textRedact(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -643,6 +687,7 @@ object TextQueries extends graft.QueryModule {
     "text_redact" -> (textRedact _),
     "text_normalize" -> (textNormalize _),
     "text_html_extract" -> (textHtmlExtract _),
+    "text_bm25" -> (textBm25 _),
     "text_token_counts" -> (textTokenCounts _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
@@ -671,6 +716,7 @@ object TextQueries extends graft.QueryModule {
     "text_redact" -> redactSql,
     "text_normalize" -> normalizeSql,
     "text_html_extract" -> htmlExtractSql,
+    "text_bm25" -> bm25Sql,
     "text_token_counts" -> tokenSql,
     "text_lang_id" -> langSql,
     "text_quality" -> qualitySql,
