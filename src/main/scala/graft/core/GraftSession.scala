@@ -27,11 +27,6 @@ object GraftSession {
     c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.parquet.compression.codec", "snappy")
-    // INT96 (the legacy default) has NO parquet min/max statistics, so
-    // timestamp columns would be invisible to footer-stats data
-    // skipping (VersionedTable.readAsOfRange) and to engine-side
-    // row-group pruning; INT64 micros is the modern interchange type
-    c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects; read as long and convert (Tables.events).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -217,7 +217,22 @@ object VersionedTable {
     val f = fs(spark, root)
     val rel = s"data/v=$version-${java.util.UUID.randomUUID}"
     val staging = new Path(s"$root/$rel")
-    df.write.mode("errorifexists").parquet(staging.toString)
+    // INT96 (Spark's legacy session default) stores NO parquet min/max
+    // statistics, which would blind the footer-stats harvest below to
+    // every timestamp column; pin the modern INT64-micros type for
+    // TABLE data only (gate outputs keep the session default — their
+    // consumers compare raw parquet and INT96 reads as a plain naive
+    // timestamp everywhere). Scoped set-and-restore: commits already
+    // serialize through the claim, and concurrent publishers both pin
+    // the same value, so the flip cannot be observed mid-write.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.mode("errorifexists").parquet(staging.toString)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
     val claim = new Path(s"$root/_commits/$version.commit")
     f.mkdirs(claim.getParent)
     // Lost-race detection must be SPECIFIC: only claim-already-exists is

@@ -58,6 +58,8 @@ def compare(sf, out, only=None):
             # canonicalize dtypes for value comparison
             for c in df.columns:
                 if str(df[c].dtype).startswith("datetime64"):
+                    if getattr(df[c].dtype, "tz", None) is not None:
+                        df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
                     df[c] = df[c].astype("datetime64[us]")
                 elif df[c].dtype == object:
                     pass
