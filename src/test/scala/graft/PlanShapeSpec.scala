@@ -140,4 +140,34 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"sketch pairing is not a broadcast join:\n$p")
   }
+
+  test("text_normalize / text_html_extract are single-scan codegen projections") {
+    Seq("text_normalize", "text_html_extract").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange") || p.indexOf("Exchange") == p.lastIndexOf("Exchange"),
+        s"$q shuffles more than the final sort:\n$p")
+      assert(!p.contains("CodegenFallback"), s"$q fell out of codegen:\n$p")
+    }
+  }
+
+  test("text_bm25 scores in one scan: no join anywhere in the plan") {
+    val p = planOf("text_bm25")
+    assert(!p.contains("Join"), s"bm25 grew a join:\n$p")
+  }
+
+  test("x_window_funcs serves all five functions from one exchange + one sort") {
+    val p = planOf("x_window_funcs")
+    // partitionBy(user_id) hash exchange + the final presentation sort
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"extra exchanges ($exchanges):\n$p")
+    val windows = p.linesIterator.count(_.trim.matches(".*\\bWindow\\b.*"))
+    assert(windows <= 2, s"window ops did not share a sort spec ($windows):\n$p")
+  }
+
+  test("s11 ORC read pushes the quantity filter into the scan") {
+    val p = planOf("s11_orc_roundtrip")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan orc") && l.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("GreaterThan(l_quantity"), s"filter not pushed: $scan")
+  }
 }
