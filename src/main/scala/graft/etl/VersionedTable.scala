@@ -112,6 +112,7 @@ object VersionedTable {
       .makeQualified(new Path(s"$root/_commits")).toUri.toString + "/"
     manifestCache.keySet.removeIf(_.startsWith(prefix))
     detailCache.keySet.removeIf(_.startsWith(prefix))
+    bloomCache.keySet.removeIf(_.startsWith(prefix))
   }
 
   private def readSmall(spark: SparkSession, p: Path): String = {
@@ -174,6 +175,7 @@ object VersionedTable {
     // the released number may be re-published with a different data dir
     manifestCache.remove(cacheKey(spark, root, version))
     detailCache.remove(cacheKey(spark, root, version))
+    bloomCache.remove(cacheKey(spark, root, version))
   }
 
   /** Absolute data directory of committed version `v` (CDC tagging
@@ -213,7 +215,8 @@ object VersionedTable {
     * commit. Orphan data dirs from crashes are reclaimed by
     * [[vacuumOrphans]]. */
   private[graft] def publish(spark: SparkSession, root: String, df: DataFrame,
-                             snapshot: Boolean, version: Long): Long = {
+                             snapshot: Boolean, version: Long,
+                             bloomCols: Seq[String] = Nil): Long = {
     val f = fs(spark, root)
     val rel = s"data/v=$version-${java.util.UUID.randomUUID}"
     val staging = new Path(s"$root/$rel")
@@ -261,8 +264,10 @@ object VersionedTable {
         fileStatsLines(spark, new Path(staging, name), name))
       .collect(java.util.stream.Collectors.toList[Seq[String]])
       .asScala.toSeq.flatten
+    val bloomLines = fileBloomLines(spark, staging.toString, bloomCols)
     val body =
-      (Seq(rel, s"snapshot=$snapshot") ++ files ++ statsLines).mkString("\n")
+      (Seq(rel, s"snapshot=$snapshot") ++ files ++ statsLines ++ bloomLines)
+        .mkString("\n")
     val tmp = new Path(s"$root/_commits/.$version.manifest.tmp")
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -278,10 +283,10 @@ object VersionedTable {
   }
 
   private def write(spark: SparkSession, root: String, df: DataFrame,
-                    snapshot: Boolean): Long = {
+                    snapshot: Boolean, bloomCols: Seq[String] = Nil): Long = {
     val next = (versions(spark, root) ++ claimed(spark, root))
       .maxOption.fold(0L)(_ + 1)
-    publish(spark, root, df, snapshot, next)
+    publish(spark, root, df, snapshot, next, bloomCols)
   }
 
 
@@ -372,7 +377,7 @@ object VersionedTable {
       : (Seq[String], Map[String, Map[String, ColStats]]) =
     detailCache.computeIfAbsent(cacheKey(spark, root, v), { _ =>
       val lines = readSmall(spark, manifestPath(root, v)).linesIterator.toSeq
-      val files = lines.drop(2).filterNot(_.startsWith("#stats\t"))
+      val files = lines.drop(2).filterNot(_.startsWith("#"))
         .filter(_.nonEmpty)
       val stats = lines.filter(_.startsWith("#stats\t"))
         .map(_.split("\t", -1))
@@ -454,6 +459,135 @@ object VersionedTable {
     (df, kept.size, baseFiles.size)
   }
 
+
+  // ------------------------------------------------------------------
+  // Per-file Bloom indexes (Delta bloom-filter-index analog): min/max
+  // stats prune RANGE predicates but are useless for point lookups on
+  // a layout not clustered by the lookup column (every file's [min,
+  // max] spans the key space). A per-file Bloom over xxhash64(col)
+  // answers "might this file contain key k?" with no false negatives,
+  // so [[readAsOfEq]] opens ~1 base file instead of all of them.
+  // Recorded as `#bloom\t<file>\t<col>\t<b64(sketch)>` manifest
+  // lines; costs one scan OF THE COMMIT (grouped by input file) at
+  // snapshot-publish time, opt-in via `bloomCols`.
+  // ------------------------------------------------------------------
+
+  /** Per-(file, column) Bloom lines for a freshly-written snapshot
+    * dir; one aggregation job over the staged data (never the table),
+    * map-side combined per file. */
+  private def fileBloomLines(spark: SparkSession, staging: String,
+                             bloomCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.GraftColumnBridge
+    if (bloomCols.isEmpty) return Nil
+    val data = spark.read.parquet(staging)
+    val present = bloomCols.filter(data.columns.contains)
+    if (present.isEmpty) return Nil
+    // size per file: total rows (parquet footer count — no data scan)
+    // over file count, with 2x slack for skewed files; fpp 1%
+    val nFiles = math.max(fs(spark, staging)
+      .listStatus(new Path(staging))
+      .count(st => { val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") }), 1)
+    val perFile = math.max(data.count() / nFiles, 1L) * 2
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(perFile, 0.01)
+    val aggs = present.map { c =>
+      GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          GraftColumnBridge.expression(xxhash64(col(c))),
+          GraftColumnBridge.expression(lit(perFile)),
+          GraftColumnBridge.expression(lit(numBits)))
+          .toAggregateExpression()).as(s"bf_$c")
+    }
+    data.withColumn("__file", input_file_name())
+      .groupBy("__file").agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.flatMap { row =>
+        val fname = row.getString(0).split('/').last
+        present.zipWithIndex.flatMap { case (c, i) =>
+          Option(row.getAs[Array[Byte]](i + 1)).map(bytes =>
+            s"#bloom\t$fname\t$c\t${b64bytes(bytes)}")
+        }
+      }
+  }
+
+  private def b64bytes(x: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(x)
+
+  /** Parsed Bloom sketches of one manifest, keyed (file, col). Same
+    * immutability/caching contract as [[manifestDetail]]. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[(String, String), org.apache.spark.util.sketch.BloomFilter]]()
+
+  private def manifestBlooms(spark: SparkSession, root: String, v: Long)
+      : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.computeIfAbsent(cacheKey(spark, root, v), { _ =>
+      readSmall(spark, manifestPath(root, v)).linesIterator
+        .filter(_.startsWith("#bloom\t"))
+        .map(_.split("\t", -1))
+        .collect { case Array(_, f, c, b) =>
+          (f, c) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b)))
+        }.toMap
+    })
+
+  /** xxhash64 of a lookup value, matching `xxhash64(col)` over the
+    * column's native type (seed 42) — the probe side of the per-file
+    * Bloom contract. Integral + string keys supported. */
+  private def probeHash(value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    value match {
+      case i: Int => XxHash64Function.hash(i, IntegerType, 42L)
+      case l: Long => XxHash64Function.hash(l, LongType, 42L)
+      case st: String => XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(st), StringType, 42L)
+      case other => throw new IllegalArgumentException(
+        s"readAsOfEq: unsupported key type ${other.getClass.getName}" +
+          " (integral and string keys only)")
+    }
+  }
+
+  /** Point-lookup snapshot read: [[readAsOf]] semantics with the
+    * predicate `column = value`, pruning BASE-SNAPSHOT files by
+    * footer [min,max] AND (when the snapshot was committed with
+    * `bloomCols` covering `column`) the per-file Bloom sketch — the
+    * combination that keeps point reads ~O(1 file) even on a layout
+    * not clustered by `column`. Deltas are always read (they shadow);
+    * the equality filter applies after the merge. */
+  def readAsOfEq(spark: SparkSession, root: String, keyCols: Seq[String],
+                 asOf: Long, column: String, value: Any): DataFrame =
+    readAsOfEqPruned(spark, root, keyCols, asOf, column, value)._1
+
+  private[graft] def readAsOfEqPruned(
+      spark: SparkSession, root: String, keyCols: Seq[String], asOf: Long,
+      column: String, value: Any): (DataFrame, Int, Int) = {
+    val cs = commits(spark, root).filter(_.v <= asOf)
+    require(cs.nonEmpty, s"no committed version <= $asOf under $root")
+    val base = cs.reverse.find(_.snapshot).getOrElse(cs.head)
+    val live = cs.filter(_.v >= base.v)
+    val (baseFiles, stats) = manifestDetail(spark, root, base.v)
+    val blooms = manifestBlooms(spark, root, base.v)
+    lazy val h = probeHash(value)
+    val kept = baseFiles.filter { f =>
+      mayMatch(stats.get(f).flatMap(_.get(column)), value, value) &&
+        blooms.get((f, column)).forall(_.mightContainLong(h))
+    }
+    val baseDf =
+      if (kept.isEmpty) spark.read.parquet(base.dir).where(lit(false))
+      else if (kept.size == baseFiles.size) spark.read.parquet(base.dir)
+      else spark.read.parquet(kept.map(n => s"${base.dir}/$n"): _*)
+    val merged = (baseDf.withColumn("__commit", lit(base.v)) +:
+      live.filter(_.v != base.v).map { c =>
+        spark.read.parquet(c.dir).withColumn("__commit", lit(c.v))
+      }).reduce(_.unionByName(_, allowMissingColumns = true))
+    val df = Upsert.dedupeLatest(merged, keyCols, "__commit")
+      .where(!col(Deleted)).drop(Deleted, "__commit")
+      .where(col(column) === lit(value))
+    (df, kept.size, baseFiles.size)
+  }
+
   /** Run a commit thunk, retrying on [[ConcurrentCommitException]] up
     * to `maxAttempts` total attempts — the optimistic-concurrency loop
     * every multi-writer caller needs, provided once instead of
@@ -485,9 +619,14 @@ object VersionedTable {
     throw new IllegalStateException("unreachable")
   }
 
-  /** v=0 full snapshot. */
-  def init(spark: SparkSession, root: String, df: DataFrame): Long =
-    write(spark, root, df.withColumn(Deleted, lit(false)), snapshot = true)
+  /** v=0 full snapshot. `bloomCols` opt in per-file Bloom indexes for
+    * point-lookup file pruning ([[readAsOfEq]]) — only snapshot
+    * commits carry them, because only the (table-sized) base snapshot
+    * is ever pruned; deltas are always read. */
+  def init(spark: SparkSession, root: String, df: DataFrame,
+           bloomCols: Seq[String] = Nil): Long =
+    write(spark, root, df.withColumn(Deleted, lit(false)), snapshot = true,
+      bloomCols = bloomCols)
 
   /** Append an upsert commit: rows replace same-key rows at read time. */
   def commitUpsert(spark: SparkSession, root: String, updates: DataFrame): Long =
@@ -531,10 +670,11 @@ object VersionedTable {
   /** Fold the live chain into a new snapshot commit; readers of newer
     * versions then touch one directory. Old versions stay for time
     * travel (pair with a retention sweep to expire them). */
-  def compact(spark: SparkSession, root: String, keyCols: Seq[String]): Long =
+  def compact(spark: SparkSession, root: String, keyCols: Seq[String],
+              bloomCols: Seq[String] = Nil): Long =
     write(spark, root,
       readLatest(spark, root, keyCols).withColumn(Deleted, lit(false)),
-      snapshot = true)
+      snapshot = true, bloomCols = bloomCols)
 
   /** Row-level changes committed in (`fromV`, `toV`]: the CDC-out
     * feed. Each row carries its commit id and op ('U'/'D') — exactly
@@ -703,6 +843,7 @@ object VersionedTable {
       f.delete(new Path(c.dir), true)
       manifestCache.remove(cacheKey(spark, root, c.v))
       detailCache.remove(cacheKey(spark, root, c.v))
+      bloomCache.remove(cacheKey(spark, root, c.v))
     }
     removable.map(_.v)
   }

@@ -313,6 +313,72 @@ object ExtQueries extends graft.QueryModule {
       |    AS n_from_updates
       |FROM sel""".stripMargin
 
+
+  /** Point-lookup read through the per-file Bloom index
+    * (VersionedTable.readAsOfEq): the base snapshot is written
+    * UNCLUSTERED by the lookup key (hash-partitioned by value), so
+    * [min,max] stats cannot prune it — the per-file Bloom over
+    * xxhash64(event_id) is what keeps a key lookup at ~one base file
+    * (file-count asserts in VersionedTableStatsSpec; semantics pinned
+    * here for an updated, a deleted and an untouched key). */
+  def vtPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtpl") + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    VersionedTable.init(spark, root, ev.repartition(8, col("value")),
+      bloomCols = Seq("event_id"))
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsert(spark, root,
+        ev.where(col("event_id") % 7 === 0)
+          .withColumn("value", col("value") * 10))                      // v1
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitDelete(spark, root,
+        ev.where(col("event_id") % 5 === 0).select("event_id"))         // v2
+    }
+    val id = col("event_id")
+    val keys = ev.agg(
+      min(when(id % 7 === 0 && id % 5 =!= 0, id)).as("k_upd"),
+      min(when(id % 5 === 0, id)).as("k_del"),
+      min(when(id % 7 =!= 0 && id % 5 =!= 0, id)).as("k_live")).head()
+    Seq("deleted" -> keys.getLong(1), "untouched" -> keys.getLong(2),
+        "updated" -> keys.getLong(0)).map { case (tag, k) =>
+      VersionedTable.readAsOfEq(spark, root, Seq("event_id"), 2L,
+          "event_id", k)
+        .agg(count(lit(1)).as("n"),
+          round(coalesce(sum("value"), lit(0.0)), 2).as("total"))
+        .select(lit(tag).as("which"), col("n"), col("total"))
+    }.reduce(_ unionByName _).orderBy("which")
+  }
+  val vtPointLookupSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |keys AS (SELECT
+      |  min(CASE WHEN event_id % 7 = 0 AND event_id % 5 <> 0
+      |      THEN event_id END) AS k_upd,
+      |  min(CASE WHEN event_id % 5 = 0 THEN event_id END) AS k_del,
+      |  min(CASE WHEN event_id % 7 <> 0 AND event_id % 5 <> 0
+      |      THEN event_id END) AS k_live
+      |  FROM ev),
+      |state AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev WHERE event_id % 5 <> 0)
+      |SELECT 'deleted' AS which,
+      |  (SELECT count(*) FROM state, keys WHERE event_id = k_del) AS n,
+      |  (SELECT round(coalesce(sum(value), 0), 2)
+      |   FROM state, keys WHERE event_id = k_del) AS total
+      |UNION ALL
+      |SELECT 'untouched',
+      |  (SELECT count(*) FROM state, keys WHERE event_id = k_live),
+      |  (SELECT round(coalesce(sum(value), 0), 2)
+      |   FROM state, keys WHERE event_id = k_live)
+      |UNION ALL
+      |SELECT 'updated',
+      |  (SELECT count(*) FROM state, keys WHERE event_id = k_upd),
+      |  (SELECT round(coalesce(sum(value), 0), 2)
+      |   FROM state, keys WHERE event_id = k_upd)
+      |ORDER BY 1""".stripMargin
+
   /** The shared versioned-table commit history every vt_* gate builds
     * on: init snapshot (v0) → upsert of the %7 keys ×10 plus 100
     * fresh keys (v1) → tombstone delete of the %5 keys (v2). Returns
@@ -521,6 +587,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_schema_evolution" -> (vtSchemaEvolution _),
     "vt_history" -> (vtHistory _),
     "vt_data_skipping" -> (vtDataSkipping _),
+    "vt_point_lookup" -> (vtPointLookup _),
     "vt_change_feed_images" -> (vtChangeFeedImages _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
@@ -536,6 +603,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_schema_evolution" -> vtSchemaEvolutionSql,
     "vt_history" -> vtHistorySql,
     "vt_data_skipping" -> vtDataSkippingSql,
+    "vt_point_lookup" -> vtPointLookupSql,
     "vt_change_feed_images" -> vtChangeFeedImagesSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,

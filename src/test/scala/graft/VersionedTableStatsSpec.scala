@@ -119,4 +119,56 @@ class VersionedTableStatsSpec extends SparkSpecBase {
     val expect = ev.where(col("value").between(10.0, 20.0)).count()
     assert(pruned.count() == expect)
   }
+
+  test("bloom index prunes point lookups on an unsorted layout; stats alone cannot") {
+    val rootNoBloom = freshRoot("vtbloom0")
+    val rootBloom = freshRoot("vtbloom1")
+    // repartition by VALUE → event_ids spread across every file, so
+    // per-file [min,max] on event_id spans the key space
+    val scattered = ev.repartition(8, col("value"))
+    VersionedTable.init(spark, rootNoBloom, scattered)
+    VersionedTable.init(spark, rootBloom, scattered, bloomCols = Seq("event_id"))
+    // a MID-RANGE key: the global min/max ids would let [min,max]
+    // stats prune by accident even on this scattered layout
+    val allIds = ev.select("event_id").collect().map(_.getLong(0)).sorted
+    val key = allIds(allIds.length / 2)
+    val (_, keptStats, totalStats) = VersionedTable.readAsOfEqPruned(
+      spark, rootNoBloom, Seq("event_id"), 0L, "event_id", key)
+    assert(keptStats == totalStats,
+      s"min/max alone should keep everything here (kept=$keptStats)")
+    val (hit, keptBloom, totalBloom) = VersionedTable.readAsOfEqPruned(
+      spark, rootBloom, Seq("event_id"), 0L, "event_id", key)
+    assert(keptBloom < totalBloom,
+      s"bloom pruned nothing (kept=$keptBloom of $totalBloom)")
+    assert(hit.count() == 1)
+    assert(hit.select("event_id").head().getLong(0) == key)
+  }
+
+  test("bloom lookup of an absent key reads zero or near-zero files, returns empty") {
+    val root = freshRoot("vtbloom2")
+    VersionedTable.init(spark, root,
+      ev.repartition(8, col("value")), bloomCols = Seq("event_id"))
+    val (res, kept, total) = VersionedTable.readAsOfEqPruned(
+      spark, root, Seq("event_id"), 0L, "event_id", -987654321L)
+    assert(kept < total, "bloom should exclude nearly every file")
+    assert(res.count() == 0)
+  }
+
+  test("bloom point lookup stays correct under delta shadowing") {
+    val root = freshRoot("vtbloom3")
+    VersionedTable.init(spark, root,
+      ev.repartition(8, col("value")), bloomCols = Seq("event_id"))
+    val ids = ev.select("event_id").limit(2).collect().map(_.getLong(0))
+    val (updated, deleted) = (ids(0), ids(1))
+    VersionedTable.commitUpsert(spark, root,
+      ev.where(col("event_id") === updated).withColumn("value", lit(42.5)))
+    VersionedTable.commitDelete(spark, root,
+      spark.range(1).select(lit(deleted).as("event_id")))
+    val upd = VersionedTable.readAsOfEq(
+      spark, root, Seq("event_id"), 2L, "event_id", updated)
+    assert(upd.select("value").head().getDouble(0) == 42.5)
+    val del = VersionedTable.readAsOfEq(
+      spark, root, Seq("event_id"), 2L, "event_id", deleted)
+    assert(del.count() == 0, "deleted key resurfaced in point lookup")
+  }
 }
