@@ -191,10 +191,37 @@ object BonusQueries extends graft.QueryModule {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** Correlated EXISTS + scalar subquery through spark.sql: customers
+    * holding at least one order above half the global max price,
+    * counted per market segment. The threshold uses max (exact,
+    * order-independent) so the comparison replays identically in any
+    * engine — an avg/sum threshold would wobble in the last ulp. */
+  def xExistsSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("g_customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("g_orders")
+    spark.sql("""
+      SELECT c_mktsegment, count(*) AS n_big
+      FROM g_customer c
+      WHERE EXISTS (
+        SELECT 1 FROM g_orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM g_orders))
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+  val existsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_big
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM orders))
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_topk_per_group" -> (xTopkPerGroup _),
     "x_rollup" -> (xRollup _),
     "x_window_funcs" -> (xWindowFuncs _),
+    "x_exists_subquery" -> (xExistsSubquery _),
     "x_pivot" -> (xPivot _),
     "x_semi_anti" -> (xSemiAnti _),
     "x_distinct_agg" -> (xDistinctAgg _),
@@ -206,6 +233,7 @@ object BonusQueries extends graft.QueryModule {
     "x_topk_per_group" -> topkSql,
     "x_rollup" -> rollupSql,
     "x_window_funcs" -> windowFuncsSql,
+    "x_exists_subquery" -> existsSql,
     "x_pivot" -> pivotSql,
     "x_semi_anti" -> semiAntiSql,
     "x_distinct_agg" -> distinctSql,

@@ -106,15 +106,62 @@ object CoverageQueries extends graft.QueryModule {
     """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total_price
       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Data-quality constraint suite (etl.Quality, the Deequ idea):
+    * five checks over the TPC-H-ish tables — key uniqueness, null
+    * completeness, FK orphans, numeric range, accepted enum values —
+    * evaluated in one action; only the FK check shuffles. */
+  def profileConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.Quality
+    val orders = Tables.orders(spark, sfDir)
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    Quality.suite(Seq(
+      Quality.unique(orders, Seq("o_orderkey")),
+      Quality.complete(customer, "c_name"),
+      Quality.refIntegrity(lineitem, "l_orderkey", orders, "o_orderkey"),
+      Quality.inRange(lineitem, "l_discount", 0.0, 0.1),
+      Quality.acceptedValues(orders, "o_orderstatus", Seq("O", "F", "P"))))
+  }
+  val constraintsSql: String =
+    """SELECT check_name, violations, n_checked, violations = 0 AS pass FROM (
+      |  SELECT 'unique(o_orderkey)' AS check_name,
+      |    CAST((SELECT coalesce(sum(c - 1), 0) FROM
+      |      (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)) AS BIGINT) AS violations,
+      |    (SELECT count(*) FROM orders) AS n_checked
+      |  UNION ALL
+      |  SELECT 'complete(c_name)',
+      |    CAST((SELECT coalesce(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0)
+      |     FROM customer) AS BIGINT),
+      |    (SELECT count(*) FROM customer)
+      |  UNION ALL
+      |  SELECT 'ref(l_orderkey->o_orderkey)',
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |    (SELECT count(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'range(l_discount)',
+      |    CAST((SELECT coalesce(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+      |        THEN 1 ELSE 0 END), 0) FROM lineitem) AS BIGINT),
+      |    (SELECT count(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'accepted(o_orderstatus)',
+      |    CAST((SELECT coalesce(sum(CASE WHEN o_orderstatus IS NULL
+      |        OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0)
+      |     FROM orders) AS BIGINT),
+      |    (SELECT count(*) FROM orders))
+      |ORDER BY check_name""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1p3_struct_projection" -> (p1p3StructProjection _),
     "j9_join_by_name" -> (j9JoinByName _),
     "w3_save_as_table" -> (w3SaveAsTable _),
+    "profile_constraints" -> (profileConstraints _),
     "s10_jdbc_export" -> (s10JdbcExport _))
 
   def oracles: Map[String, String] = Map(
     "p1p3_struct_projection" -> p1p3Sql,
     "j9_join_by_name" -> j9Sql,
     "w3_save_as_table" -> w3Sql,
+    "profile_constraints" -> constraintsSql,
     "s10_jdbc_export" -> s10Sql)
 }

@@ -146,15 +146,36 @@ object SqlSurfaceQueries extends QueryModule {
       |  FROM lineitem) t
       |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin
 
+  /** The unicode kernels through SQL text: decomposed/accented input
+    * normalized and folded inside a spark.sql query. */
+  def sqlNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("g_docs_n")
+    spark.sql("""
+      SELECT doc_id,
+        length(nfc_normalize(concat('Cafe\u0301 \u00C5ngstr\u00F6m ', text))) AS len_nfc,
+        substring(strip_accents(concat('Cafe\u0301 \u00C5ngstr\u00F6m ', text)), 1, 24) AS plain_head
+      FROM g_docs_n ORDER BY doc_id""")
+  }
+  val sqlNormalizeSql: String =
+    """SELECT doc_id,
+      |  length(nfc_normalize('Cafe' || chr(769) || ' ' || chr(197) ||
+      |    'ngstr' || chr(246) || 'm ' || text)) AS len_nfc,
+      |  substr(strip_accents('Cafe' || chr(769) || ' ' || chr(197) ||
+      |    'ngstr' || chr(246) || 'm ' || text), 1, 24) AS plain_head
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_min_k_distinct" -> (sqlMinK _),
     "sql_dot_product" -> (sqlDot _),
+    "sql_normalize" -> (sqlNormalize _),
     "sql_simhash_sig" -> (sqlSimhash _),
     "sql_bounded_top_k" -> (sqlTopK _))
 
   def oracles: Map[String, String] = Map(
     "sql_min_k_distinct" -> sqlMinKSql,
     "sql_dot_product" -> sqlDotSql,
+    "sql_normalize" -> sqlNormalizeSql,
     "sql_simhash_sig" -> sqlSimhashSql,
     "sql_bounded_top_k" -> sqlTopKSql)
 }
