@@ -328,10 +328,12 @@ object VersionedTable {
       file, spark.sparkContext.hadoopConfiguration)
     val reader = ParquetFileReader.open(in)
     try {
-      val chunks = reader.getFooter.getBlocks.asScala.toSeq
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rowLine = s"#rows\t$name\t${blocks.map(_.getRowCount).sum}"
+      val chunks = blocks
         .flatMap(_.getColumns.asScala)
         .groupBy(_.getPath.toDotString)
-      chunks.toSeq.sortBy(_._1).flatMap { case (colName, cks) =>
+      rowLine +: chunks.toSeq.sortBy(_._1).flatMap { case (colName, cks) =>
         val pt = cks.head.getPrimitiveType
         val logical = pt.getLogicalTypeAnnotation
         val tag = (pt.getPrimitiveTypeName, logical) match {
@@ -371,10 +373,15 @@ object VersionedTable {
   /** Parsed (files, per-file column stats) of one manifest. Cached
     * like [[manifestCache]] — manifests are immutable after publish. */
   private val detailCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[String], Map[String, Map[String, ColStats]])]()
+    String, (Seq[String], Map[String, Map[String, ColStats]], Map[String, Long])]()
 
   private def manifestDetail(spark: SparkSession, root: String, v: Long)
-      : (Seq[String], Map[String, Map[String, ColStats]]) =
+      : (Seq[String], Map[String, Map[String, ColStats]]) = {
+    val d = manifestDetailFull(spark, root, v); (d._1, d._2)
+  }
+
+  private def manifestDetailFull(spark: SparkSession, root: String, v: Long)
+      : (Seq[String], Map[String, Map[String, ColStats]], Map[String, Long]) =
     detailCache.computeIfAbsent(cacheKey(spark, root, v), { _ =>
       val lines = readSmall(spark, manifestPath(root, v)).linesIterator.toSeq
       val files = lines.drop(2).filterNot(_.startsWith("#"))
@@ -386,8 +393,20 @@ object VersionedTable {
         }
         .groupBy(_._1)
         .map { case (f, xs) => f -> xs.map(x => x._2 -> x._3).toMap }
-      (files, stats)
+      val rows = lines.filter(_.startsWith("#rows\t"))
+        .map(_.split("\t", -1))
+        .collect { case Array(_, f, n) => f -> n.toLong }.toMap
+      (files, stats, rows)
     })
+
+  /** Exact row count of version `v`'s commit from manifest metadata
+    * alone — Some iff every data file carries a `#rows` line (always
+    * true for r7+ writes; None for older manifests → caller scans). */
+  private[graft] def rowCountOf(spark: SparkSession, root: String,
+                                v: Long): Option[Long] = {
+    val (files, _, rows) = manifestDetailFull(spark, root, v)
+    if (files.forall(rows.contains)) Some(files.map(rows).sum) else None
+  }
 
   /** Can any row of a file with `st` stats fall inside [lo, hi]?
     * Missing stats → true (never skip blind). */
@@ -882,21 +901,31 @@ object VersionedTable {
     if (cs.isEmpty)
       return Seq.empty[(Long, Boolean, Long)]
         .toDF("version", "is_snapshot", "n_rows")
-    // one schema probe for the whole chain: per-dir inference would
-    // launch a footer-reading job per version (measured: 10 versions =
-    // 10 pre-action jobs). The newest schema reads older files with
-    // nulls for later-added columns — and the count needs no columns.
-    val schema = spark.read.parquet(cs.last.dir).schema
-    val counts = cs.map { c =>
-        spark.read.schema(schema).parquet(c.dir)
-          .select(lit(c.v).as("version"))
-      }.reduce(_.unionByName(_))
-      .groupBy("version").agg(count(lit(1)).as("n_rows"))
-    val meta = cs.map(c => (c.v, c.snapshot))
-      .toDF("version", "is_snapshot")
-    // left join from metadata so an empty commit still shows n_rows=0
-    meta.join(counts, Seq("version"), "left_outer")
-      .select(col("version"), col("is_snapshot"),
-        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+    // r7: row counts come from manifest `#rows` metadata (recorded at
+    // publish from the parquet footers) — table history is now a pure
+    // driver-side metadata read, zero data jobs, exactly like Delta's
+    // DESCRIBE HISTORY. Versions from pre-#rows manifests fall back
+    // to one shared count scan.
+    val known = cs.map(c => c.v -> rowCountOf(spark, root, c.v)).toMap
+    val unknown = cs.filter(c => known(c.v).isEmpty)
+    val scanned: Map[Long, Long] =
+      if (unknown.isEmpty) Map.empty
+      else {
+        // one schema probe for the scan set: per-dir inference would
+        // launch a footer-reading job per version (measured: 10
+        // versions = 10 pre-action jobs). The newest schema reads
+        // older files with nulls for later-added columns — and the
+        // count needs no columns.
+        val schema = spark.read.parquet(unknown.last.dir).schema
+        unknown.map { c =>
+            spark.read.schema(schema).parquet(c.dir)
+              .select(lit(c.v).as("version"))
+          }.reduce(_.unionByName(_))
+          .groupBy("version").agg(count(lit(1)).as("n_rows"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+    cs.map(c => (c.v, c.snapshot,
+        known(c.v).orElse(scanned.get(c.v)).getOrElse(0L)))
+      .toDF("version", "is_snapshot", "n_rows")
   }
 }

@@ -216,7 +216,7 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(state(root, 0L) == Map(1L -> 1.0, 2L -> 2.0))
   }
 
-  test("history is one action, not one job per version") {
+  test("history is a zero-job metadata read for #rows-bearing manifests") {
     val s = spark
     import s.implicits._
     val root = freshRoot()
@@ -254,10 +254,12 @@ class VersionedTableSpec extends SparkSpecBase {
       assert(markerSeen.await(30, java.util.concurrent.TimeUnit.SECONDS),
         "listener bus failed to deliver the marker job event")
       val jobs = Option(counts.get(group)).fold(0)(_.intValue)
-      // AQE may stage-materialize a few jobs; the old per-version
-      // count() path launched >= 10 — assert strictly fewer than one
-      // job per version
-      assert(jobs >= 1 && jobs < 10, s"history launched $jobs jobs for 10 versions")
+      // r7: every fresh manifest carries #rows per file, so history
+      // resolves entirely from driver-side metadata — ZERO jobs (the
+      // pre-r7 shape was one shared count scan; pre-r3, one per
+      // version). The scan fallback path is covered by the pre-#rows
+      // manifest test in VersionedTableStatsSpec.
+      assert(jobs == 0, s"history launched $jobs jobs; expected pure metadata")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

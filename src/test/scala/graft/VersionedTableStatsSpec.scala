@@ -107,7 +107,7 @@ class VersionedTableStatsSpec extends SparkSpecBase {
     // footer stats existed — pruning must fall back to reading all
     val mf = new java.io.File(s"$root/_commits/0.manifest")
     val stripped = scala.io.Source.fromFile(mf, "UTF-8").getLines()
-      .filterNot(_.startsWith("#stats\t")).mkString("\n")
+      .filterNot(_.startsWith("#")).mkString("\n")
     val w = new java.io.PrintWriter(mf, "UTF-8")
     try w.print(stripped) finally w.close()
     // the local FS keeps a checksum sidecar; stale after the rewrite
@@ -118,6 +118,11 @@ class VersionedTableStatsSpec extends SparkSpecBase {
     assert(kept == total, "missing stats must keep every file")
     val expect = ev.where(col("value").between(10.0, 20.0)).count()
     assert(pruned.count() == expect)
+    // and history falls back to the shared count scan for this version
+    assert(VersionedTable.rowCountOf(spark, root, 0L).isEmpty)
+    val h = VersionedTable.history(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h(0L) == ev.count())
   }
 
   test("bloom index prunes point lookups on an unsorted layout; stats alone cannot") {
@@ -170,5 +175,21 @@ class VersionedTableStatsSpec extends SparkSpecBase {
     val del = VersionedTable.readAsOfEq(
       spark, root, Seq("event_id"), 2L, "event_id", deleted)
     assert(del.count() == 0, "deleted key resurfaced in point lookup")
+  }
+
+  test("manifest #rows metadata makes history a zero-job metadata read") {
+    val root = freshRoot("vtrows")
+    VersionedTable.init(spark, root, ev.repartitionByRange(4, col("value")))
+    VersionedTable.commitUpsert(spark, root,
+      ev.limit(10).withColumn("value", lit(1.0)))
+    (0L to 1L).foreach { v =>
+      assert(VersionedTable.rowCountOf(spark, root, v).isDefined,
+        s"fresh write v=$v missing #rows metadata")
+    }
+    val total = ev.count()
+    val h = VersionedTable.history(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h(0L) == total)
+    assert(h(1L) == 10L)
   }
 }
