@@ -695,6 +695,31 @@ object VersionedTable {
       readLatest(spark, root, keyCols).withColumn(Deleted, lit(false)),
       snapshot = true, bloomCols = bloomCols)
 
+  /** [[compact]] that also RE-CLUSTERS the snapshot (Delta OPTIMIZE
+    * ZORDER BY): one cluster column → range layout; two → z-order
+    * (perf.Layout.zorderBy), so the new snapshot's per-file stats
+    * become tight boxes and [[readAsOfRange]] prunes on the clustered
+    * dimension(s). The merged state is persisted for the duration —
+    * the z-bounds probe and the write both consume it, and compaction
+    * reads the chain exactly once. */
+  def compactClustered(spark: SparkSession, root: String,
+                       keyCols: Seq[String], clusterCols: Seq[String],
+                       nFiles: Int, bloomCols: Seq[String] = Nil): Long = {
+    val latest = readLatest(spark, root, keyCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val arranged = clusterCols match {
+        case Seq(c) =>
+          latest.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
+        case Seq(a, b) => graft.perf.Layout.zorderBy(latest, a, b, nFiles)
+        case other => throw new IllegalArgumentException(
+          s"compactClustered: 1 or 2 cluster columns, got $other")
+      }
+      write(spark, root, arranged.withColumn(Deleted, lit(false)),
+        snapshot = true, bloomCols = bloomCols)
+    } finally latest.unpersist(blocking = false)
+  }
+
   /** Row-level changes committed in (`fromV`, `toV`]: the CDC-out
     * feed. Each row carries its commit id and op ('U'/'D') — exactly
     * what a downstream `CdcIngest` consumer replays. Only the

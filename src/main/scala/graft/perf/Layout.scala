@@ -93,7 +93,17 @@ object Layout {
     * OPTIMIZE ZORDER BY pattern: one stats pass + one range exchange,
     * no driver-side state, file count = nFiles. */
   def zorderWrite(df: DataFrame, colA: String, colB: String,
-                  nFiles: Int, path: String): Unit = {
+                  nFiles: Int, path: String): Unit =
+    zorderBy(df, colA, colB, nFiles)
+      .write.mode("overwrite").parquet(path)
+
+  /** The arrangement behind [[zorderWrite]], reusable by any sink
+    * (VersionedTable.compactClustered): interleaved-bit z-value,
+    * range-partitioned into `nFiles` and sorted within each — files
+    * become compact 2-D boxes, so per-file [min,max] stats prune
+    * range predicates on EITHER dimension. */
+  def zorderBy(df: DataFrame, colA: String, colB: String,
+               nFiles: Int): DataFrame = {
     val Seq((aMin, aMax), (bMin, bMax)) = bounds(df, colA, colB)
     df.withColumn("__z", zValue(
         normalize16(col(colA), aMin, aMax),
@@ -101,6 +111,5 @@ object Layout {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 }

@@ -379,6 +379,45 @@ object ExtQueries extends graft.QueryModule {
       |   FROM state, keys WHERE event_id = k_upd)
       |ORDER BY 1""".stripMargin
 
+
+  /** OPTIMIZE-ZORDER parity: the table starts hash-scattered (no
+    * dimension prunable), takes an update, then compactClustered
+    * re-lays the snapshot as a (user_id, event_id) z-order — after
+    * which readAsOfRange on user_id opens a subset of the base files
+    * (file counts asserted in VersionedTableStatsSpec; this gate pins
+    * the post-compaction semantics: clustering must never change
+    * state). */
+  def vtCompactZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtcz") + "/tbl"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    VersionedTable.init(spark, root, ev.repartition(8, col("value")))
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsert(spark, root,
+        ev.where(col("event_id") % 7 === 0)
+          .withColumn("value", col("value") * 10))                      // v1
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.compactClustered(spark, root, Seq("event_id"),
+        Seq("user_id", "event_id"), nFiles = 8)                         // v2
+    }
+    VersionedTable
+      .readAsOfRange(spark, root, Seq("event_id"), 2L, "user_id", 10L, 40L)
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        countDistinct("user_id").as("n_users"))
+  }
+  val vtCompactZorderSql: String =
+    """WITH ev AS (SELECT event_id, user_id, value FROM events),
+      |state AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev),
+      |sel AS (SELECT * FROM state WHERE user_id BETWEEN 10 AND 40)
+      |SELECT count(*) AS n, round(sum(value), 2) AS total,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM sel""".stripMargin
+
   /** The shared versioned-table commit history every vt_* gate builds
     * on: init snapshot (v0) → upsert of the %7 keys ×10 plus 100
     * fresh keys (v1) → tombstone delete of the %5 keys (v2). Returns
@@ -588,6 +627,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_history" -> (vtHistory _),
     "vt_data_skipping" -> (vtDataSkipping _),
     "vt_point_lookup" -> (vtPointLookup _),
+    "vt_compact_zorder" -> (vtCompactZorder _),
     "vt_change_feed_images" -> (vtChangeFeedImages _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
@@ -604,6 +644,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_history" -> vtHistorySql,
     "vt_data_skipping" -> vtDataSkippingSql,
     "vt_point_lookup" -> vtPointLookupSql,
+    "vt_compact_zorder" -> vtCompactZorderSql,
     "vt_change_feed_images" -> vtChangeFeedImagesSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,

@@ -192,4 +192,28 @@ class VersionedTableStatsSpec extends SparkSpecBase {
     assert(h(0L) == total)
     assert(h(1L) == 10L)
   }
+
+  test("compactClustered re-layout makes both z-order dimensions prunable") {
+    val root = freshRoot("vtcz")
+    val evu = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    VersionedTable.init(spark, root, evu.repartition(8, col("value")))
+    // scattered: a user_id range cannot prune
+    val (_, kept0, total0) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("event_id"), 0L, "user_id", 10L, 20L)
+    assert(kept0 == total0, "hash layout should be unprunable")
+    VersionedTable.compactClustered(spark, root, Seq("event_id"),
+      Seq("user_id", "event_id"), nFiles = 8)
+    val (pruned, kept1, total1) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("event_id"), 1L, "user_id", 10L, 20L)
+    assert(kept1 < total1, s"z-order did not tighten file boxes ($kept1/$total1)")
+    val expect = evu.where(col("user_id").between(10L, 20L)).count()
+    assert(pruned.count() == expect)
+    // second dimension prunes too (narrow event_id range)
+    val ids = evu.select("event_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val (_, kept2, total2) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("event_id"), 1L, "event_id", mid, mid + 10)
+    assert(kept2 < total2, s"event_id range unpruned ($kept2/$total2)")
+  }
 }
