@@ -28,6 +28,8 @@ package graft.multimodal
   */
 object AviCodec {
 
+  ImageIoTuning.applied // memory-cached ImageIO streams (no temp files)
+
   /** 'MJPG' as the little-endian biCompression dword. */
   private val MjpgFourcc: Long =
     ('M' & 0xFFL) | (('J' & 0xFFL) << 8) | (('P' & 0xFFL) << 16) | (('G' & 0xFFL) << 24)
@@ -109,11 +111,25 @@ object AviCodec {
     } else None // other compressed fourccs: no built-in decoder (FFI slot)
   }
 
+  // one JPEG reader per task thread: ImageIO.read scans the plugin
+  // registry per call — pure overhead at thousands of frames/task
+  // (readers are stateful and not thread-safe -> ThreadLocal)
+  @transient private lazy val jpegReaderLocal =
+    new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    }
+
   /** One JPEG frame → bottom-up padded BGR24 (DIB wire layout);
     * None on decode failure or dimension mismatch. */
   private def jpegToDib(jpeg: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      val reader = jpegReaderLocal.get()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(jpeg))
+      val img =
+        try { reader.setInput(iis); reader.read(0) }
+        finally { reader.setInput(null); iis.close() }
       if (img == null || img.getWidth != w || img.getHeight != h) None
       else {
         val rb = ((w * 3) + 3) / 4 * 4

@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object SyntheticImages {
 
+  ImageIoTuning.applied // memory-cached ImageIO streams (no temp files)
+
   System.setProperty("java.awt.headless", "true")
 
   /** PNG bytes of the doc's test pattern. */

@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object SyntheticVideo {
 
+  ImageIoTuning.applied // memory-cached ImageIO streams (no temp files)
+
   def width(id: Long): Int = (16 + 4 * Math.floorMod(id, 4)).toInt
   def height(id: Long): Int = (8 + Math.floorMod(id, 8)).toInt
   def nFrames(id: Long): Int = (4 + Math.floorMod(id, 6)).toInt
@@ -75,6 +77,15 @@ object SyntheticVideo {
     * the samples (2 → 22, 30 → 96 — a ±73 "error" that is color
     * management, not codec loss); equal-channel RGB maps to Y = v with
     * constant chroma, leaving only DCT rounding. */
+  // one JPEG writer per task thread: the per-frame registry lookup +
+  // writer construction is pure overhead for thousands of tiny frames
+  // (writers are stateful and not thread-safe -> ThreadLocal)
+  @transient private lazy val jpegWriterLocal =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    }
+
   def mjpgBytes(id: Long): Array[Byte] = {
     val (w, h) = (width(id), height(id))
     val frames = (0 until nFrames(id)).map { f =>
@@ -89,7 +100,7 @@ object SyntheticVideo {
         }
         y += 1
       }
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val writer = jpegWriterLocal.get()
       val param = writer.getDefaultWriteParam
       param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       param.setCompressionQuality(1.0f)
@@ -98,7 +109,7 @@ object SyntheticVideo {
       try {
         writer.setOutput(ios)
         writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-      } finally { writer.dispose(); ios.close() }
+      } finally { writer.setOutput(null); ios.close() }
       bos.toByteArray
     }
     AviCodec.writeMjpg(w, h, fps(id), frames)
