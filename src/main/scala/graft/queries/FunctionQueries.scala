@@ -220,6 +220,29 @@ object FunctionQueries extends graft.QueryModule {
   val f23Sql: String =
     "SELECT doc_id, md5(text) AS doc_md5 FROM documents ORDER BY doc_id"
 
+  /** Semi-structured column surface: the events.props JSON string
+    * parsed three ways — path extraction (get_json_object), schema'd
+    * parse (from_json), and re-serialization (to_json over a struct,
+    * whose compact field:value form the oracle rebuilds verbatim). */
+  def f25JsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val kPath = get_json_object(col("props"), "$.k").cast("int")
+    val kSchema = from_json(col("props"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.IntegerType)))).getField("k")
+    ev.select(col("event_id"), kPath.as("k_path"), kSchema.as("k_schema"),
+        to_json(struct(col("event_id"), kPath.as("k"))).as("rebuilt"))
+      .orderBy("event_id")
+  }
+  val f25Sql: String =
+    """SELECT event_id,
+      |  CAST(props->>'k' AS INT) AS k_path,
+      |  CAST(props->>'k' AS INT) AS k_schema,
+      |  '{"event_id":' || event_id || ',"k":' || CAST(props->>'k' AS INT)
+      |    || '}' AS rebuilt
+      |FROM events ORDER BY event_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_parse_dates" -> (f1ParseDates _),
     "f2f3_year_dt" -> (f2f3YearDt _),
@@ -233,7 +256,8 @@ object FunctionQueries extends graft.QueryModule {
     "f12_partition_name" -> (f12PartitionName _),
     "f21_ddb_decode" -> (f21DdbDecode _),
     "f22_sanitize" -> (f22Sanitize _),
-    "f23_md5" -> (f23Md5 _))
+    "f23_md5" -> (f23Md5 _),
+    "f25_json_props" -> (f25JsonProps _))
 
   def oracles: Map[String, String] = Map(
     "f1_parse_dates" -> f1Sql,
@@ -248,5 +272,6 @@ object FunctionQueries extends graft.QueryModule {
     "f12_partition_name" -> f12Sql,
     "f21_ddb_decode" -> f21Sql,
     "f22_sanitize" -> f22Sql,
-    "f23_md5" -> f23Sql)
+    "f23_md5" -> f23Sql,
+    "f25_json_props" -> f25Sql)
 }
