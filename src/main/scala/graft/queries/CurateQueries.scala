@@ -285,6 +285,44 @@ object CurateQueries extends graft.QueryModule {
       |  min(q) AS min_q, max(q) AS max_q, round(sum(q), 4) AS sum_q
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** DSIR-lite importance selection (curate.Dsir): English documents
+    * are the stand-in target domain; every document scores by the
+    * add-one-smoothed hashed-bigram log-ratio and the top 50 are
+    * kept. The oracle replays the full pipeline — identical md5
+    * buckets, identical smoothing — leaving ln() as the only
+    * engine-defined step (rounded at 4). */
+  def curateDsir(spark: SparkSession, sfDir: String): DataFrame =
+    graft.curate.Dsir.select(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      isTarget = col("lang") === "en", k = 50)
+  val dsirSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM toks WHERE len(t) >= 2),
+      |bkt AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(bg), 1, 15))::BIGINT % 1024 AS INT) AS b
+      |  FROM big),
+      |raw AS (SELECT b, count(*) AS c FROM bkt GROUP BY b),
+      |tgt AS (SELECT b, count(*) AS c FROM bkt WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM bkt) AS nraw,
+      |               (SELECT count(*) FROM bkt WHERE lang = 'en') AS ntgt),
+      |ratio AS (
+      |  SELECT r.b,
+      |    ln((coalesce(t.c, 0) + 1.0) / (ntgt + 1024.0))
+      |      - ln((r.c + 1.0) / (nraw + 1024.0)) AS lr
+      |  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, round(sum(lr), 4) AS score
+      |  FROM bkt JOIN ratio USING (b) GROUP BY doc_id)
+      |SELECT doc_id, score FROM scored
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_decontam_embedding" -> (curateDecontamEmbedding _),
     "curate_cluster_split" -> (curateClusterSplit _),
@@ -292,6 +330,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_pipeline" -> (curatePipeline _),
     "curate_split" -> (curateSplit _),
     "curate_curriculum" -> (curateCurriculum _),
+    "curate_dsir" -> (curateDsir _),
     "curate_quota" -> (curateQuota _),
     "curate_decontam" -> (curateDecontam _),
     "curate_pack" -> (curatePack _))
@@ -303,6 +342,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_pipeline" -> pipelineSql,
     "curate_split" -> splitSql,
     "curate_curriculum" -> curriculumSql,
+    "curate_dsir" -> dsirSql,
     "curate_quota" -> quotaSql,
     "curate_decontam" -> decontamSql,
     "curate_pack" -> packSql)
