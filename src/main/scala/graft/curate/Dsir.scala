@@ -77,4 +77,32 @@ object Dsir {
     score(df, idCol, textCol, isTarget)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  /** Deterministic standard-Gumbel noise per id: u from the id's md5
+    * (60 bits → (0,1), the hashSplit idiom), g = −ln(−ln(u)). The
+    * md5→integer→double→ln chain replays exactly in any engine. */
+  def gumbel(id: Column): Column = {
+    val v = conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("double")
+    -log(-log((v + 0.5) / 1152921504606846976.0d)) // 2^60
+  }
+
+  /** Importance RESAMPLING (the paper's actual selection rule): top-k
+    * by score/T + Gumbel — equivalent to sampling without replacement
+    * with probability ∝ exp(score/T) (the Gumbel-top-k trick), which
+    * avoids top-k's mode collapse onto one narrow slice of the target
+    * domain. `temperature` trades fidelity (low T → toward plain
+    * top-k) against diversity. Deterministic: the noise is a pure
+    * function of the id, so the same corpus selects the same sample
+    * on any cluster size, engine, or rerun. */
+  def resample(df: DataFrame, idCol: String, textCol: String,
+               isTarget: Column, k: Int,
+               temperature: Double = 1.0): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    score(df, idCol, textCol, isTarget)
+      .withColumn("noisy",
+        round(col("score") / temperature + gumbel(col(idCol)), 4))
+      .orderBy(col("noisy").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -323,6 +323,48 @@ object CurateQueries extends graft.QueryModule {
       |SELECT doc_id, score FROM scored
       |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
+  /** DSIR Gumbel-top-k resampling (curate.Dsir.resample): selection
+    * ∝ exp(score/T) via deterministic per-id Gumbel noise — the
+    * paper's resampling rule, reproducible across engines because the
+    * noise is md5-derived. Oracle replays score + noise end-to-end. */
+  def curateDsirResample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.curate.Dsir.resample(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      isTarget = col("lang") === "en", k = 50, temperature = 1.0)
+  val dsirResampleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM toks WHERE len(t) >= 2),
+      |bkt AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(bg), 1, 15))::BIGINT % 1024 AS INT) AS b
+      |  FROM big),
+      |raw AS (SELECT b, count(*) AS c FROM bkt GROUP BY b),
+      |tgt AS (SELECT b, count(*) AS c FROM bkt WHERE lang = 'en' GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM bkt) AS nraw,
+      |               (SELECT count(*) FROM bkt WHERE lang = 'en') AS ntgt),
+      |ratio AS (
+      |  SELECT r.b,
+      |    ln((coalesce(t.c, 0) + 1.0) / (ntgt + 1024.0))
+      |      - ln((r.c + 1.0) / (nraw + 1024.0)) AS lr
+      |  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
+      |scored AS (
+      |  SELECT doc_id, round(sum(lr), 4) AS score
+      |  FROM bkt JOIN ratio USING (b) GROUP BY doc_id),
+      |noised AS (
+      |  SELECT doc_id, score,
+      |    round(score + (-ln(-ln(
+      |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |        AS DOUBLE) + 0.5) / 1152921504606846976.0))), 4) AS noisy
+      |  FROM scored)
+      |SELECT doc_id, score, noisy FROM noised
+      |ORDER BY noisy DESC, doc_id LIMIT 50""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_decontam_embedding" -> (curateDecontamEmbedding _),
     "curate_cluster_split" -> (curateClusterSplit _),
@@ -331,6 +373,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_split" -> (curateSplit _),
     "curate_curriculum" -> (curateCurriculum _),
     "curate_dsir" -> (curateDsir _),
+    "curate_dsir_resample" -> (curateDsirResample _),
     "curate_quota" -> (curateQuota _),
     "curate_decontam" -> (curateDecontam _),
     "curate_pack" -> (curatePack _))
@@ -343,6 +386,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_split" -> splitSql,
     "curate_curriculum" -> curriculumSql,
     "curate_dsir" -> dsirSql,
+    "curate_dsir_resample" -> dsirResampleSql,
     "curate_quota" -> quotaSql,
     "curate_decontam" -> decontamSql,
     "curate_pack" -> packSql)
