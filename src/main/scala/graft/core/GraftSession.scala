@@ -30,6 +30,14 @@ object GraftSession {
     // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects; read as long and convert (Tables.events).
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NOTE: spark.sql.parquet.outputTimestampType deliberately stays
+    // at the INT96 default. MICROS output carries isAdjustedToUTC=true,
+    // which DuckDB/pandas read as timestamptz — breaking the driver's
+    // naive-timestamp oracle hash compares on every gate that writes a
+    // timestamp. VersionedTable pins MICROS around its OWN data writes
+    // only (it needs footer min/max stats, which INT96 lacks), via a
+    // reference-counted scoped pin that is leak-free under concurrent
+    // publishers.
     // InferFiltersFromGenerate adds `size(arr) > 0` before explode();
     // filter pushdown then inlines the full array expression into the
     // filter, so expensive per-row arrays (shingling: tokenize +

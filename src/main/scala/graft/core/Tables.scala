@@ -48,4 +48,25 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** File-STREAM source over the events table, ts normalized by the
+    * same rules as [[events]]. A file stream needs a user-supplied
+    * schema, and the snapshot's physical ts type varies by generation
+    * (MICROS → NTZ in current snapshots, NANOS → long in older ones),
+    * so the schema is probed from the BATCH reader (one driver-side
+    * footer read) instead of being hardcoded — a hardcoded NTZ schema
+    * would misread every streaming query against an older snapshot.
+    * The `[t]` glob makes the single file a directory-shaped source. */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val inferred = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(inferred).parquet(s"$d/events.parque[t]")
+    inferred("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 }

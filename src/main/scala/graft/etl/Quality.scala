@@ -30,10 +30,14 @@ object Quality {
         .agg(coalesce(sum(col("c") - 1), lit(0L)).as("violations"),
           coalesce(sum(col("c")), lit(0L)).as("n_checked")))
 
-  /** Null-completeness of one column. */
+  /** Null-completeness of one column. sum() over zero rows is NULL,
+    * not 0 — coalesce so an empty table reports a vacuous pass (as
+    * [[unique]] does and as the DuckDB oracle's coalesce does), not
+    * pass=NULL. Same in [[inRange]] / [[acceptedValues]]. */
   def complete(df: DataFrame, c: String): DataFrame =
     row(df.sparkSession, s"complete($c)",
-      df.agg(sum(col(c).isNull.cast("long")).as("violations"),
+      df.agg(coalesce(sum(col(c).isNull.cast("long")), lit(0L))
+          .as("violations"),
         count(lit(1)).as("n_checked")))
 
   /** Child keys with no matching parent (FK orphans). */
@@ -50,15 +54,16 @@ object Quality {
     * pair with [[complete]] when nulls are violations too). */
   def inRange(df: DataFrame, c: String, lo: Double, hi: Double): DataFrame =
     row(df.sparkSession, s"range($c)",
-      df.agg(sum((col(c) < lo || col(c) > hi).cast("long")).as("violations"),
+      df.agg(coalesce(sum((col(c) < lo || col(c) > hi).cast("long")), lit(0L))
+          .as("violations"),
         count(lit(1)).as("n_checked")))
 
   /** Values not in the accepted set (nulls count as violations: an
     * enum column with null is out of domain). */
   def acceptedValues(df: DataFrame, c: String, vals: Seq[String]): DataFrame =
     row(df.sparkSession, s"accepted($c)",
-      df.agg(sum(when(col(c).isNull || !col(c).isin(vals: _*), 1L)
-          .otherwise(0L)).as("violations"),
+      df.agg(coalesce(sum(when(col(c).isNull || !col(c).isin(vals: _*), 1L)
+          .otherwise(0L)), lit(0L)).as("violations"),
         count(lit(1)).as("n_checked")))
 
   /** Union a suite into one frame, `pass = violations == 0` added. */

@@ -193,6 +193,39 @@ object VersionedTable {
     claimed(spark, root).filterNot(done)
   }
 
+  /** Reference-counted scoped pin of
+    * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`,
+    * per-session. The FIRST concurrent entrant on a session captures
+    * the previous value and sets MICROS; the LAST one restores it —
+    * so a publisher can never capture another publisher's transient
+    * MICROS as "previous" and leak it into the session (the r7 race).
+    * Keyed by session identity: each session's conf is independent. */
+  private val tsPins =
+    new java.util.IdentityHashMap[SparkSession, (Int, Option[String])]()
+
+  private def withMicrosTs[A](spark: SparkSession)(body: => A): A = {
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    tsPins.synchronized {
+      tsPins.get(spark) match {
+        case null =>
+          tsPins.put(spark, (1, spark.conf.getOption(tsKey)))
+          spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+        case (depth, prev) => tsPins.put(spark, (depth + 1, prev))
+      }
+    }
+    try body
+    finally tsPins.synchronized {
+      val (depth, prev) = tsPins.get(spark)
+      if (depth == 1) {
+        tsPins.remove(spark)
+        prev match {
+          case Some(v) => spark.conf.set(tsKey, v)
+          case None => spark.conf.unset(tsKey)
+        }
+      } else tsPins.put(spark, (depth - 1, prev))
+    }
+  }
+
   /** Stage → claim → publish commit protocol (exactly one writer wins
     * any version), every step a single-object atomic op:
     *  1. data is written ONCE, in its final location
@@ -223,18 +256,16 @@ object VersionedTable {
     // INT96 (Spark's legacy session default) stores NO parquet min/max
     // statistics, which would blind the footer-stats harvest below to
     // every timestamp column; pin the modern INT64-micros type for
-    // TABLE data only (gate outputs keep the session default — their
-    // consumers compare raw parquet and INT96 reads as a plain naive
-    // timestamp everywhere). Scoped set-and-restore: commits already
-    // serialize through the claim, and concurrent publishers both pin
-    // the same value, so the flip cannot be observed mid-write.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.write.mode("errorifexists").parquet(staging.toString)
-    finally prevTs match {
-      case Some(v) => spark.conf.set(tsKey, v)
-      case None => spark.conf.unset(tsKey)
+    // TABLE data only. Session-wide pinning is NOT an option: MICROS
+    // output carries isAdjustedToUTC=true, which DuckDB/pandas read as
+    // timestamptz, breaking naive-timestamp oracle compares of gate
+    // outputs. The pin is REFERENCE-COUNTED (withMicrosTs): the r7
+    // plain set-and-restore raced under concurrent publishers — the
+    // claim serializes commits only AFTER the staged write, so
+    // publisher B could capture A's transient MICROS as its "previous"
+    // value and leak it into the session on restore.
+    withMicrosTs(spark) {
+      df.write.mode("errorifexists").parquet(staging.toString)
     }
     val claim = new Path(s"$root/_commits/$version.commit")
     f.mkdirs(claim.getParent)
@@ -349,20 +380,38 @@ object VersionedTable {
           if (stats.exists(st => st == null || st.isEmpty)) None
           else {
             val withVals = stats.filter(_.hasNonNullValue)
-            if (withVals.isEmpty)
-              Some(s"#stats\t$name\t$colName\tn\t\t")
-            else {
+            if (withVals.isEmpty) {
+              // No min/max recorded anywhere. That is NOT proof of an
+              // all-null column: parquet-mr also suppresses double
+              // stats when the chunk contains NaN. Only emit the
+              // all-null tag (which PRUNES `BETWEEN` outright) when
+              // the null counts account for every value; otherwise
+              // record nothing — absent stats never prune.
+              val nulls = stats.map(_.getNumNulls)
+              val allNull = nulls.forall(_ >= 0) &&
+                nulls.sum == cks.map(_.getValueCount).sum
+              if (allNull) Some(s"#stats\t$name\t$colName\tn\t\t") else None
+            } else {
               def render(v: Any): String = v match {
                 case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
                 case other => other.toString
               }
               val mins = withVals.map(st => render(st.genericGetMin))
               val maxs = withVals.map(st => render(st.genericGetMax))
-              val (mn, mx) =
-                if (t == "s") (mins.min, maxs.max)
-                else (mins.map(BigDecimal(_)).min.toString,
-                      maxs.map(BigDecimal(_)).max.toString)
-              Some(s"#stats\t$name\t$colName\t$t\t${b64(mn)}\t${b64(mx)}")
+              // Double stats can be NaN/Infinity (parquet-mr's Math.min/
+              // max fold propagates NaN) and BigDecimal("NaN") THROWS —
+              // and this runs at publish time, after the claim landed, so
+              // an unguarded throw would strand a claimed-but-unpublished
+              // version. Treat any non-finite/unparseable numeric bound
+              // like an unsupported type: omit the line (= never prune on
+              // this column for this file), which is always safe.
+              try {
+                val (mn, mx) =
+                  if (t == "s") (mins.min, maxs.max)
+                  else (mins.map(BigDecimal(_)).min.toString,
+                        maxs.map(BigDecimal(_)).max.toString)
+                Some(s"#stats\t$name\t$colName\t$t\t${b64(mn)}\t${b64(mx)}")
+              } catch { case _: NumberFormatException => None }
             }
           }
         }
@@ -553,19 +602,29 @@ object VersionedTable {
 
   /** xxhash64 of a lookup value, matching `xxhash64(col)` over the
     * column's native type (seed 42) — the probe side of the per-file
-    * Bloom contract. Integral + string keys supported. */
-  private def probeHash(value: Any): Long = {
-    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    * Bloom contract. The manifest Bloom was built over the COLUMN's
+    * Spark type, and XxHash64 hashes Int and Long differently, so the
+    * probe value is first cast to `colType` (Catalyst Cast — the same
+    * coercion the post-merge equality filter applies); probing an
+    * IntegerType column with a Long key therefore hashes the Int it
+    * coerces to, instead of a guaranteed-miss Long hash that would
+    * silently prune every file. An uncastable value throws rather
+    * than returning a false-negative prune. */
+  private def probeHash(value: Any,
+                        colType: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64Function}
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    value match {
-      case i: Int => XxHash64Function.hash(i, IntegerType, 42L)
-      case l: Long => XxHash64Function.hash(l, LongType, 42L)
-      case st: String => XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(st), StringType, 42L)
+    colType match {
+      case IntegerType | LongType | StringType => ()
       case other => throw new IllegalArgumentException(
-        s"readAsOfEq: unsupported key type ${other.getClass.getName}" +
-          " (integral and string keys only)")
+        s"readAsOfEq: unsupported key column type $other" +
+          " (integral and string columns only)")
     }
+    val native = Cast(Literal(value), colType, Some("UTC")).eval()
+    if (native == null) throw new IllegalArgumentException(
+      s"readAsOfEq: probe value $value (${value.getClass.getName})" +
+        s" is not castable to the column type $colType")
+    XxHash64Function.hash(native, colType, 42L)
   }
 
   /** Point-lookup snapshot read: [[readAsOf]] semantics with the
@@ -588,7 +647,17 @@ object VersionedTable {
     val live = cs.filter(_.v >= base.v)
     val (baseFiles, stats) = manifestDetail(spark, root, base.v)
     val blooms = manifestBlooms(spark, root, base.v)
-    lazy val h = probeHash(value)
+    // resolve the column's DECLARED type from the base snapshot (one
+    // driver-side footer probe) — the Bloom hashes native values of
+    // that type, not of whatever runtime class the caller passed
+    lazy val h = {
+      val colType = spark.read.parquet(base.dir).schema
+        .find(_.name == column)
+        .getOrElse(throw new IllegalArgumentException(
+          s"readAsOfEq: column $column not in the base snapshot of $root"))
+        .dataType
+      probeHash(value, colType)
+    }
     val kept = baseFiles.filter { f =>
       mayMatch(stats.get(f).flatMap(_.get(column)), value, value) &&
         blooms.get((f, column)).forall(_.mightContainLong(h))
@@ -777,10 +846,13 @@ object VersionedTable {
     *
     * Commits are homogeneous by construction ([[commitUpsert]] forces
     * `__deleted=false` on every row, [[commitDelete]] forces true), so
-    * no commit can hold a tombstone AND a live row for one key; if a
-    * hand-built commit ever did, the tombstone wins here (the live row
-    * is ignored) rather than emitting a contradictory `D` + `U_post`
-    * pair for a key whose net state did not change. */
+    * no commit can hold a tombstone AND a live row for one key. A
+    * hand-built commit that violates this is REJECTED: the change feed
+    * would otherwise emit a contradictory `D` + `U_post`/`I` pair for
+    * one key in one commit, which no downstream replay can order. The
+    * guard is an `assert_true` folded into the existing per-commit
+    * join (zero extra jobs; it fires lazily when the feed
+    * materializes). */
   def readChangesWithImages(spark: SparkSession, root: String,
                             keyCols: Seq[String],
                             fromV: Long, toV: Long): DataFrame = {
@@ -801,11 +873,16 @@ object VersionedTable {
           when(col("__is_del"), lit("D")).otherwise(lit("U_pre")))
         .drop("__is_del")
       val hadPrior = preImgs.select(key: _*).withColumn("__had", lit(true))
-      // tombstone-wins guard: drop live rows whose key the SAME
-      // commit also tombstones (unreachable via the public commit
-      // APIs — see doc; empty anti-join side for real commits)
+      // malformed-commit guard: a key that is BOTH tombstoned and live
+      // in one commit is contradictory — reject it (unreachable via
+      // the public commit APIs — see doc; the join side is empty for
+      // real commits, so this costs nothing beyond the join it rides)
       val post = delta.where(!col(Deleted)).drop(Deleted)
-        .join(delKeys.select(key: _*), keyCols, "left_anti")
+        .join(delKeys, keyCols, "left_outer")
+        .where(assert_true(col("__is_del").isNull,
+          lit(s"malformed commit v=${c.v}: a key is both deleted and " +
+            "live in one commit")).isNull)
+        .drop("__is_del")
         .join(hadPrior, keyCols, "left_outer")
         .withColumn("__op",
           when(col("__had"), lit("U_post")).otherwise(lit("I")))

@@ -14,17 +14,12 @@ import graft.streaming.IngestionPipeline.RouteSpec
   * state. */
 object StreamQueries extends graft.QueryModule {
 
-  /** File-stream source over the events table. The driver snapshot
-    * stores ts as parquet TIMESTAMP(MICROS,false) (TIMESTAMP_NTZ to
-    * Spark); normalize to session-UTC TimestampType exactly like
-    * [[Tables.events]] so watermarks and oracles agree on instants. */
+  /** File-stream source over the events table; schema probed from the
+    * batch reader and ts normalized to session-UTC TimestampType so
+    * watermarks and oracles agree on instants regardless of the
+    * snapshot's physical ts encoding (see [[Tables.eventsStream]]). */
   private def eventsStream(s: SparkSession, sfDir: String): DataFrame =
-    s.readStream.schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType))))
-      .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", col("ts").cast(TimestampType))
+    Tables.eventsStream(s, sfDir)
 
   /** T1+T2: route-dispatched file ingestion raw→stage with control
     * rows; output = staged zone totals per route. */

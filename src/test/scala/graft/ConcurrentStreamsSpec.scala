@@ -18,19 +18,12 @@ import graft.core.{GraftSession, Tables}
   * stream width) as the session's batch default. */
 class ConcurrentStreamsSpec extends SparkSpecBase {
 
-  private val schema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Windowed streaming agg over the events file at an explicit state
     * width; returns the observed state-operator partition count. */
   private def runAt(spark: SparkSession, n: Int, name: String,
                     ready: CountDownLatch): Int =
     GraftSession.stateScoped(spark, n) { s =>
-      val agg = s.readStream.schema(schema)
-        .parquet(s"$sfDir/events.parque[t]")
-        .withColumn("ts", col("ts").cast(TimestampType))
+      val agg = Tables.eventsStream(s, sfDir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours"))
         .agg(count(lit(1)).as("cnt"))

@@ -20,6 +20,27 @@ class NullRobustnessSpec extends SparkSpecBase {
     (6L, "a perfectly ordinary document with several words here")
   ).toDF("doc_id", "text")
 
+  test("quality suite over an EMPTY table reports vacuous passes, not null") {
+    // sum() over zero rows is NULL — uncoalesced, an empty table would
+    // report violations=NULL / pass=NULL where the DuckDB oracle (and
+    // any sane reading of "no rows violated") says 0 / true
+    import graft.etl.Quality
+    val empty = docs.where(lit(false))
+    val rows = Quality.suite(Seq(
+        Quality.unique(empty, Seq("doc_id")),
+        Quality.complete(empty, "text"),
+        Quality.inRange(empty.withColumn("n", lit(1L)), "n", 0.0, 2.0),
+        Quality.acceptedValues(empty, "text", Seq("a", "b"))))
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("violations")),
+        s"${r.getString(0)}: violations is NULL on empty input")
+      assert(r.getLong(r.fieldIndex("violations")) == 0L)
+      assert(r.getBoolean(r.fieldIndex("pass")), s"${r.getString(0)} not vacuous-pass")
+    }
+  }
+
   test("text analysis columns are total over null/empty/blank docs") {
     val out = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang"),

@@ -10,19 +10,11 @@ class StreamSessionSpec extends SparkSpecBase {
 
   test("streaming sessionization matches batch ground truth for closed sessions") {
     GraftSession.tune(spark)
-    // stream the events table (TIMESTAMP(MICROS,false) ts -> us long)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(schema)
-      .parquet(s"$sfDir/events.parque[t]")
+    // stream the events table, ts normalized by Tables.eventsStream
+    // (schema probed from the batch reader — snapshot-vintage-proof)
+    val stream = Tables.eventsStream(spark, sfDir)
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType))
-          .as("ts_us"))
+        unix_micros(col("ts")).as("ts_us"))
       .as[Sessionize.SessionEvent]
     val out = Sessionize.streamingSessions(stream, gapSeconds = 1800)
     val q = out.writeStream.outputMode("append")

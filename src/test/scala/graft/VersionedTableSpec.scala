@@ -79,6 +79,13 @@ class VersionedTableSpec extends SparkSpecBase {
       .map(Await.result(_, 120.seconds))
     val (wins, losses) = attempts.partition(_.isSuccess)
     assert(wins.size == 1, s"exactly one writer must win: $attempts")
+    // the scoped MICROS pin must not leak into the session when two
+    // publishers overlap (r7 race: B captures A's transient value as
+    // "previous" and restores it after A unset) — gate outputs written
+    // after a concurrent commit would otherwise flip to timestamptz
+    assert(spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      .forall(_ == "INT96"),
+      "outputTimestampType leaked from a concurrent publish")
     assert(losses.head.failed.get
       .isInstanceOf[VersionedTable.ConcurrentCommitException])
     // the table holds exactly the winner's rows — no interleaving, and
@@ -318,6 +325,33 @@ class VersionedTableSpec extends SparkSpecBase {
       .orderBy("k").collect()
       .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
     assert(rows.toSeq == Seq((1L, 1.0, None), (2L, 2.0, Some("en"))))
+  }
+
+  test("CDF rejects a hand-built commit holding a key both deleted and live") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    // forge a malformed delta via the internal publish path: key 1 is
+    // BOTH tombstoned and upserted in the same commit — impossible via
+    // commitUpsert/commitDelete, contradictory for any CDC replay
+    VersionedTable.publish(spark, root,
+      Seq((1L, 99.0, false), (1L, 0.0, true), (3L, 3.0, false))
+        .toDF("k", "v", "__deleted"),
+      snapshot = false, version = 1L)
+    val feed = VersionedTable.readChangesWithImages(
+      spark, root, Seq("k"), fromV = 0L, toV = 1L)
+    val e = intercept[Exception] { feed.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("malformed commit")),
+      s"unexpected failure: $e")
+    // well-formed commits on the same table still read fine
+    VersionedTable.commitUpsert(spark, root, Seq((4L, 4.0)).toDF("k", "v"))
+    val ok = VersionedTable.readChangesWithImages(
+      spark, root, Seq("k"), fromV = 1L, toV = 2L)
+    assert(ok.where(col("__op") === "I").count() == 1)
   }
 
   test("expire removes pre-snapshot versions; state and deltas survive") {

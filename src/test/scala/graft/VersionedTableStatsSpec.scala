@@ -193,6 +193,55 @@ class VersionedTableStatsSpec extends SparkSpecBase {
     assert(h(1L) == 10L)
   }
 
+  test("NaN/Infinity double stats don't crash publish; reads stay correct") {
+    // parquet-mr's min/max fold propagates NaN, and BigDecimal("NaN")
+    // throws — an unguarded publish would crash AFTER the claim landed,
+    // stranding a claimed-but-unpublished version (r7 advice, medium)
+    val root = freshRoot("vtnan")
+    val withNan = ev.withColumn("value",
+      when(col("event_id") % 10 === 0, lit(Double.NaN))
+        .when(col("event_id") % 10 === 1, lit(Double.PositiveInfinity))
+        .otherwise(col("value")))
+    VersionedTable.init(spark, root,
+      withNan.repartitionByRange(4, col("event_id")))
+    // every file holds a NaN → value stats omitted → no pruning on it,
+    // which is the safe direction; event_id stats are intact and prune
+    val (prunedV, keptV, totalV) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("event_id"), 0L, "value", 10.0, 20.0)
+    assert(keptV == totalV, "NaN-poisoned column must never prune")
+    val expectV = withNan.where(col("value").between(10.0, 20.0)).count()
+    assert(prunedV.count() == expectV)
+    val ids = ev.select("event_id").collect().map(_.getLong(0)).sorted
+    val (_, keptId, totalId) = VersionedTable.readAsOfRangePruned(
+      spark, root, Seq("event_id"), 0L, "event_id",
+      ids.head, ids(ids.length / 8))
+    assert(keptId < totalId, "clean event_id column should still prune")
+  }
+
+  test("bloom probe coerces to the column's declared type (Int column, Long key)") {
+    // the Bloom hashes native values of the COLUMN type; XxHash64
+    // hashes Int and Long differently, so an uncoerced Long probe of
+    // an IntegerType column would be a guaranteed miss → silently
+    // empty result (r7 advice, medium)
+    val root = freshRoot("vtcoerce")
+    val docs = ev.withColumn("event_id", col("event_id").cast("int"))
+    VersionedTable.init(spark, root,
+      docs.repartition(8, col("value")), bloomCols = Seq("event_id"))
+    val key = docs.select("event_id").head().getInt(0)
+    // probe the Int column with a LONG value — must coerce, not miss
+    val hitL = VersionedTable.readAsOfEq(
+      spark, root, Seq("event_id"), 0L, "event_id", key.toLong)
+    assert(hitL.count() == 1, "Long probe of Int column must coerce")
+    // and an INT probe of a Long column on the standard layout
+    val root2 = freshRoot("vtcoerce2")
+    VersionedTable.init(spark, root2,
+      ev.repartition(8, col("value")), bloomCols = Seq("event_id"))
+    val key2 = ev.select("event_id").head().getLong(0)
+    val hitI = VersionedTable.readAsOfEq(
+      spark, root2, Seq("event_id"), 0L, "event_id", key2.toInt)
+    assert(hitI.count() == 1, "Int probe of Long column must coerce")
+  }
+
   test("compactClustered re-layout makes both z-order dimensions prunable") {
     val root = freshRoot("vtcz")
     val evu = Tables.events(spark, sfDir)
