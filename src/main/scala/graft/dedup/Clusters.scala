@@ -22,9 +22,14 @@ object Clusters {
     * node appearing in at least one edge; cluster = min id of the
     * component. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // cache the symmetrized edge set PRE-PARTITIONED on the join key:
+    // every round's message join then reuses the cached layout and
+    // only the (much smaller) label frame moves — the edge bytes
+    // cross the network once for the whole propagation, not per round
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cached = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
@@ -34,18 +39,11 @@ object Clusters {
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("cluster", "n_cluster"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("n_cluster")).as("n_min"))
-      // carry the old label through the join so convergence detection
-      // is a filter on the cached result, not a second join per round
-      val step = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"), col("cluster").as("old"),
-          least(col("cluster"), coalesce(col("n_min"), col("cluster"))).as("cluster"))
+      val step = propagateStep(edges, labels)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = step.where(col("cluster") =!= col("old")).count()
+      val changed = step
+        .agg(count(when(col("cluster") =!= col("old"), 1)).as("n"))
+        .head.getLong(0)
       cached.unpersist() // the derived select below shares step's cache
       cached = step
       labels = step.select("id", "cluster")
@@ -55,5 +53,33 @@ object Clusters {
     // checkpoint it and release EVERYTHING — before r3 the final step
     // cache backed the returned frame and leaked into the session
     graft.core.Caching.reap(labels, cached, edges)
+  }
+
+  /** One propagation round: `(id, cluster, old)` where `cluster` is
+    * the new label (min of own and neighbor labels) and `old` the
+    * previous one — convergence is `cluster == old` everywhere.
+    *
+    * ONE join + ONE aggregation: the node's own label rides the same
+    * groupBy as the neighbor messages (own=true), so the new label
+    * AND the old label come out of a single exchange. The r7 shape
+    * was join-on-dst + groupBy-src + join-back-on-id — three
+    * label-sized exchanges per round plus a separate convergence
+    * count; with `edges` cached pre-partitioned on `dst`, a round now
+    * moves only the label frame (by dst) and the message frame (by
+    * id). Every node is its own `own` message, so no outer join is
+    * needed for nodes without changed neighbors. Package-private so
+    * ClustersPlanSpec can pin the exchange count. */
+  private[graft] def propagateStep(edges: DataFrame,
+                                   labels: DataFrame): DataFrame = {
+    val own = labels.select(
+      col("id"), col("cluster").as("cand"), lit(true).as("own"))
+    val msgs = edges.join(
+        labels.select(col("id").as("dst"), col("cluster").as("cand")),
+        Seq("dst"))
+      .select(col("src").as("id"), col("cand"), lit(false).as("own"))
+    own.unionByName(msgs)
+      .groupBy("id")
+      .agg(min(col("cand")).as("cluster"),
+        min(when(col("own"), col("cand"))).as("old"))
   }
 }

@@ -540,9 +540,29 @@ object VersionedTable {
   // snapshot-publish time, opt-in via `bloomCols`.
   // ------------------------------------------------------------------
 
+  /** Hard ceiling on Bloom sketch bytes held on the driver (and
+    * written to one manifest) per commit: 64 MB by default,
+    * overridable via the session conf key
+    * `graft.versionedTable.maxBloomBytesPerCommit`. A wide
+    * compaction — thousands of files × several indexed columns —
+    * would otherwise materialize an unbounded `collect()` on the
+    * driver. When the ideal per-file sizing would exceed the budget,
+    * the bits per sketch are SHRUNK to fit (fpp rises, pruning
+    * weakens, reads stay correct — a Bloom has no false negatives at
+    * any size); below a floor of 64 bytes/sketch the index is omitted
+    * for the commit, which is the always-safe "never prune"
+    * fallback. */
+  private val MaxBloomBytesKey = "graft.versionedTable.maxBloomBytesPerCommit"
+  private val MaxBloomBytesDefault = 64L * 1024 * 1024
+  private val MinBloomBitsPerFile = 64L * 8
+
   /** Per-(file, column) Bloom lines for a freshly-written snapshot
     * dir; one aggregation job over the staged data (never the table),
-    * map-side combined per file. */
+    * map-side combined per file. Driver memory is bounded by
+    * [[MaxBloomBytesPerCommit]]: the per-file sketches stream to the
+    * manifest via `toLocalIterator` (one partition of rows in flight,
+    * not the whole commit's sketch set at once) after the bit budget
+    * is capped. */
   private def fileBloomLines(spark: SparkSession, staging: String,
                              bloomCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -558,8 +578,14 @@ object VersionedTable {
       .count(st => { val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") }), 1)
     val perFile = math.max(data.count() / nFiles, 1L) * 2
-    val numBits = org.apache.spark.util.sketch.BloomFilter
+    val idealBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(perFile, 0.01)
+    // cap: nFiles sketches × present.size columns must fit the budget
+    val budget = spark.conf.getOption(MaxBloomBytesKey)
+      .map(_.toLong).getOrElse(MaxBloomBytesDefault)
+    val budgetBits = budget * 8L / math.max(nFiles.toLong * present.size, 1L)
+    val numBits = math.min(idealBits, budgetBits)
+    if (numBits < MinBloomBitsPerFile) return Nil // useless at this width
     val aggs = present.map { c =>
       GraftColumnBridge.column(
         new BloomFilterAggregate(
@@ -568,15 +594,21 @@ object VersionedTable {
           GraftColumnBridge.expression(lit(numBits)))
           .toAggregateExpression()).as(s"bf_$c")
     }
-    data.withColumn("__file", input_file_name())
+    val perFileSketches = data.withColumn("__file", input_file_name())
       .groupBy("__file").agg(aggs.head, aggs.tail: _*)
-      .collect().toSeq.flatMap { row =>
-        val fname = row.getString(0).split('/').last
-        present.zipWithIndex.flatMap { case (c, i) =>
-          Option(row.getAs[Array[Byte]](i + 1)).map(bytes =>
-            s"#bloom\t$fname\t$c\t${b64bytes(bytes)}")
-        }
+    // stream rather than collect: at most one partition of sketch rows
+    // is resident on the driver while the manifest body is assembled
+    val lines = Seq.newBuilder[String]
+    val it = perFileSketches.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val fname = row.getString(0).split('/').last
+      present.zipWithIndex.foreach { case (c, i) =>
+        Option(row.getAs[Array[Byte]](i + 1)).foreach(bytes =>
+          lines += s"#bloom\t$fname\t$c\t${b64bytes(bytes)}")
       }
+    }
+    lines.result()
   }
 
   private def b64bytes(x: Array[Byte]): String =

@@ -242,6 +242,44 @@ class VersionedTableStatsSpec extends SparkSpecBase {
     assert(hitI.count() == 1, "Int probe of Long column must coerce")
   }
 
+  test("many-file commit: bloom bytes bounded by the per-commit budget") {
+    // 32 files × 1 column under a 4 KB budget → the ideal sizing must
+    // SHRINK to fit; point lookups stay correct (weaker pruning only)
+    val root = freshRoot("vtbloomcap")
+    val key = "graft.versionedTable.maxBloomBytesPerCommit"
+    spark.conf.set(key, (4 * 1024).toString)
+    try {
+      VersionedTable.init(spark, root,
+        ev.repartition(32, col("value")), bloomCols = Seq("event_id"))
+      val manifest = scala.io.Source.fromFile(
+        s"$root/_commits/0.manifest", "UTF-8").getLines().toSeq
+      val bloomLines = manifest.filter(_.startsWith("#bloom\t"))
+      assert(bloomLines.nonEmpty, "capped commit must still carry blooms")
+      val bloomBytes = bloomLines.map(l =>
+        java.util.Base64.getDecoder.decode(l.split("\t", -1)(3)).length.toLong).sum
+      // b64-decoded sketch payload obeys the budget (+ small codec
+      // framing per sketch)
+      assert(bloomBytes <= 4 * 1024 + 32 * 64,
+        s"bloom payload $bloomBytes exceeds the 4 KB budget")
+      val k = ev.select("event_id").head().getLong(0)
+      val hit = VersionedTable.readAsOfEq(
+        spark, root, Seq("event_id"), 0L, "event_id", k)
+      assert(hit.count() == 1, "capped bloom must stay correct")
+      // and a budget too small for even the floor omits the index
+      val root2 = freshRoot("vtbloomcap2")
+      spark.conf.set(key, "64") // 64 bytes across 32 files → below floor
+      VersionedTable.init(spark, root2,
+        ev.repartition(32, col("value")), bloomCols = Seq("event_id"))
+      val manifest2 = scala.io.Source.fromFile(
+        s"$root2/_commits/0.manifest", "UTF-8").getLines().toSeq
+      assert(!manifest2.exists(_.startsWith("#bloom\t")),
+        "sub-floor budget must omit the bloom index entirely")
+      val hit2 = VersionedTable.readAsOfEq(
+        spark, root2, Seq("event_id"), 0L, "event_id", k)
+      assert(hit2.count() == 1, "bloom-less table must still read correctly")
+    } finally spark.conf.unset(key)
+  }
+
   test("compactClustered re-layout makes both z-order dimensions prunable") {
     val root = freshRoot("vtcz")
     val evu = Tables.events(spark, sfDir)
