@@ -45,6 +45,23 @@ class SimSpec extends SparkSpecBase {
     assert(hits >= exact.size / 2, s"recall $hits/${exact.size}")
   }
 
+  test("recall curve: IVF recall@5 rises with nprobe; quantized recall is exact") {
+    // the registry gates (sim_ivf_recall / sim_quantized_recall) pin
+    // the recall VALUES cross-engine; the inequalities — monotone in
+    // nprobe, quantized ≥ 0.9 floor — are asserted here
+    val ivf = graft.queries.SimQueries.simIvfRecall(spark, sfDir)
+      .select("nprobe", "recall")
+      .as[(Int, Double)].collect().sortBy(_._1)
+    assert(ivf.map(_._1).toSeq == Seq(4, 8, 12))
+    assert(ivf.sliding(2).forall { case Array(a, b) => b._2 >= a._2 },
+      s"recall not monotone in nprobe: ${ivf.toSeq}")
+    assert(ivf.last._2 > ivf.head._2,
+      s"probing 3x the buckets must improve recall: ${ivf.toSeq}")
+    val qz = graft.queries.SimQueries.simQuantizedRecall(spark, sfDir)
+      .select("recall").as[Double].head()
+    assert(qz >= 0.9, s"quantized two-stage recall $qz below the 0.9 floor")
+  }
+
   test("k-means-trained IVF recall is at least as good as id-sampled centroids") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.where($"vec_id" >= 100 && $"vec_id" < 140)
