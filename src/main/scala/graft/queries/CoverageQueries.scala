@@ -151,11 +151,76 @@ object CoverageQueries extends graft.QueryModule {
       |    (SELECT count(*) FROM orders))
       |ORDER BY check_name""".stripMargin
 
+  /** O4: `df.show(n)` inspection, made oracle-checkable. The rendered
+    * table is captured off the console and parsed back: the row count
+    * inside the frame, the frame borders, and the first rendered cell
+    * must all round-trip — so the display path (truncation, ordering,
+    * cell formatting) is pinned by the same hash gate as every other
+    * operator instead of staying display-only. */
+  def o4ShowCapture(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      df.show(5, truncate = false)
+    }
+    val lines = new String(buf.toByteArray, "UTF-8")
+      .linesIterator.toSeq.filter(_.nonEmpty)
+    val borders = lines.count(_.startsWith("+"))
+    val dataLines = lines.filter(_.startsWith("|")).drop(1) // header first
+    val firstKey = dataLines.head.split('|')(1).trim.toLong
+    spark.range(1).select(
+      lit(dataLines.size).as("n_rows_rendered"),
+      lit(borders).as("n_borders"),
+      lit(firstKey).as("first_key"))
+  }
+  val o4Sql: String =
+    """SELECT 5 AS n_rows_rendered, 3 AS n_borders,
+      |  CAST(min(o_orderkey) AS BIGINT) AS first_key
+      |FROM orders""".stripMargin
+
+  /** R3: input-split pinning via `spark.sql.files.maxPartitionBytes`
+    * (the reference pins 512 MB splits; GraftSession.build does the
+    * same). The gate writes a byte-exact 22,000,000-byte uncompressed
+    * CSV (2M fixed-width rows) and plans it under two scoped sessions
+    * at 64 KB / 256 KB splits with openCost=0 — partition counts must
+    * equal ceil(bytes / split) exactly (336 / 84), proving the knob
+    * reaches the scan. Parallelism-safe while bytesPerCore ≥ the
+    * split size, i.e. up to 83 cores at this file size. */
+  def r3SplitPinning(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("r3split")
+    val file = new java.io.File(dir, "data.csv")
+    val w = new java.io.BufferedWriter(new java.io.FileWriter(file), 1 << 20)
+    try {
+      var i = 1
+      while (i <= 2000000) { w.write(f"$i%010d"); w.write("\n"); i += 1 }
+    } finally w.close()
+    def partsAt(maxBytes: Long): Int = {
+      val s2 = GraftSession.tune(spark.newSession())
+      s2.conf.set("spark.sql.files.maxPartitionBytes", maxBytes.toString)
+      s2.conf.set("spark.sql.files.openCostInBytes", "0")
+      s2.read.schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))))
+        .csv(file.getAbsolutePath).rdd.getNumPartitions
+    }
+    spark.range(1).select(
+      lit(partsAt(64L * 1024)).as("parts_64k"),
+      lit(partsAt(256L * 1024)).as("parts_256k"),
+      lit(file.length()).as("n_bytes"))
+  }
+  val r3Sql: String =
+    """SELECT 336 AS parts_64k, 84 AS parts_256k,
+      |  CAST(22000000 AS BIGINT) AS n_bytes""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1p3_struct_projection" -> (p1p3StructProjection _),
     "j9_join_by_name" -> (j9JoinByName _),
     "w3_save_as_table" -> (w3SaveAsTable _),
     "profile_constraints" -> (profileConstraints _),
+    "o4_show_capture" -> (o4ShowCapture _),
+    "r3_split_pinning" -> (r3SplitPinning _),
     "s10_jdbc_export" -> (s10JdbcExport _))
 
   def oracles: Map[String, String] = Map(
@@ -163,5 +228,7 @@ object CoverageQueries extends graft.QueryModule {
     "j9_join_by_name" -> j9Sql,
     "w3_save_as_table" -> w3Sql,
     "profile_constraints" -> constraintsSql,
+    "o4_show_capture" -> o4Sql,
+    "r3_split_pinning" -> r3Sql,
     "s10_jdbc_export" -> s10Sql)
 }

@@ -261,6 +261,88 @@ object SourceQueries extends graft.QueryModule {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Wide-schema promotion at the reference's hottest real shape: the
+    * 64-column `tb_call_req` raw→analytics job
+    * (`artifacts/hive_create_table/tb_call_req-raw.hql:4-64`, `` =
+    * -separated, headerless; `spark_submit_tb_call_req_parquet
+    * .py` promotes it with a year(open_date) partition). The gate
+    * builds a deterministic 64-column call-req-shaped corpus from
+    * events, round-trips it through the  CSV raw zone, promotes
+    * via Promote (imposed schema, date parse, derived year partition,
+    * dynamic-partition layout), and aggregates columns from BOTH ends
+    * of the row so a width-handling bug anywhere in the parse cannot
+    * hash-hide. */
+  def etlPromoteWide(spark: SparkSession, sfDir: String): DataFrame = {
+    val rawDir = scratch("wideraw")
+    val analyticsDir = scratch("widean")
+    val ev = Tables.events(spark, sfDir)
+    // open_date spread over ~3 years so the year partition is real
+    // (×13 scatters the small user_id range across the 1100-day span)
+    val openDate = date_add(col("ts").cast("date"),
+      ((col("user_id") * 13) % 1100).cast("int"))
+    val head = Seq(
+      col("event_id").cast("int").as("id"),
+      concat(lit("p"), col("user_id")).as("persid"),
+      concat(lit("r"), col("event_id")).as("ref_num"),
+      concat(lit("case "), col("event_type")).as("summary"),
+      col("event_type").as("status"),
+      (col("event_id") % 2).cast("int").as("active_flag"),
+      date_format(openDate, "yyyy.MM.dd").as("open_date"),
+      (col("user_id") % 5).cast("int").as("priority"),
+      (col("user_id") % 4).cast("int").as("severity"),
+      concat(lit("t"), col("user_id") % 3).as("tenant"),
+      col("value"))
+    val strings = (1 to 27).map(i =>
+      concat(lit("s"), (col("user_id") * i) % 97).as(s"string$i"))
+    val nums = (1 to 26).map(i =>
+      ((col("user_id") * i) % (i + 10)).cast("int").as(s"num$i"))
+    val raw = ev.select(head ++ strings ++ nums: _*) // 11 + 27 + 26 = 64
+    CsvSource.writeSep1(raw, rawDir)
+    val schema = StructType(
+      Seq(StructField("id", IntegerType), StructField("persid", StringType),
+        StructField("ref_num", StringType), StructField("summary", StringType),
+        StructField("status", StringType), StructField("active_flag", IntegerType),
+        StructField("open_date", StringType), StructField("priority", IntegerType),
+        StructField("severity", IntegerType), StructField("tenant", StringType),
+        StructField("value", DoubleType)) ++
+      (1 to 27).map(i => StructField(s"string$i", StringType)) ++
+      (1 to 26).map(i => StructField(s"num$i", IntegerType)))
+    val conf = Promote.Config(
+      delimiter = Promote.Sep1,
+      schema = schema,
+      parses = Seq(Promote.ParseSpec("open_date", "date_dots")),
+      partitionFrom = Some(("open_date", "year",
+        (c: org.apache.spark.sql.Column) => year(c))),
+      filesPerPartition = 4)
+    Promote.run(spark, conf, rawDir, analyticsDir)
+    spark.read.parquet(analyticsDir)
+      .groupBy("year")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("persid").as("n_persids"),
+        sum("active_flag").as("sum_active"),
+        sum("priority").as("sum_priority"),
+        sum("num7").as("sum_num7"),
+        sum("num26").as("sum_num26"),
+        max("string13").as("max_string13"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("year")
+  }
+  val etlWideSql: String =
+    """WITH w AS (
+      |  SELECT event_id, user_id, value,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE)
+      |      + CAST((user_id * 13) % 1100 AS INT) AS open_date
+      |  FROM events)
+      |SELECT CAST(year(open_date) AS INT) AS year, count(*) AS n,
+      |  count(DISTINCT 'p' || user_id) AS n_persids,
+      |  CAST(sum(event_id % 2) AS BIGINT) AS sum_active,
+      |  CAST(sum(user_id % 5) AS BIGINT) AS sum_priority,
+      |  CAST(sum((user_id * 7) % 17) AS BIGINT) AS sum_num7,
+      |  CAST(sum((user_id * 26) % 36) AS BIGINT) AS sum_num26,
+      |  max('s' || ((user_id * 13) % 97)) AS max_string13,
+      |  round(sum(value), 2) AS sum_value
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** S11 (format surface beyond the reference, free on Spark): ORC
     * write/read roundtrip. ORC is the other splittable columnar
     * container a lake migration meets; the roundtrip pins schema +
@@ -300,7 +382,8 @@ object SourceQueries extends graft.QueryModule {
     "w2_dynamic_partition" -> (w2DynamicPartition _),
     "r1_one_file_per_partition" -> (r1OneFilePerPartition _),
     "r2_compact" -> (r2Compact _),
-    "etl_promote_e2e" -> (etlPromoteE2e _))
+    "etl_promote_e2e" -> (etlPromoteE2e _),
+    "etl_promote_wide" -> (etlPromoteWide _))
 
   def oracles: Map[String, String] = Map(
     "s1_csv_roundtrip" -> s1Sql,
@@ -315,5 +398,6 @@ object SourceQueries extends graft.QueryModule {
     "w2_dynamic_partition" -> w2Sql,
     "r1_one_file_per_partition" -> r1Sql,
     "r2_compact" -> r2Sql,
-    "etl_promote_e2e" -> etlSql)
+    "etl_promote_e2e" -> etlSql,
+    "etl_promote_wide" -> etlWideSql)
 }
