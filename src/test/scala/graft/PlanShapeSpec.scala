@@ -164,6 +164,21 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(windows <= 2, s"window ops did not share a sort spec ($windows):\n$p")
   }
 
+  test("etl_promote_wide analytics scan prunes 64 columns to the aggregated 8") {
+    // the gate's read side aggregates 8 of the 64 promoted columns —
+    // ReadSchema must show the pruned set, not the full row (at 100 TB
+    // a full-width read of a 64-column table for an 8-column agg is
+    // the difference between scanning 1/8 of the bytes and all of them)
+    val p = planOf("etl_promote_wide")
+    val read = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("persid") && read.contains("num26"),
+      s"aggregated columns missing from scan: $read")
+    assert(!read.contains("summary") && !read.contains("string20") &&
+      !read.contains("num25"),
+      s"unpruned wide scan: $read")
+  }
+
   test("s11 ORC read pushes the quantity filter into the scan") {
     val p = planOf("s11_orc_roundtrip")
     val scan = p.linesIterator.find(l =>
