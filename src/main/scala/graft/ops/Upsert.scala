@@ -43,6 +43,15 @@ import org.apache.spark.sql.functions._
   * merge reads the table, so no replay ever reads a half-committed
   * state and the retried merge lands identically (the crash-injection
   * contract pinned by UpsertCrashSpec).
+  *
+  * Writer contract: ONE writer per table path at a time (crashed
+  * writers replayed by their successor are fine; that is the
+  * reference's control-table model — a state machine hands each
+  * object to exactly one worker). CONCURRENT writers on one path need
+  * arbitration this eager-merge path deliberately does not carry —
+  * use [[graft.etl.VersionedTable.commitUpsert]] +
+  * [[graft.etl.VersionedTable.commitWithRetry]], whose claim protocol
+  * makes exactly one concurrent committer win.
   */
 object Upsert {
 
