@@ -75,6 +75,76 @@ object TextQueries extends graft.QueryModule {
       |    AS BIGINT) AS fp_pos
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Context-window chunking, sliding grid: doc → overlapping
+    * 32-token windows at stride 24 (fan-out one row per chunk). The
+    * chunker is a zero-shuffle per-row array program (text.Chunker);
+    * the orderBy here is gate determinism only. */
+  def textChunkSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.text.Chunker.slidingChunks(col("text"), 32, 24)).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx").as("chunk_idx"),
+        col("ch.chunk_text").as("chunk_text"),
+        col("ch.n_tokens").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  val chunkSlidingSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |           FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |        unnest(generate_series(0,
+      |          CASE WHEN len(toks) <= 32 THEN 0
+      |               ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) END))
+      |          AS chunk_idx
+      |      FROM t)
+      |SELECT doc_id, chunk_idx,
+      |  array_to_string(list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ')
+      |    AS chunk_text,
+      |  len(list_slice(toks, chunk_idx*24 + 1, chunk_idx*24 + 32)) AS n_tokens
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Context-window chunking, boundary-aligned packing: sentences
+    * bucketed into ≤24-token chunks without ever splitting inside a
+    * sentence. The driver corpus carries no punctuation, so the gate
+    * exercises the packer with a token-suffix boundary (`(e)\s+` —
+    * any word ending in 'e' ends a "sentence"), which yields genuine
+    * multi-sentence structure on this data; production use passes the
+    * default `([.!?])\s+`. ChunkerSpec covers the punctuation path. */
+  def textChunkPack(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.text.Chunker.sentencePack(
+          col("text"), 24, "(e)\\s+")).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx").as("chunk_idx"),
+        col("ch.chunk_text").as("chunk_text"),
+        col("ch.n_tokens").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  val chunkPackSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_filter(
+      |      string_split(regexp_replace(text, '(e)\s+', '\1' || chr(1), 'g'),
+      |                   chr(1)),
+      |      x -> len(trim(x)) > 0) AS sents
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, u.i AS i, u.sent AS sent,
+      |    len(string_split_regex(trim(u.sent), '\s+')) AS ntok
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(sents,
+      |            (x, i) -> struct_pack(i := i, sent := x))) AS u
+      |        FROM s)),
+      |w AS (
+      |  SELECT doc_id, i, sent, ntok,
+      |    sum(ntok) OVER (PARTITION BY doc_id ORDER BY i) AS cum
+      |  FROM e)
+      |SELECT doc_id, chunk_idx,
+      |  string_agg(sent, ' ' ORDER BY i) AS chunk_text,
+      |  CAST(sum(ntok) AS INT) AS n_tokens
+      |FROM (SELECT doc_id, i, sent, ntok,
+      |        CAST(floor((cum - ntok) / 24.0) AS INT) AS chunk_idx FROM w)
+      |GROUP BY doc_id, chunk_idx
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Multimodal plumbing: binary payload + metadata → batched stub
     * decode → typed features. */
   def mmDecodeStub(spark: SparkSession, sfDir: String): DataFrame = {
@@ -689,6 +759,8 @@ object TextQueries extends graft.QueryModule {
     "text_html_extract" -> (textHtmlExtract _),
     "text_bm25" -> (textBm25 _),
     "text_token_counts" -> (textTokenCounts _),
+    "text_chunk_sliding" -> (textChunkSliding _),
+    "text_chunk_pack" -> (textChunkPack _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_fingerprint" -> (textFingerprint _),
@@ -718,6 +790,8 @@ object TextQueries extends graft.QueryModule {
     "text_html_extract" -> htmlExtractSql,
     "text_bm25" -> bm25Sql,
     "text_token_counts" -> tokenSql,
+    "text_chunk_sliding" -> chunkSlidingSql,
+    "text_chunk_pack" -> chunkPackSql,
     "text_lang_id" -> langSql,
     "text_quality" -> qualitySql,
     "text_fingerprint" -> fingerprintSql,

@@ -179,6 +179,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"unpruned wide scan: $read")
   }
 
+  test("chunkers are zero-shuffle per-row programs (only the gate orderBy exchanges)") {
+    // Chunker.slidingChunks / sentencePack must stay pure array
+    // programs: one scan, one Generate (the explode fan-out), and the
+    // ONLY exchange in the gate plan is the rangepartitioning of the
+    // deterministic orderBy — at 100 TB the chunking itself never
+    // moves a byte between executors. No join, no aggregate.
+    for (name <- Seq("text_chunk_sliding", "text_chunk_pack")) {
+      val p = planOf(name)
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+      assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+        s"$name should shuffle only for the gate sort:\n$p")
+      assert(!p.contains("Join") && !p.contains("HashAggregate"),
+        s"$name grew a join/aggregate:\n$p")
+    }
+  }
+
   test("s11 ORC read pushes the quantity filter into the scan") {
     val p = planOf("s11_orc_roundtrip")
     val scan = p.linesIterator.find(l =>
