@@ -50,17 +50,31 @@ object Chunker {
     * token 0, and only the last chunk may be shorter than `window`
     * (ChunkerSpec pins these invariants plus exact reconstruction of
     * the token stream from the stride-prefix of each chunk). */
+  /** Let-binding for Column expressions: evaluate `value` ONCE and
+    * expose it to `body` as a lambda variable. Catalyst has no `let`,
+    * and an expression referenced from inside a higher-order-function
+    * lambda is RE-EVALUATED per element (lambda bodies sit outside
+    * both codegen subexpression elimination and CollapseProject's
+    * duplication check) — binding through a one-element `transform`
+    * makes every reference a cheap NamedLambdaVariable read. The
+    * first text_chunk_pack draft skipped this and nested five arrays
+    * deep; re-evaluation compounded multiplicatively per level and
+    * the sf0.1 gate ran for minutes instead of seconds. */
+  private def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   def slidingChunks(text: Column, window: Int, stride: Int): Column = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val ts = toks(text)
-    transform(sequence(lit(0), slidingCount(size(ts), window, stride) - 1),
-      c => {
-        val chunk = slice(ts, c * stride + 1, lit(window))
-        struct(c.cast("int").as("chunk_idx"),
-          array_join(chunk, " ").as("chunk_text"),
-          size(chunk).as("n_tokens"))
-      })
+    bind(toks(text)) { ts =>
+      transform(sequence(lit(0), slidingCount(size(ts), window, stride) - 1),
+        c => {
+          val chunk = slice(ts, c * stride + 1, lit(window))
+          struct(c.cast("int").as("chunk_idx"),
+            array_join(chunk, " ").as("chunk_text"),
+            size(chunk).as("n_tokens"))
+        })
+    }
   }
 
   /** Boundary-aligned chunk packing: split `text` into sentences at
@@ -85,37 +99,47 @@ object Chunker {
     *
     * Implementation is the same zero-shuffle array program: mark
     * boundaries (`regexp_replace` keeps the final character via `$1`
-    * and inserts `\u0001`), split, drop whitespace-only fragments,
-    * prefix-sum token counts with one `aggregate` pass (the leading 0
-    * of the accumulator makes `cums(i+1)` the inclusive prefix sum of
-    * sentence `i` with no empty-array probes), then assemble each
-    * distinct bucket's sentences in order. */
+    * and inserts `\\u0001`), split, drop whitespace-only fragments,
+    * then ONE sequential `aggregate` fold over the sentences that
+    * carries (running token count, chunks-so-far) and either extends
+    * the last chunk or opens a new one per sentence. The fold touches
+    * only lambda variables -- per the [[bind]] caveat, any outer
+    * array expression referenced inside a lambda would be
+    * re-evaluated per element; the first draft of this operator
+    * derived buckets by cross-referencing prefix-sum arrays five
+    * lambdas deep, and the compounding re-evaluation turned the
+    * sf0.1 gate from seconds into minutes. */
   def sentencePack(text: Column, maxTokens: Int,
                    boundary: String = "([.!?])\\s+"): Column = {
     require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
     val marked = regexp_replace(text, boundary, "$1\u0001")
     val sents = filter(split(marked, "\u0001"),
       s => length(trim(s)) > lit(0))
-    val ntoks = transform(sents, s => size(toks(s)))
-    // cums0 = [0, t0, t0+t1, ...]: cums0(i+2) is the inclusive prefix
-    // sum of sentence i (1-based element_at; the seed 0 keeps every
-    // access in range without try_element_at)
-    val cums0 = aggregate(ntoks, array(lit(0)),
-      (acc, x) => concat(acc, array(element_at(acc, size(acc)) + x)))
-    val ids = transform(sents, (_, i) =>
-      floor((element_at(cums0, i + lit(2)) - element_at(ntoks, i + lit(1)))
-        .cast("double") / maxTokens).cast("int"))
-    val tagged = transform(sents, (s, i) => struct(
-      element_at(ids, i + lit(1)).as("cid"),
-      s.as("sent"),
-      element_at(ntoks, i + lit(1)).as("nt")))
-    // ids are nondecreasing, so array_distinct's first-occurrence
-    // order IS ascending bucket order
-    transform(array_distinct(ids), c => {
-      val mine = filter(tagged, z => z("cid") === c)
-      struct(c.as("chunk_idx"),
-        array_join(transform(mine, z => z("sent")), " ").as("chunk_text"),
-        aggregate(mine, lit(0), (a, z) => a + z("nt")).as("n_tokens"))
-    })
+    val chunkType =
+      "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
+    val zero = struct(lit(0).as("cum"), array().cast(chunkType).as("chunks"))
+    aggregate(
+      sents,
+      zero,
+      (acc, s) => bind(size(toks(s))) { nt =>
+        val cum = acc("cum")
+        val chunks = acc("chunks")
+        val cid = floor(cum.cast("double") / maxTokens).cast("int")
+        // the And short-circuits, so the last-element probe never runs
+        // on an empty chunk list; CaseWhen branches evaluate lazily
+        val last = element_at(chunks, size(chunks))
+        val extended = concat(
+          slice(chunks, lit(1), size(chunks) - 1),
+          array(struct(cid.as("chunk_idx"),
+            concat_ws(" ", last("chunk_text"), s).as("chunk_text"),
+            (last("n_tokens") + nt).as("n_tokens"))))
+        val opened = concat(chunks,
+          array(struct(cid.as("chunk_idx"), s.as("chunk_text"),
+            nt.as("n_tokens"))))
+        struct((cum + nt).as("cum"),
+          when(size(chunks) > 0 && last("chunk_idx") === cid, extended)
+            .otherwise(opened).as("chunks"))
+      },
+      acc => acc("chunks"))
   }
 }
