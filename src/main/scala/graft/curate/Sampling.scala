@@ -96,6 +96,70 @@ object Sampling {
       .drop("__rn", "__quota")
   }
 
+  /** Token-budget selection: keep the highest-`qualityCol` documents
+    * until the cumulative `tokensCol` count reaches `budget` (the
+    * standard "best N tokens" corpus cut for a training run). A row
+    * is kept iff the total tokens of strictly-better rows — order
+    * (`qualityCol` DESC, `idCol` ASC), so selection is deterministic —
+    * is `< budget`; the budget-crossing document is included, so the
+    * selection always covers the budget when the corpus can.
+    *
+    * SEMANTICS are the naive global running sum (the DuckDB oracle
+    * replays exactly that window); the IMPLEMENTATION never sorts the
+    * corpus. A quality histogram (one map-side-combined aggregate
+    * into `buckets` cells) finds the boundary bucket on the driver;
+    * buckets strictly above it are kept by a narrow filter, buckets
+    * below are dropped by the same filter, and only the ~corpus/
+    * `buckets` rows INSIDE the boundary bucket pay a running-sum sort
+    * — the selected set is provably identical to the global-sort
+    * answer because equal qualities always share a bucket. At 100 TB:
+    * two scans (histogram + filter) and a single-partition window
+    * over one bucket, vs the curriculum-style global range sort the
+    * naive form would cost.
+    *
+    * Rows with null quality or token count are never selected (they
+    * have no place in a quality ordering). Returns `df`'s rows
+    * unchanged; if the budget exceeds the corpus, all non-null rows
+    * are kept. */
+  def tokenBudget(df: DataFrame, idCol: String, qualityCol: String,
+                  tokensCol: String, budget: Long,
+                  buckets: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val clean = df.where(col(qualityCol).isNotNull && col(tokensCol).isNotNull)
+    if (budget == 0) return clean.limit(0)
+    val mm = clean.agg(min(col(qualityCol)).cast("double"),
+      max(col(qualityCol)).cast("double")).head()
+    if (mm.isNullAt(0)) return clean // empty input
+    val (qmin, qmax) = (mm.getDouble(0), mm.getDouble(1))
+    val width = if (qmax > qmin) qmax - qmin else 1.0
+    val bucketOf = least(lit(buckets - 1),
+      floor((col(qualityCol).cast("double") - qmin) / width * buckets)
+        .cast("int"))
+    val hist = clean.groupBy(bucketOf.as("__b"))
+      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // walk buckets best-first to the one where the running total
+    // crosses the budget
+    var above = 0L
+    var boundary = -1
+    val it = hist.keys.toSeq.sorted(Ordering[Int].reverse).iterator
+    while (boundary < 0 && it.hasNext) {
+      val b = it.next()
+      if (above + hist(b) >= budget) boundary = b else above += hist(b)
+    }
+    if (boundary < 0) return clean // budget exceeds the corpus
+    val remaining = budget - above
+    val withB = clean.withColumn("__b", bucketOf)
+    val edgeW = Window.orderBy(col(qualityCol).desc, col(idCol))
+    val edge = withB.where(col("__b") === boundary)
+      .withColumn("__before",
+        sum(col(tokensCol).cast("long")).over(edgeW) - col(tokensCol))
+      .where(col("__before") < remaining)
+      .drop("__b", "__before")
+    withB.where(col("__b") > boundary).drop("__b").unionByName(edge)
+  }
+
   /** Curriculum binning: order the corpus by a difficulty proxy
     * (ascending `orderCol`, ties broken by `idCol` for determinism)
     * and cut it into `nBins` contiguous rank bins — the easy→hard

@@ -285,6 +285,38 @@ object CurateQueries extends graft.QueryModule {
       |  min(q) AS min_q, max(q) AS max_q, round(sum(q), 4) AS sum_q
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Token-budget selection (Sampling.tokenBudget): the best-quality
+    * documents until 15k cumulative tokens. The oracle replays the
+    * NAIVE semantics (global running sum over quality DESC); the
+    * engine path is the histogram-pruned implementation that never
+    * sorts the corpus — the gate passing proves the scale path equals
+    * the naive spec row-for-row. */
+  def curateTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("quality"),
+        graft.text.TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+    Sampling.tokenBudget(scored, "doc_id", "quality", "n_tokens", 15000L)
+      .orderBy("doc_id")
+  }
+  val tokenBudgetSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, round(
+      |    0.3 * least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+      |    + 0.4 * (CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS DOUBLE)
+      |        / (CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) + 1.0))
+      |    + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |        / (CAST(length(text) AS DOUBLE) + 1.0))), 6) AS quality,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, quality, n_tokens,
+      |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) - n_tokens
+      |      AS before
+      |  FROM scored)
+      |SELECT doc_id, quality, n_tokens FROM r
+      |WHERE before < 15000 ORDER BY doc_id""".stripMargin
+
   /** DSIR-lite importance selection (curate.Dsir): English documents
     * are the stand-in target domain; every document scores by the
     * add-one-smoothed hashed-bigram log-ratio and the top 50 are
@@ -375,6 +407,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_dsir" -> (curateDsir _),
     "curate_dsir_resample" -> (curateDsirResample _),
     "curate_quota" -> (curateQuota _),
+    "curate_token_budget" -> (curateTokenBudget _),
     "curate_decontam" -> (curateDecontam _),
     "curate_pack" -> (curatePack _))
 
@@ -388,6 +421,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_dsir" -> dsirSql,
     "curate_dsir_resample" -> dsirResampleSql,
     "curate_quota" -> quotaSql,
+    "curate_token_budget" -> tokenBudgetSql,
     "curate_decontam" -> decontamSql,
     "curate_pack" -> packSql)
 }
