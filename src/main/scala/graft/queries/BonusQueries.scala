@@ -191,6 +191,34 @@ object BonusQueries extends graft.QueryModule {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY event_id""".stripMargin
 
+  /** Time-RANGE window frame (the rolling-feature staple ROWS frames
+    * cannot express): per user, the count and value sum of events in
+    * the trailing hour ENDING AT each event. The frame bound is
+    * integral epoch-micros arithmetic (`unix_micros` / `epoch_us`), so
+    * both engines bound the frame on exactly the same integers — an
+    * INTERVAL bound over a timestamp order key would hinge on each
+    * engine's timestamp comparison semantics instead. Plan shape: one
+    * hash exchange on user_id + one sort serves both aggregates. */
+  def xRollingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hour = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3599999999L, 0) // (t-1h, t]: 3 599 999 999 µs back
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(hour).as("n_1h"),
+        round(sum("value").over(hour), 4).as("sum_1h"))
+      .orderBy("event_id")
+  }
+  val rollingRangeSql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_1h,
+      |  round(sum(value) OVER w, 4) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Correlated EXISTS + scalar subquery through spark.sql: customers
     * holding at least one order above half the global max price,
     * counted per market segment. The threshold uses max (exact,
@@ -221,6 +249,7 @@ object BonusQueries extends graft.QueryModule {
     "x_topk_per_group" -> (xTopkPerGroup _),
     "x_rollup" -> (xRollup _),
     "x_window_funcs" -> (xWindowFuncs _),
+    "x_rolling_range" -> (xRollingRange _),
     "x_exists_subquery" -> (xExistsSubquery _),
     "x_pivot" -> (xPivot _),
     "x_semi_anti" -> (xSemiAnti _),
@@ -233,6 +262,7 @@ object BonusQueries extends graft.QueryModule {
     "x_topk_per_group" -> topkSql,
     "x_rollup" -> rollupSql,
     "x_window_funcs" -> windowFuncsSql,
+    "x_rolling_range" -> rollingRangeSql,
     "x_exists_subquery" -> existsSql,
     "x_pivot" -> pivotSql,
     "x_semi_anti" -> semiAntiSql,
