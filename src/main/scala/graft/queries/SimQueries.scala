@@ -98,6 +98,27 @@ object SimQueries extends graft.QueryModule {
       .orderBy("query_id", "rank")
   }
 
+  /** The index LIFECYCLE path: the same trained IVF index as
+    * sim_kmeans_ivf, but built ONCE, persisted to parquet (assignment
+    * partitioned by bucket), re-LOADED, and only then searched — the
+    * production serving shape, where queries hit a saved artifact and
+    * dynamic partition pruning reads ~nprobe/k of the corpus
+    * (AnnIndexSpec asserts the pruning on the executed plan). The
+    * oracle is intentionally the SAME SQL as sim_kmeans_ivf: passing
+    * proves the save/load round trip answers byte-identically to the
+    * freshly built index. */
+  def simAnnPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = graft.core.GraftSession.scratch("annidx")
+    graft.sim.AnnIndex.build(emb, "vec_id", "embedding",
+      k = 16, iterations = 2, path)
+    graft.sim.AnnIndex.search(spark, path,
+        emb.where(col("vec_id") >= 100 && col("vec_id") < 110),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   /** Inline cosine for the k-means replay (no precomputed-norm CTE —
     * centroid sets change per iteration). */
   private def kmCos(a: String, b: String): String =
@@ -490,6 +511,7 @@ object SimQueries extends graft.QueryModule {
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
+    "sim_ann_persisted" -> (simAnnPersisted _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_quantized_recall" -> (simQuantizedRecall _),
@@ -501,6 +523,7 @@ object SimQueries extends graft.QueryModule {
     "sim_bruteforce_topk" -> bruteSql,
     "sim_ivf_topk" -> ivfSql,
     "sim_kmeans_ivf" -> kmeansIvfSql,
+    "sim_ann_persisted" -> kmeansIvfSql,
     "sim_quantized_topk" -> quantizedSql,
     "sim_ivf_recall" -> ivfRecallSql,
     "sim_quantized_recall" -> quantizedRecallSql,

@@ -1,0 +1,62 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index for approximate-nearest-neighbor serving: train
+  * once, write the index to storage, answer every later query batch
+  * from the saved artifact. At corpus scale the clustering pass is the
+  * expensive step (it scans all vectors × centroids); re-running it
+  * per query batch — what the build-inline `sim_kmeans_ivf` gate does
+  * for oracle replayability — is not an architecture that survives a
+  * production query load. This module is the missing lifecycle:
+  *
+  *  - [[build]]: k-means centroids + nearest-centroid assignment,
+  *    written as plain parquet with the assignment PARTITIONED BY
+  *    BUCKET — one directory per centroid.
+  *  - [[search]]: the standard probe, against the loaded artifact.
+  *
+  * The bucket partitioning is the scale lever: a search probes
+  * `nprobe` of `k` buckets, and because `bucket` is a PARTITION
+  * column joined against the broadcast probe set, Spark's dynamic
+  * partition pruning skips the unprobed directories at scan time —
+  * the index read is ~`nprobe/k` of the corpus, not a full scan
+  * (asserted by AnnIndexSpec on the executed plan). Delta/Iceberg
+  * users get the same effect from clustering the assignment table on
+  * `bucket`.
+  *
+  * Determinism: centroids and assignment are byte-deterministic
+  * (KMeans fixed init + rounded-argmax assignment), so a saved index
+  * answers queries EXACTLY like a freshly built one — the
+  * `sim_ann_persisted` gate replays the same DuckDB oracle as the
+  * inline k-means gate to prove the round trip is lossless.
+  */
+object AnnIndex {
+
+  /** Train and persist: `path/centroids` (centroid_id, cvec) and
+    * `path/assignment` (idCol, vecCol, bucket=partition dir). */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            k: Int, iterations: Int, path: String): Unit = {
+    val centroids = KMeans.train(emb, idCol, vecCol, k, iterations)
+    val assigned = Similarity.Ivf.assign(emb, centroids, idCol, vecCol)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assigned.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/assignment")
+  }
+
+  /** Loaded centroid table of a built index. */
+  def centroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+
+  /** Loaded assignment table; `bucket` comes back as the partition
+    * column, so bucket-selective reads prune directories. */
+  def assignment(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/assignment")
+
+  /** Top-`k` neighbors per query row from the SAVED index — identical
+    * results to `Similarity.Ivf.search` over a freshly built one. */
+  def search(spark: SparkSession, path: String, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    Similarity.Ivf.search(assignment(spark, path), centroids(spark, path),
+      queries, idCol, vecCol, k, nprobe)
+}

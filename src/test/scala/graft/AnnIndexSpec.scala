@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+import graft.sim.{AnnIndex, KMeans, Similarity}
+
+/** AnnIndex: the persisted IVF index must answer exactly like a
+  * freshly built one, and the bucket-partitioned layout must let the
+  * probe read prune unprobed bucket directories. */
+class AnnIndexSpec extends SparkSpecBase {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val path = {
+    val p = GraftSession.scratch("annidx-spec")
+    AnnIndex.build(emb, "vec_id", "embedding", k = 16, iterations = 2, p)
+    p
+  }
+  private def queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+
+  test("persisted index answers byte-identically to a fresh build") {
+    val fresh = {
+      val cents = KMeans.train(emb, "vec_id", "embedding", 16, 2)
+      Similarity.Ivf.search(
+        Similarity.Ivf.assign(emb, cents, "vec_id", "embedding"), cents,
+        queries, "vec_id", "embedding", k = 5, nprobe = 4)
+    }
+    val saved = AnnIndex.search(spark, path, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    val f = fresh.orderBy("query_id", "rank").collect().toSeq
+    val s = saved.orderBy("query_id", "rank").collect().toSeq
+    assert(f == s)
+    assert(f.nonEmpty)
+  }
+
+  test("assignment is partitioned by bucket and the probe read prunes directories") {
+    // layout: one directory per centroid bucket
+    val dirs = new java.io.File(s"$path/assignment").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs.count(_.startsWith("bucket=")) == 16, dirs.toString)
+    // the probe plan must carry a partition filter on bucket (dynamic
+    // partition pruning against the broadcast probe set), so only
+    // ~nprobe of k directories are scanned at execution time
+    val plan = AnnIndex.search(spark, path, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the assignment scan:\n$plan")
+  }
+}

@@ -50,7 +50,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 176, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 176) // every query oracle-gated
+    assert(SparkEntry.queries.size == 177, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 177) // every query oracle-gated
   }
 }
