@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.PerfQueries,
     graft.queries.CurateQueries,
     graft.queries.SketchQueries,
-    graft.queries.SqlSurfaceQueries)
+    graft.queries.SqlSurfaceQueries,
+    graft.queries.GraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -821,6 +821,20 @@ object VersionedTable {
     } finally latest.unpersist(blocking = false)
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF `toVersion` (Delta RESTORE):
+    * commit a new SNAPSHOT whose state is exactly `toVersion`'s state.
+    * Rolls the head FORWARD, never deletes history — the bad commits
+    * stay time-travelable for audit, concurrent readers see either
+    * the old head or the restored head (never a vanished version),
+    * and the change feed keeps a consistent lineage because snapshot
+    * commits are excluded from CDC replay. Pair with [[expire]] once
+    * the faulty versions are no longer needed. */
+  def restore(spark: SparkSession, root: String, keyCols: Seq[String],
+              toVersion: Long, bloomCols: Seq[String] = Nil): Long =
+    write(spark, root,
+      readAsOf(spark, root, keyCols, toVersion).withColumn(Deleted, lit(false)),
+      snapshot = true, bloomCols = bloomCols)
+
   /** Row-level changes committed in (`fromV`, `toV`]: the CDC-out
     * feed. Each row carries its commit id and op ('U'/'D') — exactly
     * what a downstream `CdcIngest` consumer replays. Only the

@@ -530,6 +530,29 @@ object DedupQueries extends graft.QueryModule {
       |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_docs
       |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Entity resolution over the part-name dictionary: block on the
+    * last token (the noun of "adjective noun" names), pair within
+    * blocks at Levenshtein ≤ 4. The DuckDB oracle recomputes the same
+    * blocked join with its own levenshtein — so Spark's bounded
+    * (threshold) edit-distance is verified against an independent
+    * implementation, pair for pair. The match runs on the DISTINCT
+    * name dictionary, never the fact table (FuzzyJoin's scale
+    * contract). */
+  def erFuzzyMatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.FuzzyJoin.selfMatch(Tables.part(spark, sfDir), "p_name",
+        n => regexp_extract(n, "([^ ]+)$", 1), maxDist = 4)
+      .orderBy("left_name", "right_name")
+  val erFuzzyMatchSql: String =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+      |b AS (
+      |  SELECT name, regexp_extract(name, '([^ ]+)$', 1) AS blk FROM names)
+      |SELECT a.name AS left_name, c.name AS right_name,
+      |  levenshtein(a.name, c.name) AS dist
+      |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+      |WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4
+      |ORDER BY left_name, right_name""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_url" -> (dedupUrl _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
@@ -545,7 +568,8 @@ object DedupQueries extends graft.QueryModule {
     "dedup_embedding_prod" -> (dedupEmbeddingProd _),
     "dedup_lines" -> (dedupLines _),
     "dedup_incremental" -> (dedupIncremental _),
-    "dedup_incremental_bloom" -> (dedupIncrementalBloom _))
+    "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
+    "er_fuzzy_match" -> (erFuzzyMatch _))
 
   def oracles: Map[String, String] = Map(
     "dedup_url" -> dedupUrlSql,
@@ -562,5 +586,6 @@ object DedupQueries extends graft.QueryModule {
     "dedup_embedding_prod" -> dedupEmbeddingProdSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_incremental" -> dedupIncrementalSql,
-    "dedup_incremental_bloom" -> dedupIncrementalSql)
+    "dedup_incremental_bloom" -> dedupIncrementalSql,
+    "er_fuzzy_match" -> erFuzzyMatchSql)
 }

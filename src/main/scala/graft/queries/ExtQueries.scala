@@ -426,6 +426,81 @@ object ExtQueries extends graft.QueryModule {
     * bounded-retry OCC loop — the default entry under possible write
     * contention (a no-op when, as here, the writer is alone; raced
     * deterministically in VersionedTableSpec). */
+  /** RESTORE (Delta `RESTORE TABLE ... VERSION AS OF`): after the
+    * upsert (v1) and delete (v2) turn out bad, roll back to v0 — a
+    * NEW snapshot commit (v3) carrying v0's exact state, so history
+    * stays auditable and concurrent readers never see a vanished
+    * version. The gate reads the pre-restore head (v2) and the
+    * restored head (v3): v3 must equal the ORIGINAL base state. */
+  def vtRestore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = vtLifecycle(spark, sfDir, "vtre")                       // v0-v2
+    VersionedTable.commitWithRetry() {
+      VersionedTable.restore(spark, root, Seq("event_id"), 0L)         // v3 = v0
+    }
+    Seq(2L, 3L).map { v =>
+      VersionedTable.readAsOf(spark, root, Seq("event_id"), v)
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(lit(v).as("version"), col("n"), col("total"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+  val vtRestoreSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |v2rows AS (
+      |  SELECT * FROM v1rows
+      |  WHERE event_id >= 2000000 OR event_id % 5 <> 0)
+      |SELECT 2 AS version, count(*) AS n, round(sum(value), 2) AS total
+      |FROM v2rows
+      |UNION ALL
+      |SELECT 3, count(*), round(sum(value), 2) FROM ev
+      |ORDER BY version""".stripMargin
+
+  /** Retention lifecycle end-to-end (Delta VACUUM + history cleanup):
+    * compact the chain into a snapshot (v3), expire every version
+    * before it, then sweep orphan data dirs. Proves retention is
+    * SAFE: after dropping 3 versions and their data, the surviving
+    * head still answers exactly — and the orphan sweep (horizon 0,
+    * the most aggressive setting) finds nothing to reclaim because
+    * [[graft.etl.VersionedTable.expire]] already removed the expired
+    * versions' data with their manifests. At 100 TB this is the
+    * storage-bound story: time travel costs only what retention
+    * keeps. */
+  def vtExpireVacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = vtLifecycle(spark, sfDir, "vtev")                       // v0-v2
+    VersionedTable.commitWithRetry() {
+      VersionedTable.compact(spark, root, Seq("event_id"))             // v3
+    }
+    val removed = VersionedTable.expire(spark, root, keepFrom = 3L)
+    val orphans = VersionedTable.vacuumOrphans(spark, root, olderThanMs = 0L)
+    val vs = VersionedTable.versions(spark, root)
+    VersionedTable.readLatest(spark, root, Seq("event_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(lit(removed.size.toLong).as("n_expired"),
+        lit(orphans.size.toLong).as("n_orphans"),
+        lit(vs.size.toLong).as("n_versions"), col("n"), col("total"))
+  }
+  val vtExpireVacuumSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |v2rows AS (
+      |  SELECT * FROM v1rows
+      |  WHERE event_id >= 2000000 OR event_id % 5 <> 0)
+      |SELECT 3 AS n_expired, 0 AS n_orphans, 1 AS n_versions,
+      |  count(*) AS n, round(sum(value), 2) AS total
+      |FROM v2rows""".stripMargin
+
   private def vtLifecycle(spark: SparkSession, sfDir: String,
                           tag: String): String = {
     import graft.etl.VersionedTable
@@ -629,6 +704,8 @@ object ExtQueries extends graft.QueryModule {
     "vt_point_lookup" -> (vtPointLookup _),
     "vt_compact_zorder" -> (vtCompactZorder _),
     "vt_change_feed_images" -> (vtChangeFeedImages _),
+    "vt_restore" -> (vtRestore _),
+    "vt_expire_vacuum" -> (vtExpireVacuum _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
@@ -646,6 +723,8 @@ object ExtQueries extends graft.QueryModule {
     "vt_point_lookup" -> vtPointLookupSql,
     "vt_compact_zorder" -> vtCompactZorderSql,
     "vt_change_feed_images" -> vtChangeFeedImagesSql,
+    "vt_restore" -> vtRestoreSql,
+    "vt_expire_vacuum" -> vtExpireVacuumSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.graph.PageRank
+
+/** Oracle-checked graph analytics. The DuckDB oracles replay the same
+  * iterations UNROLLED (one CTE per round), so the Spark loop's
+  * checkpoint/lineage discipline is verified against straight-line
+  * SQL — any drift in the damping algebra, the out-weight
+  * normalization, or the no-in-edge handling shows up as a value
+  * mismatch, not just a shape difference. */
+object GraphQueries extends graft.QueryModule {
+
+  /** Weighted PageRank (5 rounds, d=0.85) over the part co-purchase
+    * graph: parts are linked when they appear in the same order, edge
+    * weight = number of co-occurrences. The symmetric edge list makes
+    * every node reachable and dangling-free; ranks are rounded to 4dp
+    * (double-summation orders differ between engines at ~1e-13). */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    PageRank.run(edges, iters = 5)
+      .select(col("node"), round(col("rank"), 4).as("rank"))
+      .orderBy("node")
+  }
+
+  private def prRound(k: Int): String =
+    s"""r$k AS (
+       |  SELECT n.node, 0.15 + 0.85 * coalesce(s.inflow, 0) AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, sum(r${k - 1}.rank * e.p) AS inflow
+       |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+       |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+
+  val graphPagerankSql: String =
+    """WITH el AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |outw AS (SELECT src, sum(w) AS tw FROM el GROUP BY 1),
+      |e AS (SELECT el.src, el.dst, el.w / o.tw AS p
+      |      FROM el JOIN outw o ON el.src = o.src),
+      |nodes AS (SELECT DISTINCT src AS node FROM el),
+      |r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+      |""".stripMargin +
+      (1 to 5).map(prRound).mkString(",\n") +
+      "\nSELECT node, round(rank, 4) AS rank FROM r5 ORDER BY node"
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _))
+
+  def oracles: Map[String, String] = Map(
+    "graph_pagerank" -> graphPagerankSql)
+}

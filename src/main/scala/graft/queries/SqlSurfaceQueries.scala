@@ -165,17 +165,82 @@ object SqlSurfaceQueries extends QueryModule {
       |    'ngstr' || chr(246) || 'm ' || text), 1, 24) AS plain_head
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** WITH RECURSIVE (Spark 4's UnionLoop operator): iterative SQL
+    * without leaving the engine. The walk follows the implicit
+    * parent-pointer tree key → floor(key/2) from every customer to the
+    * root, so the recursion depth (≈ log₂ keyspace) and row counts are
+    * exact functions of the data — DuckDB replays the identical
+    * recursion. The iteration state each round is one row per still-
+    * walking node, never the closure so far: UnionLoop materializes
+    * per-step deltas, the semi-naive shape that survives scale. */
+  def sqlRecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("g_cust")
+    spark.sql("""
+      WITH RECURSIVE walk AS (
+        SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM g_cust
+        UNION ALL
+        SELECT node, CAST(floor(cur / 2) AS BIGINT) AS cur, depth + 1 AS depth
+        FROM walk WHERE cur > 0)
+      SELECT depth, count(*) AS n FROM (
+        SELECT node, max(depth) AS depth FROM walk GROUP BY node) t
+      GROUP BY depth ORDER BY depth""")
+  }
+  val sqlRecursiveCteSql: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+      |  UNION ALL
+      |  SELECT node, CAST(floor(cur / 2) AS BIGINT) AS cur, depth + 1 AS depth
+      |  FROM walk WHERE cur > 0)
+      |SELECT depth, count(*) AS n FROM (
+      |  SELECT node, max(depth) AS depth FROM walk GROUP BY node) t
+      |GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** Correlated LATERAL subquery with per-row LIMIT: top-2 nations by
+    * customer count for each region, written as SQL-standard lateral
+    * text (the JDBC/SQL-client spelling of the x_topk_per_group
+    * DataFrame gate). Catalyst decorrelates the per-row subquery into
+    * a ranked join — no per-region re-execution. */
+  def sqlLateralTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.region(spark, sfDir).createOrReplaceTempView("g_region")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("g_nation")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("g_cust")
+    spark.sql("""
+      SELECT r.r_name, t.n_name, t.n_customers
+      FROM g_region r, LATERAL (
+        SELECT n.n_name, count(*) AS n_customers
+        FROM g_nation n JOIN g_cust c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n_name
+        LIMIT 2) t
+      ORDER BY r_name, n_customers DESC, n_name""")
+  }
+  val sqlLateralTopkSql: String =
+    """SELECT r.r_name, t.n_name, t.n_customers
+      |FROM region r, LATERAL (
+      |  SELECT n.n_name, count(*) AS n_customers
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY n_customers DESC, n_name
+      |  LIMIT 2) t
+      |ORDER BY r_name, n_customers DESC, n_name""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_min_k_distinct" -> (sqlMinK _),
     "sql_dot_product" -> (sqlDot _),
     "sql_normalize" -> (sqlNormalize _),
     "sql_simhash_sig" -> (sqlSimhash _),
-    "sql_bounded_top_k" -> (sqlTopK _))
+    "sql_bounded_top_k" -> (sqlTopK _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
+    "sql_lateral_topk" -> (sqlLateralTopk _))
 
   def oracles: Map[String, String] = Map(
     "sql_min_k_distinct" -> sqlMinKSql,
     "sql_dot_product" -> sqlDotSql,
     "sql_normalize" -> sqlNormalizeSql,
     "sql_simhash_sig" -> sqlSimhashSql,
-    "sql_bounded_top_k" -> sqlTopKSql)
+    "sql_bounded_top_k" -> sqlTopKSql,
+    "sql_recursive_cte" -> sqlRecursiveCteSql,
+    "sql_lateral_topk" -> sqlLateralTopkSql)
 }

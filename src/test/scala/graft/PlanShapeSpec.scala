@@ -33,6 +33,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("er_fuzzy_match pairs via the block-key equi-join, never all-pairs") {
+    val p = planOf("er_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match degenerated to all-pairs:\n$p")
+  }
+
   test("q1 scan prunes to the referenced lineitem columns") {
     val p = planOf("q1_pricing_summary")
     // the pricing summary touches 7 of 16 lineitem columns; a full-width

@@ -22,7 +22,8 @@ class RegistrySpec extends AnyFunSuite {
     "PerfQueries" -> queries.PerfQueries,
     "CurateQueries" -> queries.CurateQueries,
     "SketchQueries" -> queries.SketchQueries,
-    "SqlSurfaceQueries" -> queries.SqlSurfaceQueries)
+    "SqlSurfaceQueries" -> queries.SqlSurfaceQueries,
+    "GraphQueries" -> queries.GraphQueries)
 
   test("query names are globally unique (no silent map overwrite)") {
     val all = modules.flatMap { case (m, q) => q.defs.keys.map(_ -> m) }
@@ -50,7 +51,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 177, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 177) // every query oracle-gated
+    assert(SparkEntry.queries.size == 183, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 183) // every query oracle-gated
   }
 }

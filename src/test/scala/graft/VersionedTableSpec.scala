@@ -371,4 +371,34 @@ class VersionedTableSpec extends SparkSpecBase {
     VersionedTable.commitDelete(spark, root, Seq(2L).toDF("k"))
     assert(state(root, 4L) == Map(1L -> 10.0, 3L -> 3.0))
   }
+
+  test("restore rolls the head back without erasing history") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v"))
+    VersionedTable.commitUpsert(spark, root,
+      Seq((2L, 666.0), (4L, 666.0)).toDF("k", "v"))                   // bad batch
+    VersionedTable.commitDelete(spark, root, Seq(1L).toDF("k"))       // bad delete
+    VersionedTable.restore(spark, root, Seq("k"), 0L)                 // v3 = v0
+
+    // the restored head equals the original state exactly
+    assert(state(root, 3L) == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    assert(VersionedTable.readLatest(spark, root, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    // history is preserved: the bad versions stay time-travelable
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L, 3L))
+    assert(state(root, 2L) == Map(2L -> 666.0, 3L -> 3.0, 4L -> 666.0))
+    // the restore is a snapshot commit: CDC replay over the full
+    // history emits v1/v2's changes but NOTHING for v3 (same contract
+    // as compaction — a rewrite is not a change)
+    val feed = VersionedTable.readChangesBetween(spark, root, 0L, 3L)
+    assert(feed.agg(max(col("__commit"))).head.getLong(0) == 2L)
+    // and new commits continue from the restored state
+    VersionedTable.commitUpsert(spark, root, Seq((5L, 5.0)).toDF("k", "v"))
+    assert(state(root, 4L) ==
+      Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 5L -> 5.0))
+  }
 }
