@@ -20,10 +20,20 @@ object GraphQueries extends graft.QueryModule {
     * (double-summation orders differ between engines at ~1e-13). */
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    // co-occurrence via per-order BASKETS, not a fact-table self-join:
+    // one shuffle to the basket (collect_list), pair expansion map-side
+    // by a double explode, one shuffle to the (src,dst) counts. The
+    // self-join spelling exchanges the 600k-row fact table twice AND
+    // sorts both sides (measured 6.3 s vs 2.9 s at sf0.1). Basket
+    // expansion is quadratic per order — safe because order size is
+    // bounded (≤7 lines); an unbounded-group co-occurrence would need
+    // a basket-size cap first (the SemDedup bucket-guard lesson).
+    val edges = li.groupBy("l_orderkey")
+      .agg(collect_list("l_partkey").as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst")
       .agg(count(lit(1)).cast("double").as("w"))
     PageRank.run(edges, iters = 5)
       .select(col("node"), round(col("rank"), 4).as("rank"))
