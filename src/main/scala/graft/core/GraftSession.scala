@@ -47,6 +47,14 @@ object GraftSession {
     // so the pruning the rule exists for has nothing to prune.
     c.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // WITH RECURSIVE's runaway valve defaults to 1M TOTAL rows across
+    // all iterations — a per-QUERY cap, so it trips on data volume,
+    // not runaway depth (sql_recursive_cte walks V·log₂V rows: fine
+    // at sf0.1, dead at sf1). Provably-bounded recursions (ours
+    // descends a strictly-shrinking key) need the valve sized to data;
+    // the depth limit (cteRecursionLevelLimit=100) stays as the real
+    // runaway guard.
+    c.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
     spark
   }
 
