@@ -130,17 +130,17 @@ object SimQueries extends graft.QueryModule {
     * lowest-centroid tie-break — exactly Ivf.assign), per-dim means
     * quantized through REAL (KMeans stores float centroids), empty
     * buckets keep the previous centroid. */
-  private def kmIterSql(prev: String, n: Int): String =
+  private def kmIterSql(prev: String, n: Int, src: String = "e"): String =
     s"""a$n AS (
        |  SELECT vec_id, bucket FROM (
        |    SELECT x.vec_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY x.vec_id
        |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
-       |    FROM e x CROSS JOIN $prev c) t WHERE r = 1),
+       |    FROM $src x CROSS JOIN $prev c) t WHERE r = 1),
        |m$n AS (
        |  SELECT a$n.bucket AS cid, dm.i AS dim,
-       |    CAST(CAST(avg(e.v[dm.i]) AS REAL) AS DOUBLE) AS m
-       |  FROM a$n JOIN e ON a$n.vec_id = e.vec_id CROSS JOIN dims dm
+       |    CAST(CAST(avg($src.v[dm.i]) AS REAL) AS DOUBLE) AS m
+       |  FROM a$n JOIN $src ON a$n.vec_id = $src.vec_id CROSS JOIN dims dm
        |  GROUP BY a$n.bucket, dm.i),
        |c$n AS (
        |  SELECT p.cid, COALESCE(mm.cv, p.cv) AS cv
@@ -158,6 +158,67 @@ object SimQueries extends graft.QueryModule {
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
        |${kmIterSql("c0", 1)},
        |${kmIterSql("c1", 2)},
+       |af AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, bucket FROM (
+       |    SELECT q.vec_id AS query_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |    FROM e q CROSS JOIN c2 c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id,
+       |    round(${kmCos("q.v", "x.v")}, 4) AS cos,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY round(${kmCos("q.v", "x.v")}, 4) DESC, x.vec_id ASC) AS rank
+       |  FROM probes p
+       |  JOIN af a ON a.bucket = p.bucket
+       |  JOIN e x ON x.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  WHERE x.vec_id <> p.query_id) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Index MAINTENANCE path: the quantizer is trained on the EVEN
+    * half of the corpus only, the index is built and persisted, then
+    * the odd half is APPENDED against the frozen centroids (no
+    * retrain — AnnIndex.append's one-batch-scan contract), and the
+    * search runs over the grown index. The oracle retrains k-means on
+    * the even subset and assigns the FULL corpus to those centroids —
+    * so a drifted centroid, a lost append row, or an append that
+    * accidentally re-trains all surface as value mismatches. */
+  def simAnnAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = graft.core.GraftSession.scratch("annappend")
+    graft.sim.AnnIndex.build(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", k = 16, iterations = 2, path)
+    graft.sim.AnnIndex.append(spark, path,
+      emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    graft.sim.AnnIndex.search(spark, path,
+        emb.where(col("vec_id") >= 100 && col("vec_id") < 110),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Replays: train on evens (init = 16 lowest EVEN ids, renumbered
+    * 0..15 as KMeans.train does), assign ALL vectors to the frozen
+    * c2 centroids, probe + search identically to kmeansIvfSql. */
+  val annAppendSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+       |et AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM et ORDER BY vec_id LIMIT 16)),
+       |${kmIterSql("c0", 1, "et")},
+       |${kmIterSql("c1", 2, "et")},
        |af AS (
        |  SELECT vec_id, bucket FROM (
        |    SELECT x.vec_id, c.cid AS bucket,
@@ -512,6 +573,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
     "sim_ann_persisted" -> (simAnnPersisted _),
+    "sim_ann_append" -> (simAnnAppend _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_quantized_recall" -> (simQuantizedRecall _),
@@ -524,6 +586,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ivf_topk" -> ivfSql,
     "sim_kmeans_ivf" -> kmeansIvfSql,
     "sim_ann_persisted" -> kmeansIvfSql,
+    "sim_ann_append" -> annAppendSql,
     "sim_quantized_topk" -> quantizedSql,
     "sim_ivf_recall" -> ivfRecallSql,
     "sim_quantized_recall" -> quantizedRecallSql,

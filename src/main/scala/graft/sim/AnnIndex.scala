@@ -44,6 +44,26 @@ object AnnIndex {
       .parquet(s"$path/assignment")
   }
 
+  /** Append a new vector batch to a built index WITHOUT retraining:
+    * assign against the FROZEN saved centroids, append into the
+    * bucket-partitioned assignment. This is the production index-
+    * maintenance path — ingest lands daily embedding batches into an
+    * index whose quantizer was trained once; cost ∝ the batch (one
+    * broadcast-argmax scan + a partitioned append), never the corpus.
+    * The trade is the standard IVF one: as the appended distribution
+    * drifts from the training sample, bucket balance degrades —
+    * retrain (build) when recall or bucket skew drifts past budget.
+    * Searches over the grown index need no code change: the new files
+    * land inside the same bucket=… directories the pruned probe scan
+    * already reads. */
+  def append(spark: SparkSession, path: String, fresh: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    val assigned = Similarity.Ivf.assign(
+      fresh, centroids(spark, path), idCol, vecCol)
+    assigned.write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/assignment")
+  }
+
   /** Loaded centroid table of a built index. */
   def centroids(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")

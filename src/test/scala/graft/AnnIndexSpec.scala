@@ -46,4 +46,27 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning on the assignment scan:\n$plan")
   }
+
+  test("append assigns against frozen centroids — equal to assigning all at once") {
+    val p = GraftSession.scratch("annidx-append")
+    val evens = emb.where(col("vec_id") % 2 === 0)
+    val odds = emb.where(col("vec_id") % 2 === 1)
+    AnnIndex.build(evens, "vec_id", "embedding", k = 16, iterations = 2, p)
+    val before = AnnIndex.assignment(spark, p).count()
+    AnnIndex.append(spark, p, odds, "vec_id", "embedding")
+    // nothing lost, nothing re-assigned: grown index holds every vector once
+    val grown = AnnIndex.assignment(spark, p)
+    assert(grown.count() == emb.count())
+    assert(grown.select("vec_id").distinct().count() == emb.count())
+    assert(before < grown.count())
+    // appended rows sit where a bulk assign against the SAME frozen
+    // centroids would put them (append must not have retrained)
+    val cents = AnnIndex.centroids(spark, p)
+    val bulk = Similarity.Ivf.assign(emb, cents, "vec_id", "embedding")
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = grown.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == bulk)
+  }
 }
