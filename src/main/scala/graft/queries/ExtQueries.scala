@@ -501,6 +501,45 @@ object ExtQueries extends graft.QueryModule {
       |  count(*) AS n, round(sum(value), 2) AS total
       |FROM v2rows""".stripMargin
 
+  /** Write-audit-publish gated ingest (Iceberg WAP): batch A (a
+    * doubled-value update, in range) passes its audit and commits;
+    * batch B (new keys carrying value = -5) violates the range
+    * constraint on the post-merge view and is rejected WHOLE — the
+    * table ends at the A state with no version for B to travel to.
+    * The audit range [0, 10000] brackets the events value domain
+    * (≤ 490 in the testdata) with room for the ×2 update. */
+  def wapGatedIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.{Quality, VersionedTable, Wap}
+    val root = GraftSession.scratch("wap") + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    VersionedTable.init(spark, root, ev)                               // v0
+    def audit(merged: DataFrame): Seq[DataFrame] = Seq(
+      Quality.complete(merged, "value"),
+      Quality.inRange(merged, "value", 0.0, 10000.0),
+      Quality.unique(merged, Seq("event_id")))
+    val good = ev.where(col("event_id") % 9 === 0)
+      .withColumn("value", col("value") * 2)
+    val a = Wap.ingest(spark, root, good, Seq("event_id"), audit)
+    val bad = spark.range(50)
+      .select((col("id") + 3000000).as("event_id"), lit(-5.0).as("value"))
+    val b = Wap.ingest(spark, root, bad, Seq("event_id"), audit)
+    VersionedTable.readLatest(spark, root, Seq("event_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(lit(a.committed.isDefined).as("a_committed"),
+        lit(b.committed.isDefined).as("b_committed"),
+        lit(b.report.count(!_._4).toLong).as("b_failed_checks"),
+        lit(VersionedTable.versions(spark, root).size.toLong)
+          .as("n_versions"),
+        col("n"), col("total"))
+  }
+  val wapGatedIngestSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events)
+      |SELECT true AS a_committed, false AS b_committed,
+      |  1 AS b_failed_checks, 2 AS n_versions, count(*) AS n,
+      |  round(sum(CASE WHEN event_id % 9 = 0 THEN value * 2
+      |    ELSE value END), 2) AS total
+      |FROM ev""".stripMargin
+
   private def vtLifecycle(spark: SparkSession, sfDir: String,
                           tag: String): String = {
     import graft.etl.VersionedTable
@@ -706,6 +745,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_change_feed_images" -> (vtChangeFeedImages _),
     "vt_restore" -> (vtRestore _),
     "vt_expire_vacuum" -> (vtExpireVacuum _),
+    "wap_gated_ingest" -> (wapGatedIngest _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
@@ -725,6 +765,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_change_feed_images" -> vtChangeFeedImagesSql,
     "vt_restore" -> vtRestoreSql,
     "vt_expire_vacuum" -> vtExpireVacuumSql,
+    "wap_gated_ingest" -> wapGatedIngestSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,
