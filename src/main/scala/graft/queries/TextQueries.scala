@@ -405,6 +405,40 @@ object TextQueries extends graft.QueryModule {
       |   AND symbol_word_ratio <= 0.1) AS gopher_pass
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Bigram PMI collocations (multi-word-expression detection /
+    * merge-candidate QA): map-side pair expansion from each doc's
+    * token array — no positional self-join of the token stream — with
+    * vocabulary-sized count joins, all broadcast. The oracle
+    * recomputes unigram/bigram probabilities and the identical
+    * double-arithmetic PMI expression in DuckDB. */
+  def textPmi(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.Collocations.bigramPmi(
+        Tables.documents(spark, sfDir), "text", minCount = 5)
+      .orderBy("a", "b")
+  val textPmiSql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> x <> '') AS t
+      |  FROM documents),
+      |u AS (SELECT unnest(t) AS w FROM toks),
+      |uc AS (SELECT w, count(*) AS cw FROM u GROUP BY 1),
+      |n1 AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uc),
+      |pairs AS (
+      |  SELECT t[i] AS a, t[i + 1] AS b
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      |  WHERE len(t) >= 2),
+      |bc AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY 1, 2),
+      |n2 AS (SELECT CAST(sum(cab) AS DOUBLE) AS n FROM bc)
+      |SELECT bc.a, bc.b, bc.cab,
+      |  round(ln(CAST(bc.cab AS DOUBLE) * (SELECT n FROM n1)
+      |      * (SELECT n FROM n1)
+      |    / (CAST(ua.cw AS DOUBLE) * CAST(ub.cw AS DOUBLE)
+      |      * (SELECT n FROM n2))), 4) AS pmi
+      |FROM bc JOIN uc ua ON bc.a = ua.w JOIN uc ub ON bc.b = ub.w
+      |WHERE bc.cab >= 5
+      |ORDER BY bc.a, bc.b""".stripMargin
+
   /** BPE pair statistics: top-15 frequency-weighted adjacent character
     * pairs over the distinct-word table — the first-merge statistics
     * of tokenizer training, computed vocab-sized not corpus-sized. */
@@ -776,6 +810,7 @@ object TextQueries extends graft.QueryModule {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
     "text_bpe_pairs" -> (textBpePairs _),
+    "text_pmi" -> (textPmi _),
     "text_gopher_rules" -> (textGopherRules _),
     "profile_stats" -> (profileStats _),
     "text_vocab" -> (textVocab _),
@@ -807,6 +842,7 @@ object TextQueries extends graft.QueryModule {
     "mm_frame_sample" -> mmFrameSql,
     "mm_phash_neardup" -> mmPhashSql,
     "text_bpe_pairs" -> bpePairsSql,
+    "text_pmi" -> textPmiSql,
     "text_gopher_rules" -> gopherSql,
     "profile_stats" -> profileSql,
     "text_vocab" -> vocabSql,

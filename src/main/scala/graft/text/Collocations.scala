@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bigram collocation extraction by pointwise mutual information —
+  * the corpus statistic behind multi-word-expression detection and
+  * tokenizer-vocabulary QA (a high-PMI pair like "new york" is a
+  * merge candidate; a vocab whose frequent merges have LOW pmi is
+  * wasting slots on chance co-occurrence).
+  *
+  * Scale shape: tokens and bigrams are expanded MAP-SIDE from each
+  * document's array (no positional self-join of an exploded token
+  * table — that spelling shuffles the corpus token stream to pair
+  * neighbors the array already holds adjacently); the two exchanges
+  * carry (word, partial count) and (pair, partial count), both
+  * vocabulary-sized after map-side combine. The count joins are
+  * vocabulary × vocabulary — broadcast territory at any corpus size.
+  */
+object Collocations {
+
+  /** (a, b, cab, pmi) for bigrams occurring ≥ `minCount` times.
+    * pmi = ln( p(a,b) / (p(a)·p(b)) ) with unigram probabilities from
+    * the token stream and bigram probabilities from the pair stream.
+    * Tokenization: lowercase, split on whitespace runs, empties
+    * dropped BEFORE pairing (so a pair never spans a dropped token's
+    * slot differently across engines). */
+  def bigramPmi(docs: DataFrame, textCol: String,
+                minCount: Long): DataFrame = {
+    val toks = docs.select(
+      expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val pairs = toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bcAll = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    // totals as broadcast 1-row frames, not driver actions: the whole
+    // statistic stays one lazy plan (one Bench/Verify action)
+    val n1df = uni.agg(sum("cw").cast("double").as("n1"))
+    val n2df = bcAll.agg(sum("cab").cast("double").as("n2"))
+    def d(c: Column): Column = c.cast("double")
+    bcAll.where(col("cab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("a"), col("cw").as("ca"))), "a")
+      .join(broadcast(uni.select(col("w").as("b"), col("cw").as("cb"))), "b")
+      .crossJoin(broadcast(n1df)).crossJoin(broadcast(n2df))
+      .select(col("a"), col("b"), col("cab"),
+        round(log(d(col("cab")) * col("n1") * col("n1") /
+          (d(col("ca")) * d(col("cb")) * col("n2"))), 4).as("pmi"))
+  }
+}
