@@ -71,7 +71,11 @@ object VersionedTable {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** One committed version: id, absolute data dir, snapshot flag. */
-  private final case class Commit(v: Long, dir: String, snapshot: Boolean)
+  /** `external` marks a data dir BORROWED from another table (shallow
+    * clone): readable like any commit, but never deleted by this
+    * table's retention — the source owns the files. */
+  private final case class Commit(v: Long, dir: String, snapshot: Boolean,
+                                  external: Boolean = false)
 
   private def manifestPath(root: String, v: Long) =
     new Path(s"$root/_commits/$v.manifest")
@@ -124,7 +128,10 @@ object VersionedTable {
   private def parseManifest(spark: SparkSession, root: String, v: Long): Commit =
     manifestCache.computeIfAbsent(cacheKey(spark, root, v), { _ =>
       val lines = readSmall(spark, manifestPath(root, v)).linesIterator.toSeq
-      Commit(v, s"$root/${lines.head}", lines(1) == "snapshot=true")
+      if (lines.head.startsWith("ext:"))
+        Commit(v, lines.head.stripPrefix("ext:"),
+          lines(1) == "snapshot=true", external = true)
+      else Commit(v, s"$root/${lines.head}", lines(1) == "snapshot=true")
     })
 
   /** All committed versions, ascending — ONE listing, then cached
@@ -821,6 +828,48 @@ object VersionedTable {
     } finally latest.unpersist(blocking = false)
   }
 
+  /** Shallow clone (Delta `CREATE TABLE ... SHALLOW CLONE`): a new
+    * table at `dstRoot` whose manifests REFERENCE the source's data
+    * dirs — zero bytes copied, full read parity (time travel, change
+    * feed, footer-stats skipping and Bloom point lookups all work,
+    * because the manifest bodies are copied verbatim; only the dir
+    * pointer is rewritten to an absolute `ext:` reference). The clone
+    * then evolves independently: new commits write under the clone's
+    * own root and shadow borrowed rows merge-on-read. The 100 TB use
+    * is the dev/staging branch: experiment against production data at
+    * manifest cost, not corpus cost.
+    *
+    * Ownership contract: borrowed dirs belong to the SOURCE — the
+    * clone's [[expire]] skips deleting them (external flag), and its
+    * [[vacuumOrphans]] only ever lists the clone's own data/ dir. The
+    * reverse hazard is inherent to shallow clones (as in Delta):
+    * expiring the SOURCE's history can orphan clones that still
+    * reference it — expire sources only past every clone's horizon. */
+  def cloneShallow(spark: SparkSession, srcRoot: String,
+                   dstRoot: String): Seq[Long] = {
+    val srcFs = fs(spark, srcRoot)
+    val f = fs(spark, dstRoot)
+    require(commits(spark, dstRoot).isEmpty && claimed(spark, dstRoot).isEmpty,
+      s"cloneShallow: destination $dstRoot is not empty")
+    val vs = commits(spark, srcRoot)
+    f.mkdirs(new Path(s"$dstRoot/_commits"))
+    vs.foreach { c =>
+      val body = readSmall(spark, manifestPath(srcRoot, c.v)).linesIterator.toSeq
+      val absDir = srcFs.makeQualified(new Path(c.dir)).toString
+      val rewritten = (s"ext:$absDir" +: body.tail).mkString("\n")
+      // same claim-then-manifest order as publish: a reader listing
+      // mid-clone sees a prefix of the history, never a torn manifest
+      f.create(new Path(s"$dstRoot/_commits/${c.v}.commit"), false).close()
+      val tmp = new Path(s"$dstRoot/_commits/.${c.v}.manifest.tmp")
+      val out = f.create(tmp, true)
+      try out.write(rewritten.getBytes("UTF-8")) finally out.close()
+      if (!f.rename(tmp, manifestPath(dstRoot, c.v)))
+        throw new IllegalStateException(
+          s"cloneShallow: failed to publish manifest v=${c.v} at $dstRoot")
+    }
+    vs.map(_.v)
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF `toVersion` (Delta RESTORE):
     * commit a new SNAPSHOT whose state is exactly `toVersion`'s state.
     * Rolls the head FORWARD, never deletes history — the bad commits
@@ -1007,7 +1056,9 @@ object VersionedTable {
     val f = fs(spark, root)
     removable.foreach { c =>
       f.delete(manifestPath(root, c.v), false)
-      f.delete(new Path(c.dir), true)
+      // a shallow clone BORROWS its data dirs — the source table owns
+      // those files; expiring the clone drops only its manifests
+      if (!c.external) f.delete(new Path(c.dir), true)
       manifestCache.remove(cacheKey(spark, root, c.v))
       detailCache.remove(cacheKey(spark, root, c.v))
       bloomCache.remove(cacheKey(spark, root, c.v))

@@ -501,6 +501,53 @@ object ExtQueries extends graft.QueryModule {
       |  count(*) AS n, round(sum(value), 2) AS total
       |FROM v2rows""".stripMargin
 
+  /** Shallow clone (Delta SHALLOW CLONE): the lifecycle table is
+    * cloned by manifest reference (zero data copied), the CLONE takes
+    * an independent upsert of 100 fresh keys, and the gate reads all
+    * three states: the source head (must be untouched by the clone's
+    * write), the clone time-traveled to the borrowed v2 (must equal
+    * the source head byte-for-byte), and the clone head (borrowed
+    * state + the new batch, merged on read across the ownership
+    * boundary). */
+  def vtCloneShallow(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val src = vtLifecycle(spark, sfDir, "vtcs")                        // v0-v2
+    val dst = GraftSession.scratch("vtcsclone") + "/tbl"
+    VersionedTable.cloneShallow(spark, src, dst)
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsert(spark, dst, spark.range(100)
+        .select((col("id") + 5000000).as("event_id"),
+          lit(1.5).as("value")))                                       // clone v3
+    }
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(lit(tag).as("side"), col("n"), col("total"))
+    agg(VersionedTable.readLatest(spark, src, Seq("event_id")), "src_head")
+      .unionByName(agg(VersionedTable.readAsOf(spark, dst,
+        Seq("event_id"), 2L), "clone_v2"))
+      .unionByName(agg(VersionedTable.readLatest(spark, dst,
+        Seq("event_id")), "clone_head"))
+      .orderBy("side")
+  }
+  val vtCloneShallowSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |v2rows AS (
+      |  SELECT * FROM v1rows
+      |  WHERE event_id >= 2000000 OR event_id % 5 <> 0)
+      |SELECT 'clone_head' AS side, count(*) + 100 AS n,
+      |  round(sum(value) + 150.0, 2) AS total FROM v2rows
+      |UNION ALL
+      |SELECT 'clone_v2', count(*), round(sum(value), 2) FROM v2rows
+      |UNION ALL
+      |SELECT 'src_head', count(*), round(sum(value), 2) FROM v2rows
+      |ORDER BY side""".stripMargin
+
   /** Write-audit-publish gated ingest (Iceberg WAP): batch A (a
     * doubled-value update, in range) passes its audit and commits;
     * batch B (new keys carrying value = -5) violates the range
@@ -746,6 +793,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_restore" -> (vtRestore _),
     "vt_expire_vacuum" -> (vtExpireVacuum _),
     "wap_gated_ingest" -> (wapGatedIngest _),
+    "vt_clone_shallow" -> (vtCloneShallow _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
@@ -766,6 +814,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_restore" -> vtRestoreSql,
     "vt_expire_vacuum" -> vtExpireVacuumSql,
     "wap_gated_ingest" -> wapGatedIngestSql,
+    "vt_clone_shallow" -> vtCloneShallowSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,
