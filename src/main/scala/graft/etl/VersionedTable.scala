@@ -828,6 +828,22 @@ object VersionedTable {
     } finally latest.unpersist(blocking = false)
   }
 
+  /** Per-file column statistics of version `v` as a DataFrame — the
+    * DESCRIBE DETAIL / Iceberg `files` metadata-table analog. Pure
+    * driver-side manifest parse (zero data jobs, like [[history]]);
+    * min/max come back as the manifest's string rendering (cast by
+    * the caller per column type). Besides observability, this is the
+    * stats harvest's own audit surface: folding min(min)/max(max)
+    * over the files of a snapshot must reproduce the table's true
+    * column extremes (gated in vt_stats_view). */
+  def fileStats(spark: SparkSession, root: String, v: Long): DataFrame = {
+    import spark.implicits._
+    val (files, stats, _) = manifestDetailFull(spark, root, v)
+    files.flatMap(f => stats.getOrElse(f, Map.empty).map { case (c, st) =>
+        (f, c, st.t, st.min, st.max)
+      }).toDF("file", "column", "stat_type", "min", "max")
+  }
+
   /** Shallow clone (Delta `CREATE TABLE ... SHALLOW CLONE`): a new
     * table at `dstRoot` whose manifests REFERENCE the source's data
     * dirs — zero bytes copied, full read parity (time travel, change

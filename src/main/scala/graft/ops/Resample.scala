@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: per-key resampling onto a fixed grid
+  * with forward fill — the gap-filling operator behind "carry the
+  * last sensor/price/state reading through silent periods" that
+  * time-series stores (kdb, TimescaleDB `time_bucket_gapfill`,
+  * InfluxDB `fill(previous)`) ship natively.
+  *
+  * Scale shape: one (key, bucket) partial-aggregated reduction of the
+  * raw stream, one bounds aggregation per key, then ONE exchange on
+  * key for the fill window — the sort is per key over its grid, never
+  * a global order. Grid synthesis is `sequence()` map-side; its size
+  * is span/step per key, so the caller picks the step for the span
+  * (an unbounded span × tiny step would need a span cap first —
+  * same basket-guard discipline as the co-occurrence expansion).
+  */
+object Resample {
+
+  /** Per-key hourly/minutely/... grid from each key's first to last
+    * observed bucket; missing buckets synthesize a row carrying the
+    * last observed value (`observed=false`). In-bucket collisions
+    * resolve to the LATEST reading (microsecond order, value
+    * tie-break — deterministic). Bucket is epoch seconds floored to
+    * `stepSeconds`. */
+  def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, stepSeconds: Long): DataFrame = {
+    val stepUs = stepSeconds * 1000000L
+    val obs = df
+      .select(col(keyCol), unix_micros(col(tsCol)).as("us"),
+        col(valCol).as("v"))
+      .withColumn("bucket", floor(col("us") / stepUs) * stepSeconds)
+      .groupBy(keyCol, "bucket")
+      .agg(max(struct(col("us"), col("v"))).getField("v").as("obs_v"))
+    val grid = obs.groupBy(keyCol)
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col(keyCol),
+        explode(sequence(col("b0"), col("b1"), lit(stepSeconds)))
+          .as("bucket"))
+    val fill = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        last(col("obs_v"), ignoreNulls = true).over(fill).as("value"),
+        col("obs_v").isNotNull.as("observed"))
+  }
+}

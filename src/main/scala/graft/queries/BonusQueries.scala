@@ -245,7 +245,60 @@ object BonusQueries extends graft.QueryModule {
       |    AND o.o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM orders))
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Time-series resample + forward fill (time_bucket_gapfill /
+    * fill(previous)): each user's event stream regularized onto an
+    * hourly grid, silent hours carrying the last reading. Summarized
+    * per user (bucket count, observed count, filled total) so the
+    * gate is compact; the oracle rebuilds the grid with
+    * generate_series and an IGNORE NULLS window. In-bucket collisions
+    * resolve at microsecond order with a value tie-break in BOTH
+    * engines (truncating to seconds here once disagreed with the
+    * oracle's full-precision ordering — parity needs the same
+    * granularity on both sides). */
+  def tsResampleFfill(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Resample.forwardFill(
+        Tables.events(spark, sfDir).select("user_id", "ts", "value"),
+        "user_id", "ts", "value", stepSeconds = 3600L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("observed").cast("long")).as("n_observed"),
+        round(sum("value"), 2).as("total"))
+      .orderBy("user_id")
+  val tsResampleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events),
+      |eb AS (
+      |  SELECT user_id,
+      |    CAST(floor(us / 3600000000) AS BIGINT) * 3600 AS bucket,
+      |    us, value FROM e),
+      |obs AS (
+      |  SELECT user_id, bucket, value FROM (
+      |    SELECT user_id, bucket, value,
+      |      row_number() OVER (PARTITION BY user_id, bucket
+      |        ORDER BY us DESC, value DESC) AS r
+      |    FROM eb) t WHERE r = 1),
+      |bounds AS (
+      |  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      |  FROM obs GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS bucket
+      |  FROM bounds),
+      |f AS (
+      |  SELECT g.user_id, g.bucket, o.value AS ov,
+      |    last_value(o.value IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.bucket
+      |      ROWS UNBOUNDED PRECEDING) AS fv
+      |  FROM grid g LEFT JOIN obs o
+      |    ON o.user_id = g.user_id AND o.bucket = g.bucket)
+      |SELECT user_id, count(*) AS n_buckets,
+      |  CAST(sum(CASE WHEN ov IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_observed,
+      |  round(sum(fv), 2) AS total
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_resample_ffill" -> (tsResampleFfill _),
     "x_topk_per_group" -> (xTopkPerGroup _),
     "x_rollup" -> (xRollup _),
     "x_window_funcs" -> (xWindowFuncs _),
@@ -259,6 +312,7 @@ object BonusQueries extends graft.QueryModule {
     "x_grouping_sets" -> (xGroupingSets _))
 
   def oracles: Map[String, String] = Map(
+    "ts_resample_ffill" -> tsResampleSql,
     "x_topk_per_group" -> topkSql,
     "x_rollup" -> rollupSql,
     "x_window_funcs" -> windowFuncsSql,

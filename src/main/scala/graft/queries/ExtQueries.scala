@@ -501,6 +501,33 @@ object ExtQueries extends graft.QueryModule {
       |  count(*) AS n, round(sum(value), 2) AS total
       |FROM v2rows""".stripMargin
 
+  /** Stats metadata view (DESCRIBE DETAIL / Iceberg `files` analog):
+    * the manifest's per-file footer stats, folded to per-column
+    * global extremes, must reproduce the table's TRUE min/max — the
+    * data-skipping machinery audited against the data it skips over,
+    * with the oracle computing ground truth from the raw table. The
+    * view itself is a zero-job driver-side manifest parse. */
+  def vtStatsView(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtsv") + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+      .repartitionByRange(8, col("value"))
+    VersionedTable.init(spark, root, ev)
+    VersionedTable.fileStats(spark, root, 0L)
+      .where(col("column").isin("event_id", "value"))
+      .groupBy("column")
+      .agg(round(min(col("min").cast("double")), 2).as("minv"),
+        round(max(col("max").cast("double")), 2).as("maxv"))
+      .orderBy("column")
+  }
+  val vtStatsViewSql: String =
+    """SELECT 'event_id' AS "column",
+      |  round(CAST(min(event_id) AS DOUBLE), 2) AS minv,
+      |  round(CAST(max(event_id) AS DOUBLE), 2) AS maxv FROM events
+      |UNION ALL
+      |SELECT 'value', round(min(value), 2), round(max(value), 2)
+      |FROM events ORDER BY "column"""".stripMargin
+
   /** Shallow clone (Delta SHALLOW CLONE): the lifecycle table is
     * cloned by manifest reference (zero data copied), the CLONE takes
     * an independent upsert of 100 fresh keys, and the gate reads all
@@ -794,6 +821,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_expire_vacuum" -> (vtExpireVacuum _),
     "wap_gated_ingest" -> (wapGatedIngest _),
     "vt_clone_shallow" -> (vtCloneShallow _),
+    "vt_stats_view" -> (vtStatsView _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
@@ -815,6 +843,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_expire_vacuum" -> vtExpireVacuumSql,
     "wap_gated_ingest" -> wapGatedIngestSql,
     "vt_clone_shallow" -> vtCloneShallowSql,
+    "vt_stats_view" -> vtStatsViewSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,
