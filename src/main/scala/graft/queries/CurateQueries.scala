@@ -397,7 +397,38 @@ object CurateQueries extends graft.QueryModule {
       |SELECT doc_id, score, noisy FROM noised
       |ORDER BY noisy DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Winsorized length statistics per language: doc lengths clipped
+    * to their per-lang exact [P5, P95] (linear-interpolation
+    * percentiles — the same quantile_cont definition DuckDB uses, so
+    * the replay is exact), then the robust mean and the clip count.
+    * The bounds join back as a broadcast; the corpus never
+    * reshuffles. */
+  def curateWinsorize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.curate.Outliers.winsorize(
+        Tables.documents(spark, sfDir).select("lang", "n_chars"),
+        "lang", "n_chars", 0.05, 0.95)
+      .groupBy("lang")
+      .agg(round(avg("clipped"), 4).as("wmean"),
+        sum(col("was_clipped").cast("long")).as("n_clipped"),
+        count(lit(1)).as("n"))
+      .orderBy("lang")
+  val winsorizeSql: String =
+    """WITH q AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+      |    quantile_cont(n_chars, 0.95) AS hi
+      |  FROM documents GROUP BY 1)
+      |SELECT d.lang,
+      |  round(avg(CASE WHEN n_chars < lo THEN lo
+      |    WHEN n_chars > hi THEN hi
+      |    ELSE CAST(n_chars AS DOUBLE) END), 4) AS wmean,
+      |  CAST(sum(CASE WHEN n_chars < lo OR n_chars > hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clipped,
+      |  count(*) AS n
+      |FROM documents d JOIN q USING (lang)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_winsorize" -> (curateWinsorize _),
     "curate_decontam_embedding" -> (curateDecontamEmbedding _),
     "curate_cluster_split" -> (curateClusterSplit _),
     "curate_mix" -> (curateMix _),
@@ -412,6 +443,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_pack" -> (curatePack _))
 
   def oracles: Map[String, String] = Map(
+    "curate_winsorize" -> winsorizeSql,
     "curate_decontam_embedding" -> decontamEmbeddingSql,
     "curate_cluster_split" -> clusterSplitSql,
     "curate_mix" -> mixSql,
