@@ -536,6 +536,89 @@ object TextQueries extends graft.QueryModule {
     * partial-aggregable except the exact percentiles (which shuffle
     * (source, n_chars) pairs only — at 100 TB swap for approx_percentile
     * and drop the oracle to tolerance). */
+  /** Inverted-index build: per-term exact df + the 10 lowest doc ids
+    * as an O(k)-state posting preview (BoundedMinK — a stop-word
+    * costs k ids of buffer, never its full posting list). Postings
+    * serialize to CSV because gate outputs must stay scalar; the
+    * oracle sorts-and-slices the true posting list. Only terms with
+    * df ≥ 50 are emitted to keep the gate compact. */
+  def textInvertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.InvertedIndex.build(
+        Tables.documents(spark, sfDir), "doc_id", "text", maxPostings = 10)
+      .where(col("df") >= 50)
+      .select(col("term"), col("df"),
+        concat_ws(",", col("postings")).as("postings_csv"))
+      .orderBy("term")
+  val invertedIndexSql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id AS doc, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |idx AS (
+      |  SELECT term, count(*) AS df,
+      |    (list_sort(list(doc)))[1:10] AS postings
+      |  FROM t GROUP BY 1)
+      |SELECT term, df, array_to_string(postings, ',') AS postings_csv
+      |FROM idx WHERE df >= 50 ORDER BY term""".stripMargin
+
+  /** Conjunctive (AND) search for the corpus's two most frequent
+    * terms, chosen BY RULE (df desc, term asc) so both engines pick
+    * the same pair on any data: docs carrying both terms, counted via
+    * the re-filtered term stream — never an intersection of capped
+    * posting arrays. */
+  def textSearchAnd(spark: SparkSession, sfDir: String): DataFrame = {
+    val stream = graft.text.InvertedIndex.termStream(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    val top2 = stream.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(2)
+      .select("term").collect().map(_.getString(0)).sorted
+    graft.text.InvertedIndex.conjunctive(
+        Tables.documents(spark, sfDir), "doc_id", "text", top2.toSeq)
+      .agg(count(lit(1)).as("n_docs_both"))
+      .select(lit(top2.mkString(",")).as("terms"), col("n_docs_both"))
+  }
+  val searchAndSql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id AS doc, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |top2 AS (
+      |  SELECT term FROM (
+      |    SELECT term, count(*) AS df FROM t GROUP BY 1
+      |    ORDER BY df DESC, term ASC LIMIT 2)),
+      |hits AS (
+      |  SELECT doc FROM t WHERE term IN (SELECT term FROM top2)
+      |  GROUP BY doc HAVING count(*) = 2)
+      |SELECT (SELECT string_agg(term, ',' ORDER BY term) FROM top2) AS terms,
+      |  (SELECT count(*) FROM hits) AS n_docs_both""".stripMargin
+
+  /** Second-moment profile per group: sample stddev/variance, Pearson
+    * correlation and sample covariance between quantity and price —
+    * the profiling statistics a mixing/filtering decision reads after
+    * the first-moment profile. All four share the n-1 sample
+    * definition with DuckDB, so the replay is exact; everything is
+    * one partial-aggregable pass (moment sketches combine map-side).
+    * Rounded at 4dp — the moment accumulations differ in summation
+    * order across engines at ~1e-12 relative. */
+  def profileMoments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+          .as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+  val profileMomentsSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_extendedprice), 4) AS var_price,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   def profileStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .groupBy("source")
@@ -813,6 +896,9 @@ object TextQueries extends graft.QueryModule {
     "text_pmi" -> (textPmi _),
     "text_gopher_rules" -> (textGopherRules _),
     "profile_stats" -> (profileStats _),
+    "profile_moments" -> (profileMoments _),
+    "text_inverted_index" -> (textInvertedIndex _),
+    "text_search_and" -> (textSearchAnd _),
     "text_vocab" -> (textVocab _),
     "text_tfidf" -> (textTfidf _))
 
@@ -845,6 +931,9 @@ object TextQueries extends graft.QueryModule {
     "text_pmi" -> textPmiSql,
     "text_gopher_rules" -> gopherSql,
     "profile_stats" -> profileSql,
+    "profile_moments" -> profileMomentsSql,
+    "text_inverted_index" -> invertedIndexSql,
+    "text_search_and" -> searchAndSql,
     "text_vocab" -> vocabSql,
     "text_tfidf" -> tfidfSql)
 }
