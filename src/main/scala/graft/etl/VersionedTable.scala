@@ -828,6 +828,26 @@ object VersionedTable {
     } finally latest.unpersist(blocking = false)
   }
 
+  /** Compact only when the live chain (newest snapshot through head)
+    * exceeds `maxChain` commits — the small-file/chain-length policy
+    * that keeps merge-on-read bounded WITHOUT an external scheduler:
+    * call after any commit; it is a metadata-only no-op until the
+    * chain outgrows the budget, then one compaction resets it. This
+    * is the auto-OPTIMIZE loop every long-lived ingest needs — chain
+    * length is what readAsOf replays per read, so an unbounded delta
+    * chain silently turns every read into a history replay. Returns
+    * the new snapshot version when a compaction ran. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+                      keyCols: Seq[String], maxChain: Int,
+                      bloomCols: Seq[String] = Nil): Option[Long] = {
+    val cs = commits(spark, root)
+    val anchor = cs.filter(_.snapshot).map(_.v).maxOption.getOrElse(0L)
+    val chain = cs.count(_.v >= anchor)
+    if (chain > maxChain)
+      Some(commitWithRetry() { compact(spark, root, keyCols, bloomCols) })
+    else None
+  }
+
   /** Per-file column statistics of version `v` as a DataFrame — the
     * DESCRIBE DETAIL / Iceberg `files` metadata-table analog. Pure
     * driver-side manifest parse (zero data jobs, like [[history]]);

@@ -501,6 +501,46 @@ object ExtQueries extends graft.QueryModule {
       |  count(*) AS n, round(sum(value), 2) AS total
       |FROM v2rows""".stripMargin
 
+  /** Auto-compaction policy: six upsert batches with
+    * `compactIfNeeded(maxChain=3)` after each — the chain-length
+    * budget triggers compactions at exactly v4 and v8 (init snapshot
+    * + 3 deltas = budget exceeded), so the history lands at 9
+    * versions / 3 snapshots deterministically, and the head state is
+    * identical to never having compacted. Each batch pins disjoint
+    * keys (event_id mod 13 = i) to a constant, so the oracle computes
+    * the final state arithmetically. */
+  def vtAutoCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtac") + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    VersionedTable.init(spark, root, ev)                               // v0
+    var compactions = 0L
+    (1 to 6).foreach { i =>
+      VersionedTable.commitWithRetry() {
+        VersionedTable.commitUpsert(spark, root,
+          ev.where(col("event_id") % 13 === i)
+            .withColumn("value", lit(i.toDouble)))
+      }
+      if (VersionedTable.compactIfNeeded(spark, root,
+          Seq("event_id"), maxChain = 3).isDefined) compactions += 1
+    }
+    val hist = VersionedTable.history(spark, root)
+      .agg(count(lit(1)).as("n_versions"),
+        sum(col("is_snapshot").cast("long")).as("n_snapshots"))
+    VersionedTable.readLatest(spark, root, Seq("event_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .crossJoin(hist)
+      .select(lit(compactions).as("n_compactions"), col("n_versions"),
+        col("n_snapshots"), col("n"), col("total"))
+  }
+  val vtAutoCompactSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events)
+      |SELECT 2 AS n_compactions, 9 AS n_versions, 3 AS n_snapshots,
+      |  count(*) AS n,
+      |  round(sum(CASE WHEN event_id % 13 BETWEEN 1 AND 6
+      |    THEN CAST(event_id % 13 AS DOUBLE) ELSE value END), 2) AS total
+      |FROM ev""".stripMargin
+
   /** Stats metadata view (DESCRIBE DETAIL / Iceberg `files` analog):
     * the manifest's per-file footer stats, folded to per-column
     * global extremes, must reproduce the table's TRUE min/max — the
@@ -822,6 +862,7 @@ object ExtQueries extends graft.QueryModule {
     "wap_gated_ingest" -> (wapGatedIngest _),
     "vt_clone_shallow" -> (vtCloneShallow _),
     "vt_stats_view" -> (vtStatsView _),
+    "vt_auto_compact" -> (vtAutoCompact _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
@@ -844,6 +885,7 @@ object ExtQueries extends graft.QueryModule {
     "wap_gated_ingest" -> wapGatedIngestSql,
     "vt_clone_shallow" -> vtCloneShallowSql,
     "vt_stats_view" -> vtStatsViewSql,
+    "vt_auto_compact" -> vtAutoCompactSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,

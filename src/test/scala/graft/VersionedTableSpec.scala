@@ -372,6 +372,26 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(state(root, 4L) == Map(1L -> 10.0, 3L -> 3.0))
   }
 
+  test("compactIfNeeded fires only past the chain budget and preserves state") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))    // v0 snap
+    // chain after init = 1; two upserts keep it within budget 3
+    (1 to 2).foreach { i =>
+      VersionedTable.commitUpsert(spark, root, Seq((i + 1L, 1.0)).toDF("k", "v"))
+      assert(VersionedTable.compactIfNeeded(spark, root, Seq("k"), 3).isEmpty)
+    }
+    // third upsert → chain 4 → must compact (v4, snapshot)
+    VersionedTable.commitUpsert(spark, root, Seq((4L, 1.0)).toDF("k", "v"))
+    assert(VersionedTable.compactIfNeeded(spark, root, Seq("k"), 3)
+      .contains(4L))
+    // next call is a no-op again (fresh chain = 1)
+    assert(VersionedTable.compactIfNeeded(spark, root, Seq("k"), 3).isEmpty)
+    assert(state(root, 4L) ==
+      Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+  }
+
   test("restore rolls the head back without erasing history") {
     val s = spark
     import s.implicits._
