@@ -397,6 +397,33 @@ object CurateQueries extends graft.QueryModule {
       |SELECT doc_id, score, noisy FROM noised
       |ORDER BY noisy DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Sharded JSONL export round trip: the corpus lands in 8 shards by
+    * replayable md5 bucket, is READ BACK through Spark's JSON reader,
+    * and summarized per shard — count, codepoint length sum, id
+    * checksum. A lossy escape, a dropped row, or a partitioner-
+    * dependent shard assignment all break the compare, because the
+    * oracle computes the same summary from the ORIGINAL parquet with
+    * pure md5 arithmetic. */
+  def exportJsonlShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = graft.core.GraftSession.scratch("jsonl-export")
+    graft.sources.Sinks.writeJsonlShards(
+      Tables.documents(spark, sfDir).select("doc_id", "lang", "text"),
+      "doc_id", nShards = 8, path)
+    spark.read.json(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("shard")
+  }
+  val exportJsonlSql: String =
+    """SELECT (strpos('0123456789abcdef',
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS chars,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Winsorized length statistics per language: doc lengths clipped
     * to their per-lang exact [P5, P95] (linear-interpolation
     * percentiles — the same quantile_cont definition DuckDB uses, so
@@ -429,6 +456,7 @@ object CurateQueries extends graft.QueryModule {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_winsorize" -> (curateWinsorize _),
+    "export_jsonl_shards" -> (exportJsonlShards _),
     "curate_decontam_embedding" -> (curateDecontamEmbedding _),
     "curate_cluster_split" -> (curateClusterSplit _),
     "curate_mix" -> (curateMix _),
@@ -444,6 +472,7 @@ object CurateQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "curate_winsorize" -> winsorizeSql,
+    "export_jsonl_shards" -> exportJsonlSql,
     "curate_decontam_embedding" -> decontamEmbeddingSql,
     "curate_cluster_split" -> clusterSplitSql,
     "curate_mix" -> mixSql,

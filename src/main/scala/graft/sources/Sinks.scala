@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.apache.spark.sql.types.StructType
 
 /** File sinks + layout policies (SURVEY.md §2.1 W1-W4, §2.8 R1-R2).
@@ -40,6 +40,19 @@ object Sinks {
   /** W4 (`hive_metastore_migration.py:1435-1437`): JSON overwrite. */
   def jsonOverwrite(df: DataFrame, path: String): Unit =
     df.write.format("json").mode("overwrite").save(path)
+
+  /** Sharded JSONL corpus export — the hand-off format downstream
+    * tokenizer/training jobs consume. Shard assignment is a
+    * REPLAYABLE md5-hex bucket of the id (Sampling.hexBucket mod
+    * nShards — any engine with md5 recomputes it), NOT a partitioner-
+    * dependent hash, so shard membership is a property of the DATA
+    * and survives re-export on any cluster size. One directory per
+    * shard (partitionBy), writers parallel per shard. */
+  def writeJsonlShards(df: DataFrame, idCol: String, nShards: Int,
+                       path: String): Unit =
+    df.withColumn("shard",
+        pmod(graft.curate.Sampling.hexBucket(col(idCol)), lit(nShards)))
+      .write.mode("overwrite").partitionBy("shard").format("json").save(path)
 
   /** S7 companion: JSON read with an imposed nested schema. */
   def readJson(spark: SparkSession, schema: StructType, path: String): DataFrame =
