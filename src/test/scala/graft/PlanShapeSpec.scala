@@ -65,6 +65,37 @@ class PlanShapeSpec extends SparkSpecBase {
       s"shingle expression recomputed in a filter:\n${filterLines.mkString("\n")}")
   }
 
+  test("text_pmi pairs expand map-side; count joins broadcast (no corpus SMJ)") {
+    val p = planOf("text_pmi")
+    // a positional self-join of the exploded token stream would show
+    // as a SortMergeJoin of the corpus; the array expansion keeps the
+    // only joins vocabulary-sized broadcasts
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized join in:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"count joins not broadcast:\n$p")
+  }
+
+  test("text_inverted_index partially aggregates the posting buffer") {
+    val p = planOf("text_inverted_index")
+    assert(p.contains("partial_min_k_distinct"),
+      s"posting buffer lost its map-side combine:\n$p")
+  }
+
+  test("ts_resample_ffill sorts per key, never globally (one fill window)") {
+    val p = planOf("ts_resample_ffill")
+    // the fill is a per-key window; the only global sort allowed is
+    // the gate's final orderBy over the 150-row summary
+    assert(p.contains("Window"), s"fill window missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid join degenerated:\n$p")
+  }
+
+  test("curate_winsorize clips via a broadcast of the bounds") {
+    val p = planOf("curate_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus reshuffled for the clip:\n$p")
+  }
+
   test("sim_ivf_topk joins on buckets, not all pairs") {
     val p = planOf("sim_ivf_topk")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
