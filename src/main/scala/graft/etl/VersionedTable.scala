@@ -828,6 +828,67 @@ object VersionedTable {
     } finally latest.unpersist(blocking = false)
   }
 
+  /** [[commitUpsert]] with schema ENFORCEMENT: rejects a batch
+    * carrying columns the table does not have. Merge-on-read unions
+    * by name, so an unguarded typo'd or drifted producer column would
+    * silently widen the table schema for every reader — production
+    * tables default to enforcement and make evolution explicit (call
+    * plain commitUpsert to evolve). Missing columns remain fine (they
+    * read as null for the batch's rows, same as before). */
+  def commitUpsertStrict(spark: SparkSession, root: String,
+                         updates: DataFrame, keyCols: Seq[String]): Long = {
+    val current = readLatest(spark, root, keyCols).schema.fieldNames.toSet
+    val extra = updates.schema.fieldNames.toSet -- current
+    require(extra.isEmpty,
+      s"commitUpsertStrict: batch carries columns not in the table " +
+        s"schema: ${extra.toSeq.sorted.mkString(", ")} — use " +
+        "commitUpsert to evolve the schema explicitly")
+    commitUpsert(spark, root, updates)
+  }
+
+  /** Tag a committed version with a stable name (Iceberg tags /
+    * DVC-style releases): a single-object write under `_tags/`, so
+    * "prod reads the `release` tag" survives any number of later
+    * commits, restores, or compactions. Re-tagging a name moves it. */
+  def tagVersion(spark: SparkSession, root: String, name: String,
+                 v: Long): Unit = {
+    require(versions(spark, root).contains(v),
+      s"tagVersion: version $v is not committed under $root")
+    require(name.nonEmpty && !name.exists(c => c == '/' || c == '\n'),
+      s"tagVersion: invalid tag name '$name'")
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/_tags")
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".$name.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, new Path(dir, name))) {
+      // rename-over-existing fails on some local FS: replace explicitly
+      f.delete(new Path(dir, name), false)
+      if (!f.rename(tmp, new Path(dir, name)))
+        throw new IllegalStateException(s"failed to move tag $name")
+    }
+  }
+
+  /** All tags of the table (name → version). */
+  def tags(spark: SparkSession, root: String): Map[String, Long] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/_tags")
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName ->
+        readSmall(spark, s.getPath).trim.toLong).toMap
+  }
+
+  /** Time travel by tag name. */
+  def readAsOfTag(spark: SparkSession, root: String, keyCols: Seq[String],
+                  name: String): DataFrame = {
+    val v = tags(spark, root).getOrElse(name,
+      throw new IllegalArgumentException(s"unknown tag '$name' on $root"))
+    readAsOf(spark, root, keyCols, v)
+  }
+
   /** Compact only when the live chain (newest snapshot through head)
     * exceeds `maxChain` commits — the small-file/chain-length policy
     * that keeps merge-on-read bounded WITHOUT an external scheduler:

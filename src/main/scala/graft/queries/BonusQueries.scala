@@ -297,8 +297,68 @@ object BonusQueries extends graft.QueryModule {
       |  round(sum(fv), 2) AS total
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** BAG semantics (EXCEPT ALL / INTERSECT ALL): multiplicities
+    * survive — an order with three 'O' lineitems minus one 'F'
+    * occurrence keeps two copies, where set-EXCEPT would keep zero or
+    * one. Summarized as multiplicity histograms so the gate pins the
+    * per-row counting, not just membership. */
+  def xBagOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.where(col("l_quantity") >= 45).select(col("l_partkey").as("k"))
+    val b = li.where(col("l_linestatus") === "F")
+      .select(col("l_partkey").as("k"))
+    val exc = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("n_keys"))
+      .select(lit("except_all").as("op"), col("m"), col("n_keys"))
+    val inter = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("n_keys"))
+      .select(lit("intersect_all").as("op"), col("m"), col("n_keys"))
+    exc.unionByName(inter).orderBy("op", "m")
+  }
+  val bagOpsSql: String =
+    """WITH a AS (SELECT l_partkey AS k FROM lineitem WHERE l_quantity >= 45),
+      |b AS (SELECT l_partkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+      |exc AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+      |inter AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+      |eh AS (SELECT m, count(*) AS n_keys FROM (
+      |  SELECT k, count(*) AS m FROM exc GROUP BY 1) GROUP BY 1),
+      |ih AS (SELECT m, count(*) AS n_keys FROM (
+      |  SELECT k, count(*) AS m FROM inter GROUP BY 1) GROUP BY 1)
+      |SELECT 'except_all' AS op, m, n_keys FROM eh
+      |UNION ALL
+      |SELECT 'intersect_all', m, n_keys FROM ih
+      |ORDER BY op, m""".stripMargin
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+    * null-keyed group must MATCH its null counterpart instead of
+    * dropping out, the semantics a plain equi-join silently loses.
+    * Both sides are first reduced to tiny keyed aggregates. */
+  def xNullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val a = ev.groupBy(nullif(col("event_type"), lit("click")).as("k"))
+      .agg(count(lit(1)).as("na"))
+    val b = ev.where(col("value") > 50)
+      .groupBy(nullif(col("event_type"), lit("click")).as("k"))
+      .agg(count(lit(1)).as("nb"))
+    a.join(b, a("k") <=> b("k"))
+      .select(coalesce(a("k"), lit("__null")).as("k"), col("na"), col("nb"))
+      .orderBy("k")
+  }
+  val nullSafeJoinSql: String =
+    """WITH a AS (
+      |  SELECT nullif(event_type, 'click') AS k, count(*) AS na
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT nullif(event_type, 'click') AS k, count(*) AS nb
+      |  FROM events WHERE value > 50 GROUP BY 1)
+      |SELECT coalesce(a.k, '__null') AS k, na, nb
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |ORDER BY k""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample_ffill" -> (tsResampleFfill _),
+    "x_bag_ops" -> (xBagOps _),
+    "x_null_safe_join" -> (xNullSafeJoin _),
     "x_topk_per_group" -> (xTopkPerGroup _),
     "x_rollup" -> (xRollup _),
     "x_window_funcs" -> (xWindowFuncs _),
@@ -313,6 +373,8 @@ object BonusQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "ts_resample_ffill" -> tsResampleSql,
+    "x_bag_ops" -> bagOpsSql,
+    "x_null_safe_join" -> nullSafeJoinSql,
     "x_topk_per_group" -> topkSql,
     "x_rollup" -> rollupSql,
     "x_window_funcs" -> windowFuncsSql,

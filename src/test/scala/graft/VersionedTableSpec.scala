@@ -392,6 +392,50 @@ class VersionedTableSpec extends SparkSpecBase {
       Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
   }
 
+  test("strict commit rejects schema drift; plain commit evolves explicitly") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    // matching schema commits fine (missing columns would too)
+    VersionedTable.commitUpsertStrict(spark, root,
+      Seq((2L, 2.0)).toDF("k", "v"), Seq("k"))
+    // a drifted producer column is rejected, table untouched
+    val widened = Seq((3L, 3.0, "oops")).toDF("k", "v", "tag")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commitUpsertStrict(spark, root, widened, Seq("k"))
+    }
+    assert(e.getMessage.contains("tag"))
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
+    // the explicit evolution path still works
+    VersionedTable.commitUpsert(spark, root, widened)
+    assert(VersionedTable.readLatest(spark, root, Seq("k"))
+      .columns.contains("tag"))
+  }
+
+  test("tags name versions durably; reads follow the tag, not the head") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root, Seq((1L, 1.0)).toDF("k", "v"))
+    VersionedTable.commitUpsert(spark, root, Seq((1L, 2.0)).toDF("k", "v"))
+    VersionedTable.tagVersion(spark, root, "release", 1L)
+    VersionedTable.commitUpsert(spark, root, Seq((1L, 3.0)).toDF("k", "v"))
+    assert(VersionedTable.tags(spark, root) == Map("release" -> 1L))
+    assert(VersionedTable.readAsOfTag(spark, root, Seq("k"), "release")
+      .head.getDouble(1) == 2.0)
+    // re-tagging moves the name; unknown tags and uncommitted versions fail
+    VersionedTable.tagVersion(spark, root, "release", 2L)
+    assert(VersionedTable.readAsOfTag(spark, root, Seq("k"), "release")
+      .head.getDouble(1) == 3.0)
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOfTag(spark, root, Seq("k"), "nope")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.tagVersion(spark, root, "bad", 99L)
+    }
+  }
+
   test("restore rolls the head back without erasing history") {
     val s = spark
     import s.implicits._
