@@ -35,19 +35,23 @@ object Wap {
   def ingest(spark: SparkSession, root: String, batch: DataFrame,
              keyCols: Seq[String],
              checks: DataFrame => Seq[DataFrame]): Outcome = {
-    val current = VersionedTable.readLatest(spark, root, keyCols)
+    val bootstrap = VersionedTable.versions(spark, root).isEmpty
     // post-merge view, merge-on-read: batch rows shadow current rows
-    // on the key (same semantics commitUpsert will apply)
-    val merged = current
-      .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(batch, allowMissingColumns = true)
+    // on the key (same semantics commitUpsert will apply). On an
+    // uninitialized table the would-be state IS the batch.
+    val merged =
+      if (bootstrap) batch
+      else VersionedTable.readLatest(spark, root, keyCols)
+        .join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(batch, allowMissingColumns = true)
     val report = Quality.suite(checks(merged))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3))).toSeq
     if (report.forall(_._4)) {
       val v = VersionedTable.commitWithRetry() {
-        VersionedTable.commitUpsert(spark, root, batch)
+        if (bootstrap) VersionedTable.init(spark, root, batch)
+        else VersionedTable.commitUpsert(spark, root, batch)
       }
       Outcome(report, Some(v))
     } else Outcome(report, None)

@@ -238,7 +238,57 @@ object StreamQueries extends graft.QueryModule {
       |SELECT count(*) AS n, round(sum(value), 2) AS total, 3 AS n_versions
       |FROM live""".stripMargin
 
+  /** Streaming write-audit-publish: three feed appends drained
+    * through AuditedIngest — the first bootstraps the table, the
+    * second carries out-of-range rows and is QUARANTINED (full rows
+    * preserved, no version created, stream keeps going), the third
+    * commits normally on top. The final state must equal "good
+    * batches only", the history must show exactly two versions, and
+    * the quarantine must hold exactly the rejected rows. */
+  def t9StreamAudited(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.{Quality, VersionedTable}
+    import graft.streaming.AuditedIngest
+    val tag = synchronized { cdcCtr += 1; s"audited$cdcCtr" }
+    val base = GraftSession.scratch(tag)
+    val feed = s"$base/feed"; val root = s"$base/tbl"; val ck = s"$base/ck"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    def audit(m: DataFrame): Seq[DataFrame] = Seq(
+      Quality.complete(m, "value"),
+      Quality.inRange(m, "value", 0.0, 10000.0))
+    def drain(s2: SparkSession): Unit =
+      AuditedIngest.runAvailable(s2,
+        s2.readStream.schema(schema).parquet(feed),
+        root, Seq("event_id"), ck, audit)
+    GraftSession.stateScoped(spark, 8) { s2 =>
+      ev.write.parquet(feed)
+      drain(s2)                                              // v0 bootstrap
+      spark.range(50)
+        .select((col("id") + 3000000).as("event_id"), lit(-5.0).as("value"))
+        .write.mode("append").parquet(feed)
+      drain(s2)                                              // quarantined
+      ev.where(col("event_id") % 9 === 0)
+        .withColumn("value", col("value") * 2)
+        .write.mode("append").parquet(feed)
+      drain(s2)                                              // v1
+      VersionedTable.readLatest(s2, root, Seq("event_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("n"), col("total"),
+          lit(VersionedTable.versions(s2, root).size.toLong).as("n_versions"),
+          lit(AuditedIngest.quarantined(s2, root).count()).as("n_quarantined"))
+    }
+  }
+  val t9Sql: String =
+    """WITH ev AS (SELECT event_id, value FROM events)
+      |SELECT count(*) AS n,
+      |  round(sum(CASE WHEN event_id % 9 = 0 THEN value * 2
+      |    ELSE value END), 2) AS total,
+      |  2 AS n_versions, 50 AS n_quarantined
+      |FROM ev""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_stream_audited" -> (t9StreamAudited _),
     "t1_stream_ingest" -> (t1StreamIngest _),
     "t5_stream_window" -> (t5StreamWindow _),
     "t3_stream_dedup" -> (t3StreamDedup _),
@@ -246,6 +296,7 @@ object StreamQueries extends graft.QueryModule {
     "t8_cdc_pipeline" -> (t8CdcPipeline _))
 
   def oracles: Map[String, String] = Map(
+    "t9_stream_audited" -> t9Sql,
     "t1_stream_ingest" -> t1Sql,
     "t5_stream_window" -> t5Sql,
     "t3_stream_dedup" -> t3Sql,
