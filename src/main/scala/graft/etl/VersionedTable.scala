@@ -772,6 +772,30 @@ object VersionedTable {
     write(spark, root, tomb, snapshot = false)
   }
 
+  /** Full-sync MERGE (`WHEN MATCHED UPDATE / NOT MATCHED INSERT /
+    * NOT MATCHED BY SOURCE DELETE`): ONE delta commit that makes the
+    * live state equal `source`. Tombstones are generated for current
+    * keys absent from the source and land IN THE SAME VERSION as the
+    * upserts — a reader sees the pre-sync state or the synced state,
+    * never a half-applied mix (two-commit spellings have exactly that
+    * torn window). Cost: one anti-join of the current key set against
+    * the source keys (inherent to not-matched-by-source) plus the
+    * delta write — the table is read, never rewritten. */
+  def commitSync(spark: SparkSession, root: String, source: DataFrame,
+                 keyCols: Seq[String]): Long = {
+    val gone = readLatest(spark, root, keyCols)
+      .select(keyCols.map(col): _*)
+      .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val tomb = source.schema.fields.foldLeft(gone) { (df, f) =>
+        if (keyCols.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(source.schema.fieldNames.map(col): _*)
+      .withColumn(Deleted, lit(true))
+    write(spark, root,
+      source.withColumn(Deleted, lit(false)).unionByName(tomb),
+      snapshot = false)
+  }
+
   /** Snapshot state as of version `asOf` (newest-per-key wins,
     * tombstones drop). Only versions in (last snapshot ≤ asOf, asOf]
     * are resolved or read. */

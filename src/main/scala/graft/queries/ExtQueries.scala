@@ -501,6 +501,36 @@ object ExtQueries extends graft.QueryModule {
       |  count(*) AS n, round(sum(value), 2) AS total
       |FROM v2rows""".stripMargin
 
+  /** Full-sync MERGE: the table is initialized from events, then
+    * synced to a source holding only every-third key (doubled) plus
+    * 100 fresh keys — one atomic delta commit that updates the
+    * survivors, inserts the fresh keys, and tombstones the other
+    * two-thirds. The final state must equal the source exactly and
+    * the history must show exactly one sync version. */
+  def vtMergeFullSync(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtsync") + "/tbl"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    VersionedTable.init(spark, root, ev)                               // v0
+    val source = ev.where(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") * 2)
+      .unionByName(spark.range(100)
+        .select((col("id") + 4000000).as("event_id"), lit(7.0).as("value")))
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitSync(spark, root, source, Seq("event_id"))  // v1
+    }
+    VersionedTable.readLatest(spark, root, Seq("event_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("n"), col("total"),
+        lit(VersionedTable.versions(spark, root).size.toLong)
+          .as("n_versions"))
+  }
+  val vtMergeFullSyncSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events)
+      |SELECT count(*) + 100 AS n,
+      |  round(sum(value * 2) + 700.0, 2) AS total, 2 AS n_versions
+      |FROM ev WHERE event_id % 3 = 0""".stripMargin
+
   /** Auto-compaction policy: six upsert batches with
     * `compactIfNeeded(maxChain=3)` after each — the chain-length
     * budget triggers compactions at exactly v4 and v8 (init snapshot
@@ -863,6 +893,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_clone_shallow" -> (vtCloneShallow _),
     "vt_stats_view" -> (vtStatsView _),
     "vt_auto_compact" -> (vtAutoCompact _),
+    "vt_merge_full_sync" -> (vtMergeFullSync _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
@@ -886,6 +917,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_clone_shallow" -> vtCloneShallowSql,
     "vt_stats_view" -> vtStatsViewSql,
     "vt_auto_compact" -> vtAutoCompactSql,
+    "vt_merge_full_sync" -> vtMergeFullSyncSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,

@@ -392,6 +392,25 @@ class VersionedTableSpec extends SparkSpecBase {
       Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
   }
 
+  test("commitSync lands update+insert+delete in ONE atomic version") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v"))
+    // source: key 2 updated, key 4 fresh, keys 1/3 absent → deleted
+    VersionedTable.commitSync(spark, root,
+      Seq((2L, 20.0), (4L, 4.0)).toDF("k", "v"), Seq("k"))
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L))
+    assert(state(root, 1L) == Map(2L -> 20.0, 4L -> 4.0))
+    // pre-sync state is still time-travelable
+    assert(state(root, 0L) == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    // syncing to the same source again is a harmless no-op state-wise
+    VersionedTable.commitSync(spark, root,
+      Seq((2L, 20.0), (4L, 4.0)).toDF("k", "v"), Seq("k"))
+    assert(state(root, 2L) == Map(2L -> 20.0, 4L -> 4.0))
+  }
+
   test("strict commit rejects schema drift; plain commit evolves explicitly") {
     val s = spark
     import s.implicits._
