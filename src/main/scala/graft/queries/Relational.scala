@@ -135,9 +135,66 @@ object Relational extends graft.QueryModule {
       |  count(*) AS n_rows
       |FROM orders""".stripMargin
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    * this schema: for finished orders, the suppliers whose line
+    * shipped >90 days after the order date, on MULTI-supplier orders
+    * where they were the ONLY late one — a correlated EXISTS + NOT
+    * EXISTS pair that Catalyst must decorrelate into a semi and an
+    * anti join on (orderkey, suppkey≠) compound conditions. The
+    * optimizer-stress gate of the relational suite: four base tables,
+    * two correlated subqueries, one broadcast dim. */
+  def q21WaitingSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val late = li.as("l1")
+      .join(Tables.orders(spark, sfDir)
+          .where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l1.l_orderkey") === col("o_orderkey"))
+      .where(col("l1.l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    val others = li.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"), col("l_shipdate").as("o2_shipdate"))
+    val waiting = late
+      // EXISTS: some other supplier shares the order
+      .join(others, col("l1.l_orderkey") === col("o2_orderkey") &&
+        col("l1.l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      // NOT EXISTS: no OTHER supplier was also late on it
+      .join(others.withColumnRenamed("o2_shipdate", "o3_shipdate")
+          .withColumnRenamed("o2_orderkey", "o3_orderkey")
+          .withColumnRenamed("o2_suppkey", "o3_suppkey"),
+        col("l1.l_orderkey") === col("o3_orderkey") &&
+          col("l1.l_suppkey") =!= col("o3_suppkey") &&
+          col("o3_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_anti")
+    waiting
+      .join(Tables.supplier(spark, sfDir),
+        col("l1.l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+  val q21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |WHERE CAST(l1.l_shipdate AS TIMESTAMP) >
+      |    CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND CAST(l3.l_shipdate AS TIMESTAMP) >
+      |        CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1 _),
     "q3_revenue_by_nation" -> (q3RevenueByNation _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
     "o3_latest_per_group" -> (o3LatestEventPerUser _),
     "u1_union_fold" -> (u1UnionFold _),
     "a7_max_ids" -> (a7MaxIds _))
@@ -145,6 +202,7 @@ object Relational extends graft.QueryModule {
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
     "q3_revenue_by_nation" -> q3Sql,
+    "q21_waiting_suppliers" -> q21Sql,
     "o3_latest_per_group" -> o3Sql,
     "u1_union_fold" -> u1Sql,
     "a7_max_ids" -> a7Sql)

@@ -96,6 +96,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"corpus reshuffled for the clip:\n$p")
   }
 
+  test("q21 decorrelates EXISTS/NOT-EXISTS into keyed semi/anti joins") {
+    val p = planOf("q21_waiting_suppliers")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery fell back to a nested loop:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"semi/anti join pair missing:\n$p")
+  }
+
   test("sim_ivf_topk joins on buckets, not all pairs") {
     val p = planOf("sim_ivf_topk")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
