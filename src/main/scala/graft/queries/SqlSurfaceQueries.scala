@@ -226,7 +226,36 @@ object SqlSurfaceQueries extends QueryModule {
       |  LIMIT 2) t
       |ORDER BY r_name, n_customers DESC, n_name""".stripMargin
 
+  /** Explicit NULLS FIRST / NULLS LAST ordering: Spark defaults nulls
+    * FIRST on ASC where DuckDB defaults them LAST, so any gate relying
+    * on default null placement is silently engine-dependent — this
+    * gate pins the EXPLICIT forms both engines honor identically.
+    * Rows are ranked over a nullable key both ways; the null-keyed
+    * group must take rank 1 in one ordering and rank N in the other. */
+  def sqlNullOrdering(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("g_ev_no")
+    spark.sql("""
+      WITH g AS (
+        SELECT nullif(event_type, 'click') AS k, count(*) AS n
+        FROM g_ev_no GROUP BY 1)
+      SELECT coalesce(k, '__null') AS k, n,
+        rank() OVER (ORDER BY k ASC NULLS FIRST)  AS r_first,
+        rank() OVER (ORDER BY k ASC NULLS LAST)   AS r_last,
+        rank() OVER (ORDER BY k DESC NULLS FIRST) AS r_desc_first
+      FROM g ORDER BY k""")
+  }
+  val sqlNullOrderingSql: String =
+    """WITH g AS (
+      |  SELECT nullif(event_type, 'click') AS k, count(*) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT coalesce(k, '__null') AS k, n,
+      |  rank() OVER (ORDER BY k ASC NULLS FIRST)  AS r_first,
+      |  rank() OVER (ORDER BY k ASC NULLS LAST)   AS r_last,
+      |  rank() OVER (ORDER BY k DESC NULLS FIRST) AS r_desc_first
+      |FROM g ORDER BY k""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_null_ordering" -> (sqlNullOrdering _),
     "sql_min_k_distinct" -> (sqlMinK _),
     "sql_dot_product" -> (sqlDot _),
     "sql_normalize" -> (sqlNormalize _),
@@ -236,6 +265,7 @@ object SqlSurfaceQueries extends QueryModule {
     "sql_lateral_topk" -> (sqlLateralTopk _))
 
   def oracles: Map[String, String] = Map(
+    "sql_null_ordering" -> sqlNullOrderingSql,
     "sql_min_k_distinct" -> sqlMinKSql,
     "sql_dot_product" -> sqlDotSql,
     "sql_normalize" -> sqlNormalizeSql,

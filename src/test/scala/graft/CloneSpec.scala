@@ -62,6 +62,24 @@ class CloneSpec extends SparkSpecBase {
     assert(state(src, 1L) == Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0))
   }
 
+  test("expiring the SOURCE orphans the clone's borrowed versions (documented hazard)") {
+    val s = spark
+    import s.implicits._
+    val src = buildSrc()
+    val dst = GraftSession.scratch("clonespec-hazard") + "/tbl"
+    VersionedTable.cloneShallow(spark, src, dst)
+    // give the source a snapshot so its early history can expire
+    VersionedTable.compact(spark, src, Seq("k"))                      // src v3
+    VersionedTable.expire(spark, src, keepFrom = 3L)                  // drops v0-v2
+    // the clone's manifests still list the borrowed versions...
+    assert(VersionedTable.versions(spark, dst) == Seq(0L, 1L, 2L))
+    // ...but their data is gone: reads fail — exactly the contract
+    // documented on cloneShallow (expire sources only past every
+    // clone's horizon)
+    VersionedTable.invalidateCache(spark, dst)
+    intercept[Exception] { state(dst, 2L) }
+  }
+
   test("cloning into a non-empty table is refused") {
     val src = buildSrc()
     intercept[IllegalArgumentException] {
