@@ -355,8 +355,80 @@ object BonusQueries extends graft.QueryModule {
       |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
       |ORDER BY k""".stripMargin
 
+  /** Ordered funnel (click → view → purchase): each later stage must
+    * happen strictly AFTER the user's earliest completion of the
+    * prior stage — three chained filtered-min aggregations, each a
+    * keyed broadcastable join back onto the stream. The product-
+    * analytics staple; the same chained-min shape computes any
+    * strict-order milestone sequence. */
+  def xFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stage(prior: DataFrame, priorTs: String, evType: String,
+              outTs: String): DataFrame =
+      ev.where(col("event_type") === evType)
+        .join(broadcast(prior), "user_id")
+        .where(col("ts") > col(priorTs))
+        .groupBy("user_id").agg(min("ts").as(outTs))
+    val c = ev.where(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val v = stage(c, "tc", "view", "tv")
+    val p = stage(v, "tv", "purchase", "tp")
+    c.agg(count(lit(1)).as("n_click"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_click"), col("n_view"), col("n_purchase"),
+        round(col("n_purchase").cast("double") / col("n_click"), 4)
+          .as("conversion"))
+  }
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |c AS (SELECT user_id, min(ts) AS tc FROM e
+      |      WHERE event_type = 'click' GROUP BY 1),
+      |v AS (SELECT e.user_id, min(e.ts) AS tv FROM e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'view' AND e.ts > c.tc GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS tp FROM e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts > v.tv GROUP BY 1)
+      |SELECT (SELECT count(*) FROM c) AS n_click,
+      |  (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM p) AS n_purchase,
+      |  round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+      |    / (SELECT count(*) FROM c), 4) AS conversion""".stripMargin
+
+  /** Weekly cohort retention: users grouped by first-activity week,
+    * counted per (cohort, week offset) — offsets via day-difference
+    * arithmetic, not engine week numbering (week-of-year rules
+    * diverge; Monday-anchored date_trunc('week') agrees). One scan
+    * for first-activity, one distinct (user, week) reduction, one
+    * broadcastable cohort join. */
+  def xCohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cw"))
+    ev.distinct()
+      .join(broadcast(cohort), "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        (datediff(col("wk"), col("cw")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+  val cohortSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY 1)
+      |SELECT c.cw AS cohort_week,
+      |  CAST(date_diff('day', c.cw, e.wk) // 7 AS BIGINT) AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample_ffill" -> (tsResampleFfill _),
+    "x_funnel" -> (xFunnel _),
+    "x_cohort_retention" -> (xCohortRetention _),
     "x_bag_ops" -> (xBagOps _),
     "x_null_safe_join" -> (xNullSafeJoin _),
     "x_topk_per_group" -> (xTopkPerGroup _),
@@ -373,6 +445,8 @@ object BonusQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "ts_resample_ffill" -> tsResampleSql,
+    "x_funnel" -> funnelSql,
+    "x_cohort_retention" -> cohortSql,
     "x_bag_ops" -> bagOpsSql,
     "x_null_safe_join" -> nullSafeJoinSql,
     "x_topk_per_group" -> topkSql,
