@@ -592,6 +592,59 @@ object TextQueries extends graft.QueryModule {
       |SELECT (SELECT string_agg(term, ',' ORDER BY term) FROM top2) AS terms,
       |  (SELECT count(*) FROM hits) AS n_docs_both""".stripMargin
 
+  /** Distinctive terms per source (keyness): smoothed log-lift of a
+    * term's in-source rate over its corpus rate — the statistic
+    * behind "what characterizes this source", used to spot template
+    * boilerplate and topical skew before mixing. One token scan, two
+    * vocabulary-sized count tables, broadcast joins; top-5 per source
+    * ranked over the tiny (source × term) frame. α=0.5 smoothing
+    * keeps rare terms from dominating on zero denominators. */
+  def textKeyness(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir).select(col("source"),
+      explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+        .as("term"))
+    val bySrc = toks.groupBy("source", "term").agg(count(lit(1)).as("cws"))
+    val srcTot = toks.groupBy("source").agg(count(lit(1)).as("ns"))
+    val byTerm = toks.groupBy("term").agg(count(lit(1)).as("cw"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    val vocab = byTerm.agg(count(lit(1)).as("v"))
+    val scored = bySrc
+      .join(broadcast(srcTot), "source")
+      .join(broadcast(byTerm), "term")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(vocab))
+      .select(col("source"), col("term"), col("cws"),
+        round(log(((col("cws") + 0.5) / (col("ns") + col("v") * 0.5)) /
+          ((col("cw") + 0.5) / (col("n") + col("v") * 0.5))), 4).as("lift"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("lift").desc, col("term"))
+    scored.withColumn("r", row_number().over(w)).where(col("r") <= 5)
+      .select("source", "r", "term", "cws", "lift")
+      .orderBy("source", "r")
+  }
+  val keynessSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+      |  FROM documents),
+      |bs AS (SELECT source, term, count(*) AS cws FROM toks GROUP BY 1, 2),
+      |st AS (SELECT source, count(*) AS ns FROM toks GROUP BY 1),
+      |bt AS (SELECT term, count(*) AS cw FROM toks GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM toks),
+      |voc AS (SELECT count(*) AS v FROM bt),
+      |scored AS (
+      |  SELECT bs.source, bs.term, bs.cws,
+      |    round(ln(((bs.cws + 0.5) / (st.ns + 0.5 * voc.v)) /
+      |      ((bt.cw + 0.5) / (tot.n + 0.5 * voc.v))), 4) AS lift
+      |  FROM bs JOIN st USING (source) JOIN bt USING (term),
+      |    tot, voc),
+      |ranked AS (
+      |  SELECT source, term, cws, lift,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY lift DESC, term) AS r
+      |  FROM scored)
+      |SELECT source, r, term, cws, lift FROM ranked WHERE r <= 5
+      |ORDER BY source, r""".stripMargin
+
   /** Second-moment profile per group: sample stddev/variance, Pearson
     * correlation and sample covariance between quantity and price —
     * the profiling statistics a mixing/filtering decision reads after
@@ -899,6 +952,7 @@ object TextQueries extends graft.QueryModule {
     "profile_moments" -> (profileMoments _),
     "text_inverted_index" -> (textInvertedIndex _),
     "text_search_and" -> (textSearchAnd _),
+    "text_keyness" -> (textKeyness _),
     "text_vocab" -> (textVocab _),
     "text_tfidf" -> (textTfidf _))
 
@@ -934,6 +988,7 @@ object TextQueries extends graft.QueryModule {
     "profile_moments" -> profileMomentsSql,
     "text_inverted_index" -> invertedIndexSql,
     "text_search_and" -> searchAndSql,
+    "text_keyness" -> keynessSql,
     "text_vocab" -> vocabSql,
     "text_tfidf" -> tfidfSql)
 }
