@@ -814,6 +814,36 @@ object VersionedTable {
       .where(!col(Deleted)).drop(Deleted, "__commit")
   }
 
+  /** [[readAsOf]] restricted to `columns` — the reader's COLUMN
+    * PRUNING lever. The merge's latest-per-key aggregate packs every
+    * carried column into its ordering struct, so Catalyst cannot
+    * prune through a full read: `readAsOf(...).select("k")` on a
+    * 60-column table still reads all 60 columns off disk. Projecting
+    * BEFORE the merge narrows the ordering struct and the scan alike
+    * (ReadSchema carries only keys + requested columns + the
+    * tombstone flag — asserted by VersionedTableStatsSpec). The
+    * trade is documented Delta/Iceberg behavior too: the winner per
+    * key is decided by the carried columns' ordering tie-break, so
+    * two projections that differ in carried columns can pick
+    * different representatives among EXACT same-version duplicates —
+    * commit streams with unique keys per version (this library's
+    * writers) are unaffected. */
+  def readAsOfColumns(spark: SparkSession, root: String,
+                      keyCols: Seq[String], asOf: Long,
+                      columns: Seq[String]): DataFrame = {
+    val cs = commits(spark, root).filter(_.v <= asOf)
+    require(cs.nonEmpty, s"no committed version ≤ $asOf under $root")
+    val base = cs.reverse.find(_.snapshot).getOrElse(cs.head)
+    val live = cs.filter(_.v >= base.v)
+    val keep = (keyCols ++ columns).distinct
+    val merged = live.map { c =>
+        spark.read.parquet(c.dir).withColumn("__commit", lit(c.v))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .select((keep :+ Deleted :+ "__commit").map(col): _*)
+    Upsert.dedupeLatest(merged, keyCols, "__commit")
+      .where(!col(Deleted)).drop(Deleted, "__commit")
+  }
+
   /** Latest state. */
   def readLatest(spark: SparkSession, root: String, keyCols: Seq[String]): DataFrame =
     readAsOf(spark, root, keyCols, versions(spark, root).last)

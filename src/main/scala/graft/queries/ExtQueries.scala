@@ -501,6 +501,31 @@ object ExtQueries extends graft.QueryModule {
       |  count(*) AS n, round(sum(value), 2) AS total
       |FROM v2rows""".stripMargin
 
+  /** Column-pruned versioned read: [[graft.etl.VersionedTable
+    * .readAsOfColumns]] over the lifecycle chain — the ReadSchema
+    * pruning itself is asserted in VersionedTableStatsSpec; this gate
+    * pins that the PROJECTED merge still answers exactly (same
+    * winners per key as the full-width read). */
+  def vtProjectedRead(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = vtLifecycle(spark, sfDir, "vtpr")                       // v0-v2
+    VersionedTable.readAsOfColumns(spark, root, Seq("event_id"), 2L,
+        Seq("value"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+  }
+  val vtProjectedReadSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |v2rows AS (
+      |  SELECT * FROM v1rows
+      |  WHERE event_id >= 2000000 OR event_id % 5 <> 0)
+      |SELECT count(*) AS n, round(sum(value), 2) AS total FROM v2rows""".stripMargin
+
   /** Full-sync MERGE: the table is initialized from events, then
     * synced to a source holding only every-third key (doubled) plus
     * 100 fresh keys — one atomic delta commit that updates the
@@ -894,6 +919,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_stats_view" -> (vtStatsView _),
     "vt_auto_compact" -> (vtAutoCompact _),
     "vt_merge_full_sync" -> (vtMergeFullSync _),
+    "vt_projected_read" -> (vtProjectedRead _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
@@ -918,6 +944,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_stats_view" -> vtStatsViewSql,
     "vt_auto_compact" -> vtAutoCompactSql,
     "vt_merge_full_sync" -> vtMergeFullSyncSql,
+    "vt_projected_read" -> vtProjectedReadSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,

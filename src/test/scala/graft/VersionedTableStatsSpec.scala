@@ -303,4 +303,37 @@ class VersionedTableStatsSpec extends SparkSpecBase {
       spark, root, Seq("event_id"), 1L, "event_id", mid, mid + 10)
     assert(kept2 < total2, s"event_id range unpruned ($kept2/$total2)")
   }
+
+  test("readAsOfColumns prunes the scan; a select after readAsOf cannot") {
+    val root = freshRoot("vtstats-prune")
+    VersionedTable.init(spark, root, ev)                              // 3 cols
+    VersionedTable.commitUpsert(spark, root,
+      ev.where(col("event_id") % 9 === 0)
+        .withColumn("value", col("value") * 2))
+    def readSchemas(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("ReadSchema"))
+        .map(_.split("ReadSchema: ", 2)(1)).toSeq
+    // the documented limitation: post-merge select still scans value+ts
+    // (the dedupe aggregate's ordering struct carries every column)
+    val wide = readSchemas(
+      VersionedTable.readAsOf(spark, root, Seq("event_id"), 1L)
+        .select("event_id"))
+    assert(wide.nonEmpty && wide.forall(_.contains("value")),
+      s"expected the unprojected read to carry value:\n$wide")
+    // the pruning lever: project-before-merge drops ts from every scan
+    val narrow = readSchemas(VersionedTable.readAsOfColumns(
+      spark, root, Seq("event_id"), 1L, Seq("value")))
+    assert(narrow.nonEmpty && narrow.forall(s =>
+      !s.contains("ts:") && s.contains("value")),
+      s"projected read still scans ts:\n$narrow")
+    // and the answers agree on the shared columns
+    val a = VersionedTable.readAsOf(spark, root, Seq("event_id"), 1L)
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = VersionedTable.readAsOfColumns(
+        spark, root, Seq("event_id"), 1L, Seq("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
 }
