@@ -369,7 +369,34 @@ object SourceQueries extends graft.QueryModule {
       |FROM lineitem WHERE l_quantity > 25
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Corrupt-file-tolerant scan: a torn object (garbage bytes, no
+    * parquet magic) planted among good files must be SKIPPED, not
+    * fail the job — the multi-writer data-lake reality where an
+    * interrupted upload leaves a partial object. Tolerance is scoped
+    * to the READ via the datasource option (never session-wide —
+    * silently skipping corrupt files on every scan would turn data
+    * loss into wrong answers); the oracle computes the good files'
+    * contents, so a skipped GOOD file or a crash both fail the
+    * gate. */
+  def s12CorruptTolerant(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = GraftSession.scratch("corrupt")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"))
+      .where(col("event_id") < 1000)
+    ev.write.mode(SaveMode.Overwrite).parquet(path)
+    val torn = new java.io.FileOutputStream(
+      s"$path/part-99999-torn.snappy.parquet")
+    try torn.write(("NOTPARQUET" * 100).getBytes("UTF-8"))
+    finally torn.close()
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+  }
+  val s12Sql: String =
+    """SELECT count(*) AS n, round(sum(value), 2) AS total
+      |FROM events WHERE event_id < 1000""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_corrupt_tolerant" -> (s12CorruptTolerant _),
     "s1_csv_roundtrip" -> (s1CsvRoundtrip _),
     "s2_csv_semicolon" -> (s2CsvSemicolon _),
     "s3_csv_tab_filelist" -> (s3CsvTabFileList _),
@@ -386,6 +413,7 @@ object SourceQueries extends graft.QueryModule {
     "etl_promote_wide" -> (etlPromoteWide _))
 
   def oracles: Map[String, String] = Map(
+    "s12_corrupt_tolerant" -> s12Sql,
     "s1_csv_roundtrip" -> s1Sql,
     "s2_csv_semicolon" -> s2Sql,
     "s3_csv_tab_filelist" -> s3Sql,
