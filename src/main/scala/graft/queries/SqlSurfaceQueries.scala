@@ -254,7 +254,36 @@ object SqlSurfaceQueries extends QueryModule {
       |  rank() OVER (ORDER BY k DESC NULLS FIRST) AS r_desc_first
       |FROM g ORDER BY k""".stripMargin
 
+  /** Datetime function surface with ENGINE-PORTABLE semantics only:
+    * month/quarter truncation, month arithmetic, month-end, day
+    * difference. Deliberately excluded: dayofweek (Spark Sunday=1,
+    * DuckDB Sunday=0), weekofyear (ISO vs non-ISO), and anything
+    * TZ-sensitive — the gate pins the portable subset a cross-engine
+    * pipeline may rely on. */
+  def sqlDatetimeFns(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("g_ord_dt")
+    spark.sql("""
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+        CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+        last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        add_months(CAST(o_orderdate AS DATE), 2) AS plus2m,
+        datediff(CAST(o_orderdate AS DATE), DATE '2024-01-01') AS d_since,
+        count(*) AS n
+      FROM g_ord_dt
+      GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 5""")
+  }
+  val sqlDatetimeFnsSql: String =
+    """SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS mth,
+      |  CAST(date_trunc('quarter', CAST(o_orderdate AS TIMESTAMP)) AS DATE) AS qtr,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS plus2m,
+      |  date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS d_since,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1, 5""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_datetime_fns" -> (sqlDatetimeFns _),
     "sql_null_ordering" -> (sqlNullOrdering _),
     "sql_min_k_distinct" -> (sqlMinK _),
     "sql_dot_product" -> (sqlDot _),
@@ -265,6 +294,7 @@ object SqlSurfaceQueries extends QueryModule {
     "sql_lateral_topk" -> (sqlLateralTopk _))
 
   def oracles: Map[String, String] = Map(
+    "sql_datetime_fns" -> sqlDatetimeFnsSql,
     "sql_null_ordering" -> sqlNullOrderingSql,
     "sql_min_k_distinct" -> sqlMinKSql,
     "sql_dot_product" -> sqlDotSql,
