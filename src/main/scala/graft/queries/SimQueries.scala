@@ -244,6 +244,59 @@ object SimQueries extends graft.QueryModule {
        |  WHERE x.vec_id <> p.query_id) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** FILTERED vector search (metadata predicate + ANN): the index is
+    * built with the `label` column carried into its assignment rows,
+    * and the search ranks only label-7 candidates — k slots are never
+    * lost to excluded neighbors, and the predicate rides the index
+    * scan (PushedFilters) alongside bucket partition pruning instead
+    * of a per-query corpus join. Oracle: the same k-means replay with
+    * the label restriction applied to the candidate side only (probe
+    * selection is unfiltered — centroid geometry is label-blind). */
+  def simAnnFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = graft.core.GraftSession.scratch("annfilt")
+    graft.sim.AnnIndex.build(emb, "vec_id", "embedding",
+      k = 16, iterations = 2, path, payloadCols = Seq("label"))
+    graft.sim.AnnIndex.searchFiltered(spark, path,
+        emb.where(col("vec_id") >= 100 && col("vec_id") < 110),
+        "vec_id", "embedding", k = 5, nprobe = 4, col("label") === 7)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+  val annFilteredSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |${kmIterSql("c0", 1)},
+       |${kmIterSql("c1", 2)},
+       |af AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, bucket FROM (
+       |    SELECT q.vec_id AS query_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |    FROM e q CROSS JOIN c2 c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id,
+       |    round(${kmCos("q.v", "x.v")}, 4) AS cos,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY round(${kmCos("q.v", "x.v")}, 4) DESC, x.vec_id ASC) AS rank
+       |  FROM probes p
+       |  JOIN af a ON a.bucket = p.bucket
+       |  JOIN e x ON x.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  WHERE x.vec_id <> p.query_id AND x.label = 7) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Two-stage quantized retrieval: symmetric int8 codes of the unit
     * vectors → integer-dot shortlist (top 50) → exact rescore (top 5).
     * The oracle replays the quantization, the integer surrogate
@@ -574,6 +627,7 @@ object SimQueries extends graft.QueryModule {
     "sim_kmeans_ivf" -> (simKmeansIvf _),
     "sim_ann_persisted" -> (simAnnPersisted _),
     "sim_ann_append" -> (simAnnAppend _),
+    "sim_ann_filtered" -> (simAnnFiltered _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_quantized_recall" -> (simQuantizedRecall _),
@@ -587,6 +641,7 @@ object SimQueries extends graft.QueryModule {
     "sim_kmeans_ivf" -> kmeansIvfSql,
     "sim_ann_persisted" -> kmeansIvfSql,
     "sim_ann_append" -> annAppendSql,
+    "sim_ann_filtered" -> annFilteredSql,
     "sim_quantized_topk" -> quantizedSql,
     "sim_ivf_recall" -> ivfRecallSql,
     "sim_quantized_recall" -> quantizedRecallSql,

@@ -36,13 +36,39 @@ object AnnIndex {
   /** Train and persist: `path/centroids` (centroid_id, cvec) and
     * `path/assignment` (idCol, vecCol, bucket=partition dir). */
   def build(emb: DataFrame, idCol: String, vecCol: String,
-            k: Int, iterations: Int, path: String): Unit = {
+            k: Int, iterations: Int, path: String,
+            payloadCols: Seq[String] = Nil): Unit = {
     val centroids = KMeans.train(emb, idCol, vecCol, k, iterations)
-    val assigned = Similarity.Ivf.assign(emb, centroids, idCol, vecCol)
+    val assigned = withPayload(
+      Similarity.Ivf.assign(emb, centroids, idCol, vecCol),
+      emb, idCol, payloadCols)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     assigned.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/assignment")
   }
+
+  /** Carry metadata columns into the assignment rows so FILTERED
+    * search (metadata predicate + vector search) pushes the predicate
+    * into the index scan itself — the filter lands in the parquet
+    * PushedFilters alongside the bucket partition pruning, so a
+    * label-restricted query reads ~nprobe/k of the corpus and decodes
+    * only matching row groups. The alternative (post-join the filter
+    * table at query time) re-shuffles the corpus per query batch. */
+  private def withPayload(assigned: DataFrame, emb: DataFrame,
+                          idCol: String, payloadCols: Seq[String]): DataFrame =
+    if (payloadCols.isEmpty) assigned
+    else assigned.join(emb.select((idCol +: payloadCols).map(col): _*), idCol)
+
+  /** [[search]] over the subset of the index matching `filter` —
+    * filtered vector search. The predicate applies to assignment
+    * rows (payload columns recorded at [[build]]/[[append]] time);
+    * ranking and k are over the FILTERED candidate set, so a query
+    * never "loses" slots to excluded neighbors. */
+  def searchFiltered(spark: SparkSession, path: String, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int, nprobe: Int,
+                     filter: org.apache.spark.sql.Column): DataFrame =
+    Similarity.Ivf.search(assignment(spark, path).where(filter),
+      centroids(spark, path), queries, idCol, vecCol, k, nprobe)
 
   /** Append a new vector batch to a built index WITHOUT retraining:
     * assign against the FROZEN saved centroids, append into the
@@ -57,9 +83,10 @@ object AnnIndex {
     * land inside the same bucket=… directories the pruned probe scan
     * already reads. */
   def append(spark: SparkSession, path: String, fresh: DataFrame,
-             idCol: String, vecCol: String): Unit = {
-    val assigned = Similarity.Ivf.assign(
-      fresh, centroids(spark, path), idCol, vecCol)
+             idCol: String, vecCol: String,
+             payloadCols: Seq[String] = Nil): Unit = {
+    val assigned = withPayload(Similarity.Ivf.assign(
+      fresh, centroids(spark, path), idCol, vecCol), fresh, idCol, payloadCols)
     assigned.write.mode("append").partitionBy("bucket")
       .parquet(s"$path/assignment")
   }
