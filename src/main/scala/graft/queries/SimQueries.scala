@@ -297,6 +297,84 @@ object SimQueries extends graft.QueryModule {
        |  WHERE x.vec_id <> p.query_id AND x.label = 7) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Hybrid retrieval (BM25 ⊕ ANN via Reciprocal Rank Fusion): the
+    * lexical top-10 for a fixed term query and the vector top-10
+    * around an exemplar embedding, fused by rrf = Σ 1/(60+rank) —
+    * rank-only fusion needs no calibration between BM25 magnitudes
+    * and cosines. Both retrievers run corpus-side; the fusion joins
+    * two 10-row lists. Candidate space is the shared id range
+    * (doc_id/vec_id < 2000). The ranking windows run over RESULT
+    * lists (≤2000 scored rows), not the corpus. */
+  def simHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 2000)
+    val scoredText = graft.text.Bm25.score(docs, "doc_id", "text",
+        Seq("spark", "shuffle", "window"))
+      .select(col("doc_id").as("id"), round(col("bm25"), 6).as("s"))
+    val textRank = scoredText
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("s").desc, col("id"))))
+      .where(col("rank") <= 10).select("id", "rank")
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 2000)
+    val vecRank = Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    graft.sim.Hybrid.rrfFuse(textRank, vecRank, c = 60, k = 10)
+  }
+  val hybridRrfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id < 2000),
+      |lens AS (SELECT doc_id, t, len(t) AS dl FROM tok),
+      |stats AS (
+      |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM lens),
+      |dfs AS (
+      |  SELECT
+      |    round(ln(1.0 + (count(*) - count(*) FILTER (list_contains(t, 'spark')) + 0.5)
+      |      / (count(*) FILTER (list_contains(t, 'spark')) + 0.5)), 6) AS idf1,
+      |    round(ln(1.0 + (count(*) - count(*) FILTER (list_contains(t, 'shuffle')) + 0.5)
+      |      / (count(*) FILTER (list_contains(t, 'shuffle')) + 0.5)), 6) AS idf2,
+      |    round(ln(1.0 + (count(*) - count(*) FILTER (list_contains(t, 'window')) + 0.5)
+      |      / (count(*) FILTER (list_contains(t, 'window')) + 0.5)), 6) AS idf3
+      |  FROM lens),
+      |scored AS (
+      |  SELECT doc_id,
+      |    (idf1 * (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) * 2.2))
+      |      / (CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |    + (idf2 * (CAST(len(list_filter(t, x -> x = 'shuffle')) AS DOUBLE) * 2.2))
+      |      / (CAST(len(list_filter(t, x -> x = 'shuffle')) AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+      |    + (idf3 * (CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE) * 2.2))
+      |      / (CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS bm25
+      |  FROM lens, stats, dfs),
+      |text_rank AS (
+      |  SELECT id, rank FROM (
+      |    SELECT doc_id AS id, row_number() OVER (
+      |      ORDER BY round(bm25, 6) DESC, doc_id) AS rank
+      |    FROM scored WHERE bm25 > 0.0) WHERE rank <= 10),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 2000),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |vec_rank AS (
+      |  SELECT id, rank FROM (
+      |    SELECT x.vec_id AS id, row_number() OVER (ORDER BY
+      |      round(list_sum(list_transform(generate_series(1, len(x.v)),
+      |          i -> x.v[i] * q.qv[i]))
+      |        / (sqrt(list_sum(list_transform(x.v, y -> y * y)))
+      |           * sqrt(list_sum(list_transform(q.qv, y -> y * y)))), 4)
+      |      DESC, x.vec_id) AS rank
+      |    FROM e x, q WHERE x.vec_id <> 0) WHERE rank <= 10)
+      |SELECT coalesce(a.id, b.id) AS id,
+      |  round(coalesce(1.0 / (60 + a.rank), 0.0)
+      |    + coalesce(1.0 / (60 + b.rank), 0.0), 6) AS rrf,
+      |  a.rank AS ra, b.rank AS rb
+      |FROM text_rank a FULL OUTER JOIN vec_rank b ON a.id = b.id
+      |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+
   /** Two-stage quantized retrieval: symmetric int8 codes of the unit
     * vectors → integer-dot shortlist (top 50) → exact rescore (top 5).
     * The oracle replays the quantization, the integer surrogate
@@ -628,6 +706,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ann_persisted" -> (simAnnPersisted _),
     "sim_ann_append" -> (simAnnAppend _),
     "sim_ann_filtered" -> (simAnnFiltered _),
+    "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_quantized_recall" -> (simQuantizedRecall _),
@@ -642,6 +721,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ann_persisted" -> kmeansIvfSql,
     "sim_ann_append" -> annAppendSql,
     "sim_ann_filtered" -> annFilteredSql,
+    "sim_hybrid_rrf" -> hybridRrfSql,
     "sim_quantized_topk" -> quantizedSql,
     "sim_ivf_recall" -> ivfRecallSql,
     "sim_quantized_recall" -> quantizedRecallSql,
