@@ -424,6 +424,53 @@ object CurateQueries extends graft.QueryModule {
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Split-leakage audit — the measurable WHY of cluster-safe
+    * splitting: 50 planted duplicate pairs are split naively (per-id
+    * hash → some pairs straddle train/val/test, leaking eval content
+    * into training) and cluster-safely (both members keyed by the
+    * cluster representative → provably zero straddle). The gate
+    * reports both leak counts; the oracle recomputes the naive count
+    * from the md5 split arithmetic and derives the safe count (0)
+    * from the shared-key construction. */
+  def curateSplitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val pairs = d.where(col("doc_id") < 50)
+      .select(col("doc_id").as("a"), (col("doc_id") + 100000).as("b"))
+    val corpus = d.select("doc_id").unionByName(
+      pairs.select(col("b").as("doc_id")))
+    def leaked(split: DataFrame): Long = pairs
+      .join(split.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(split.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .where(col("sa") =!= col("sb")).count()
+    val naive = leaked(Sampling.hashSplit(corpus, "doc_id"))
+    val clusters = pairs.select(col("b").as("id"), col("a").as("cluster"))
+      .unionByName(pairs.select(col("a").as("id"), col("a").as("cluster")))
+    val safe = leaked(Sampling.clusterSafeSplit(corpus, "doc_id", clusters))
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .select(col("n_pairs"), lit(naive).as("naive_leaked"),
+        lit(safe).as("safe_leaked"))
+  }
+  val splitLeakageSql: String =
+    """WITH p AS (
+      |  SELECT doc_id AS a, doc_id + 100000 AS b
+      |  FROM documents WHERE doc_id < 50),
+      |s AS (
+      |  SELECT a, b,
+      |    strpos('0123456789abcdef', substr(md5(CAST(a AS VARCHAR)), 1, 1)) - 1 AS ba,
+      |    strpos('0123456789abcdef', substr(md5(CAST(b AS VARCHAR)), 1, 1)) - 1 AS bb
+      |  FROM p),
+      |cls AS (
+      |  SELECT CASE WHEN ba < 13 THEN 'train' WHEN ba = 13 THEN 'val'
+      |              ELSE 'test' END AS sa,
+      |         CASE WHEN bb < 13 THEN 'train' WHEN bb = 13 THEN 'val'
+      |              ELSE 'test' END AS sb
+      |  FROM s)
+      |SELECT count(*) AS n_pairs,
+      |  CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS naive_leaked,
+      |  CAST(0 AS BIGINT) AS safe_leaked
+      |FROM cls""".stripMargin
+
   /** Winsorized length statistics per language: doc lengths clipped
     * to their per-lang exact [P5, P95] (linear-interpolation
     * percentiles — the same quantile_cont definition DuckDB uses, so
@@ -456,6 +503,7 @@ object CurateQueries extends graft.QueryModule {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_winsorize" -> (curateWinsorize _),
+    "curate_split_leakage" -> (curateSplitLeakage _),
     "export_jsonl_shards" -> (exportJsonlShards _),
     "curate_decontam_embedding" -> (curateDecontamEmbedding _),
     "curate_cluster_split" -> (curateClusterSplit _),
@@ -472,6 +520,7 @@ object CurateQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "curate_winsorize" -> winsorizeSql,
+    "curate_split_leakage" -> splitLeakageSql,
     "export_jsonl_shards" -> exportJsonlSql,
     "curate_decontam_embedding" -> decontamEmbeddingSql,
     "curate_cluster_split" -> clusterSplitSql,

@@ -375,6 +375,50 @@ object SimQueries extends graft.QueryModule {
       |FROM text_rank a FULL OUTER JOIN vec_rank b ON a.id = b.id
       |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
 
+  /** Hard-negative mining for contrastive training: each query's
+    * nearest neighbors AMONG OTHER LABELS — close in embedding space
+    * but known-different, exactly the pairs a contrastive loss learns
+    * most from. The label constraint is per-query (candidate.label ≠
+    * query.label), so it lives in the scoring join, not a global
+    * index filter; ranking stays the map-side O(k) heap. */
+  def simHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") >= 100 && col("vec_id") < 106)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("label").as("clabel"))
+      .crossJoin(broadcast(q))
+      .where(col("clabel") =!= col("qlabel"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.cosine(col("qv"), col("cv")), 4).as("cos"))
+    Similarity.rankTopK(scored, 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+  val hardNegativesSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      |      FROM e WHERE vec_id >= 100 AND vec_id < 106)
+      |SELECT query_id, rank, neighbor_id, cos FROM (
+      |  SELECT q.query_id, x.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(generate_series(1, len(x.v)),
+      |        i -> x.v[i] * q.qv[i]))
+      |      / (sqrt(list_sum(list_transform(x.v, y -> y * y)))
+      |         * sqrt(list_sum(list_transform(q.qv, y -> y * y)))), 4) AS cos,
+      |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |      round(list_sum(list_transform(generate_series(1, len(x.v)),
+      |          i -> x.v[i] * q.qv[i]))
+      |        / (sqrt(list_sum(list_transform(x.v, y -> y * y)))
+      |           * sqrt(list_sum(list_transform(q.qv, y -> y * y)))), 4)
+      |      DESC, x.vec_id ASC) AS rank
+      |  FROM e x, q WHERE x.label <> q.qlabel) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Two-stage quantized retrieval: symmetric int8 codes of the unit
     * vectors → integer-dot shortlist (top 50) → exact rescore (top 5).
     * The oracle replays the quantization, the integer surrogate
@@ -707,6 +751,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ann_append" -> (simAnnAppend _),
     "sim_ann_filtered" -> (simAnnFiltered _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
+    "sim_hard_negatives" -> (simHardNegatives _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
     "sim_ivf_recall" -> (simIvfRecall _),
     "sim_quantized_recall" -> (simQuantizedRecall _),
@@ -722,6 +767,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ann_append" -> annAppendSql,
     "sim_ann_filtered" -> annFilteredSql,
     "sim_hybrid_rrf" -> hybridRrfSql,
+    "sim_hard_negatives" -> hardNegativesSql,
     "sim_quantized_topk" -> quantizedSql,
     "sim_ivf_recall" -> ivfRecallSql,
     "sim_quantized_recall" -> quantizedRecallSql,

@@ -50,7 +50,7 @@ object Similarity {
     * (cos, -neighbor_id) structs, so equal scores resolve to the
     * smallest id, and the descending eval order reproduces
     * row_number's sequence exactly. */
-  private[sim] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.plans.BoundedTopK(
         struct(col("cos"), (-col("neighbor_id")).as("nid")), k).as("top"))
