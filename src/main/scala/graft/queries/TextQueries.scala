@@ -44,6 +44,78 @@ object TextQueries extends graft.QueryModule {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-ID confusion matrix: predictions vs the gold `lang`
+    * column, counted per (gold, pred) cell — the eval view that tells
+    * a pipeline WHERE its router mislabels (which gold language leaks
+    * into which prediction), not just how often. Unpredicted docs
+    * land in the '__none' cell. */
+  def textLangConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang").as("gold"),
+        coalesce(TextAnalysis.langId(col("text")), lit("__none")).as("pred"))
+      .groupBy("gold", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("gold", "pred")
+  val langConfusionSql: String = {
+    val scores = TextAnalysis.langProfiles.map { case (lang, pat) =>
+      lang -> s"len(regexp_extract_all(text, '$pat'))"
+    }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val caseExpr = scores.map { case (lang, s) =>
+      s"WHEN $s = __best AND __best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT lang AS gold,
+       |  coalesce(CASE $caseExpr ELSE NULL END, '__none') AS pred,
+       |  count(*) AS n
+       |FROM (SELECT *, $best AS __best FROM documents) t
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Boilerplate ratio per source: the share of a document's lines
+    * that are CORPUS-COMMON (the exact line appears in > 10
+    * documents) — the RefinedWeb-style template signal that separates
+    * navigation/footer boilerplate from body text, aggregated per
+    * source so the gate exposes which sources are template-heavy.
+    * Line frequencies are one (line → doc-count) reduction; the
+    * per-doc ratio joins them back through an explode. */
+  def textBoilerplateRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(text, '\\\\.'), x -> trim(x) != '')").as("lines"))
+    val lineDf = docs
+      .select(col("doc_id"), explode(col("lines")).as("line"))
+      .distinct()
+      .groupBy("line").agg(count(lit(1)).as("docs_with"))
+    val perDoc = docs
+      .select(col("doc_id"), col("source"), explode(col("lines")).as("line"))
+      .join(lineDf, "line")
+      .groupBy("doc_id", "source")
+      .agg((sum((col("docs_with") > 10).cast("long")) /
+        count(lit(1)).cast("double")).as("ratio"))
+    perDoc.groupBy("source")
+      .agg(round(avg("ratio"), 4).as("avg_boilerplate"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+  val boilerplateSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, '.'), x -> trim(x) <> '') AS lines
+      |  FROM documents),
+      |lf AS (
+      |  SELECT line, count(*) AS docs_with FROM (
+      |    SELECT DISTINCT doc_id, unnest(lines) AS line FROM d)
+      |  GROUP BY 1),
+      |pd AS (
+      |  SELECT e.doc_id, e.source,
+      |    CAST(sum(CASE WHEN lf.docs_with > 10 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*) AS ratio
+      |  FROM (SELECT doc_id, source, unnest(lines) AS line FROM d) e
+      |  JOIN lf USING (line)
+      |  GROUP BY 1, 2)
+      |SELECT source, round(avg(ratio), 4) AS avg_boilerplate,
+      |  count(*) AS n_docs
+      |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Quality scoring (fixed-order double formula). */
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -953,6 +1025,8 @@ object TextQueries extends graft.QueryModule {
     "text_inverted_index" -> (textInvertedIndex _),
     "text_search_and" -> (textSearchAnd _),
     "text_keyness" -> (textKeyness _),
+    "text_lang_confusion" -> (textLangConfusion _),
+    "text_boilerplate" -> (textBoilerplateRatio _),
     "text_vocab" -> (textVocab _),
     "text_tfidf" -> (textTfidf _))
 
@@ -989,6 +1063,8 @@ object TextQueries extends graft.QueryModule {
     "text_inverted_index" -> invertedIndexSql,
     "text_search_and" -> searchAndSql,
     "text_keyness" -> keynessSql,
+    "text_lang_confusion" -> langConfusionSql,
+    "text_boilerplate" -> boilerplateSql,
     "text_vocab" -> vocabSql,
     "text_tfidf" -> tfidfSql)
 }
