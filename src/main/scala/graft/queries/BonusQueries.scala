@@ -425,8 +425,42 @@ object BonusQueries extends graft.QueryModule {
       |FROM e JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-user z-score anomaly flags: events whose value sits more
+    * than 3 sample standard deviations from the USER's own mean —
+    * per-entity baselines, not a global threshold (a heavy spender's
+    * normal is another user's anomaly). One moment-sketch aggregation
+    * per user broadcast back onto the stream; single-event users
+    * (stddev undefined) are excluded rather than flagged. */
+  def xAnomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "value")
+    val stats = ev.groupBy("user_id")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"),
+        count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2 && col("sd") > 0)
+    ev.join(broadcast(stats), "user_id")
+      .groupBy("user_id")
+      .agg(sum((abs((col("value") - col("mu")) / col("sd")) > 3.0)
+        .cast("long")).as("n_anomalies"))
+      .where(col("n_anomalies") > 0)
+      .orderBy("user_id")
+  }
+  val anomalySql: String =
+    """WITH s AS (
+      |  SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1
+      |  HAVING count(*) >= 2 AND stddev_samp(value) > 0)
+      |SELECT e.user_id,
+      |  CAST(sum(CASE WHEN abs((e.value - s.mu) / s.sd) > 3.0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM events e JOIN s USING (user_id)
+      |GROUP BY 1 HAVING sum(CASE WHEN abs((e.value - s.mu) / s.sd) > 3.0
+      |  THEN 1 ELSE 0 END) > 0
+      |ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample_ffill" -> (tsResampleFfill _),
+    "x_anomaly_zscore" -> (xAnomalyZscore _),
     "x_funnel" -> (xFunnel _),
     "x_cohort_retention" -> (xCohortRetention _),
     "x_bag_ops" -> (xBagOps _),
@@ -445,6 +479,7 @@ object BonusQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "ts_resample_ffill" -> tsResampleSql,
+    "x_anomaly_zscore" -> anomalySql,
     "x_funnel" -> funnelSql,
     "x_cohort_retention" -> cohortSql,
     "x_bag_ops" -> bagOpsSql,
