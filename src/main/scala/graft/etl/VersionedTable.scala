@@ -1021,6 +1021,21 @@ object VersionedTable {
     vs.map(_.v)
   }
 
+  /** DEEP clone: materialize the source's current state as a fresh
+    * self-contained table — one snapshot commit whose files are
+    * WRITTEN, not referenced. The inverse trade of [[cloneShallow]]:
+    * costs a full rewrite of the live state, but nothing ties the
+    * clone to the source afterwards — expiring, vacuuming, or
+    * deleting the source outright cannot orphan it (gated by
+    * vt_clone_deep, which removes the source entirely and reads the
+    * clone). History does not carry over; the clone starts at v0. */
+  def cloneDeep(spark: SparkSession, srcRoot: String, dstRoot: String,
+                keyCols: Seq[String]): Long = {
+    require(commits(spark, dstRoot).isEmpty && claimed(spark, dstRoot).isEmpty,
+      s"cloneDeep: destination $dstRoot is not empty")
+    init(spark, dstRoot, readLatest(spark, srcRoot, keyCols))
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF `toVersion` (Delta RESTORE):
     * commit a new SNAPSHOT whose state is exactly `toVersion`'s state.
     * Rolls the head FORWARD, never deletes history — the bad commits

@@ -596,6 +596,38 @@ object ExtQueries extends graft.QueryModule {
       |    THEN CAST(event_id % 13 AS DOUBLE) ELSE value END), 2) AS total
       |FROM ev""".stripMargin
 
+  /** Deep clone (self-containment proof): the lifecycle table is
+    * deep-cloned, the SOURCE IS DELETED OUTRIGHT, and the clone must
+    * still answer its full state — the inverse trade of the shallow
+    * clone, whose borrowed versions the same deletion would orphan
+    * (pinned in CloneSpec). */
+  def vtCloneDeep(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val src = vtLifecycle(spark, sfDir, "vtcd")                        // v0-v2
+    val dst = GraftSession.scratch("vtcdclone") + "/tbl"
+    VersionedTable.cloneDeep(spark, src, dst, Seq("event_id"))
+    val p = new org.apache.hadoop.fs.Path(src)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    VersionedTable.invalidateCache(spark, src)
+    VersionedTable.readLatest(spark, dst, Seq("event_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("n"), col("total"),
+        lit(VersionedTable.versions(spark, dst).size.toLong).as("n_versions"))
+  }
+  val vtCloneDeepSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |v2rows AS (
+      |  SELECT * FROM v1rows
+      |  WHERE event_id >= 2000000 OR event_id % 5 <> 0)
+      |SELECT count(*) AS n, round(sum(value), 2) AS total, 1 AS n_versions
+      |FROM v2rows""".stripMargin
+
   /** Stats metadata view (DESCRIBE DETAIL / Iceberg `files` analog):
     * the manifest's per-file footer stats, folded to per-column
     * global extremes, must reproduce the table's TRUE min/max — the
@@ -916,6 +948,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_expire_vacuum" -> (vtExpireVacuum _),
     "wap_gated_ingest" -> (wapGatedIngest _),
     "vt_clone_shallow" -> (vtCloneShallow _),
+    "vt_clone_deep" -> (vtCloneDeep _),
     "vt_stats_view" -> (vtStatsView _),
     "vt_auto_compact" -> (vtAutoCompact _),
     "vt_merge_full_sync" -> (vtMergeFullSync _),
@@ -941,6 +974,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_expire_vacuum" -> vtExpireVacuumSql,
     "wap_gated_ingest" -> wapGatedIngestSql,
     "vt_clone_shallow" -> vtCloneShallowSql,
+    "vt_clone_deep" -> vtCloneDeepSql,
     "vt_stats_view" -> vtStatsViewSql,
     "vt_auto_compact" -> vtAutoCompactSql,
     "vt_merge_full_sync" -> vtMergeFullSyncSql,
