@@ -553,6 +553,53 @@ object DedupQueries extends graft.QueryModule {
       |WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4
       |ORDER BY left_name, right_name""".stripMargin
 
+  /** Blocking-recall audit for the fuzzy ER join: the blocked match
+    * vs the all-pairs ground truth at the same distance bound, over
+    * the (dictionary-sized) distinct-name set. Reports found/true/
+    * missed — the same honesty contract as sim_ivf_recall: the
+    * blocking choice bounds recall, so the pipeline should KNOW the
+    * bound on its data rather than assume it. The all-pairs side is
+    * affordable here precisely because ER runs on the dictionary,
+    * never the fact table. */
+  def erBlockingRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .select(col("p_name").as("name")).where(col("name").isNotNull)
+      .distinct()
+    val blocked = graft.dedup.FuzzyJoin.selfMatch(
+      Tables.part(spark, sfDir), "p_name",
+      n => regexp_extract(n, "([^ ]+)$", 1), maxDist = 4)
+    val l = names.select(col("name").as("left_name"))
+    val truePairs = l.crossJoin(names.select(col("name").as("right_name")))
+      .where(col("left_name") < col("right_name"))
+      .where(levenshtein(col("left_name"), col("right_name"), 4)
+        .between(1, 4))
+    val found = blocked.count()
+    val total = truePairs.count()
+    truePairs.limit(1)
+      .select(lit(found).as("n_found"), lit(total).as("n_true"),
+        lit(total - found).as("n_missed"),
+        round(lit(found.toDouble) / lit(total.toDouble), 4).as("recall"))
+  }
+  val erBlockingRecallSql: String =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+      |b AS (
+      |  SELECT name, regexp_extract(name, '([^ ]+)$', 1) AS blk FROM names),
+      |blocked AS (
+      |  SELECT a.name AS l, c.name AS r
+      |  FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+      |  WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4),
+      |truth AS (
+      |  SELECT a.name AS l, c.name AS r
+      |  FROM names a JOIN names c ON a.name < c.name
+      |  WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4)
+      |SELECT (SELECT count(*) FROM blocked) AS n_found,
+      |  (SELECT count(*) FROM truth) AS n_true,
+      |  (SELECT count(*) FROM truth) - (SELECT count(*) FROM blocked)
+      |    AS n_missed,
+      |  round(CAST((SELECT count(*) FROM blocked) AS DOUBLE)
+      |    / (SELECT count(*) FROM truth), 4) AS recall""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_url" -> (dedupUrl _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
@@ -569,7 +616,8 @@ object DedupQueries extends graft.QueryModule {
     "dedup_lines" -> (dedupLines _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
-    "er_fuzzy_match" -> (erFuzzyMatch _))
+    "er_fuzzy_match" -> (erFuzzyMatch _),
+    "er_blocking_recall" -> (erBlockingRecall _))
 
   def oracles: Map[String, String] = Map(
     "dedup_url" -> dedupUrlSql,
@@ -587,5 +635,6 @@ object DedupQueries extends graft.QueryModule {
     "dedup_lines" -> dedupLinesSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_bloom" -> dedupIncrementalSql,
-    "er_fuzzy_match" -> erFuzzyMatchSql)
+    "er_fuzzy_match" -> erFuzzyMatchSql,
+    "er_blocking_recall" -> erBlockingRecallSql)
 }

@@ -596,6 +596,39 @@ object ExtQueries extends graft.QueryModule {
       |    THEN CAST(event_id % 13 AS DOUBLE) ELSE value END), 2) AS total
       |FROM ev""".stripMargin
 
+  /** Named version tags: v1 is tagged `release`, further commits move
+    * the head — reads by tag must keep answering v1's exact state
+    * (the "prod pins a release" contract), and retagging must move
+    * the name. Output reads the tag before and after the move. */
+  def vtTags(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = vtLifecycle(spark, sfDir, "vttag")                      // v0-v2
+    VersionedTable.tagVersion(spark, root, "release", 1L)
+    def agg(tag: String, phase: String): DataFrame =
+      VersionedTable.readAsOfTag(spark, root, Seq("event_id"), tag)
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(lit(phase).as("phase"), col("n"), col("total"))
+    val before = agg("release", "pinned_v1")
+    VersionedTable.tagVersion(spark, root, "release", 2L)              // move
+    before.unionByName(agg("release", "moved_v2")).orderBy("phase")
+  }
+  val vtTagsSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |v2rows AS (
+      |  SELECT * FROM v1rows
+      |  WHERE event_id >= 2000000 OR event_id % 5 <> 0)
+      |SELECT 'moved_v2' AS phase, count(*) AS n,
+      |  round(sum(value), 2) AS total FROM v2rows
+      |UNION ALL
+      |SELECT 'pinned_v1', count(*), round(sum(value), 2) FROM v1rows
+      |ORDER BY phase""".stripMargin
+
   /** Deep clone (self-containment proof): the lifecycle table is
     * deep-cloned, the SOURCE IS DELETED OUTRIGHT, and the clone must
     * still answer its full state — the inverse trade of the shallow
@@ -949,6 +982,7 @@ object ExtQueries extends graft.QueryModule {
     "wap_gated_ingest" -> (wapGatedIngest _),
     "vt_clone_shallow" -> (vtCloneShallow _),
     "vt_clone_deep" -> (vtCloneDeep _),
+    "vt_tags" -> (vtTags _),
     "vt_stats_view" -> (vtStatsView _),
     "vt_auto_compact" -> (vtAutoCompact _),
     "vt_merge_full_sync" -> (vtMergeFullSync _),
@@ -975,6 +1009,7 @@ object ExtQueries extends graft.QueryModule {
     "wap_gated_ingest" -> wapGatedIngestSql,
     "vt_clone_shallow" -> vtCloneShallowSql,
     "vt_clone_deep" -> vtCloneDeepSql,
+    "vt_tags" -> vtTagsSql,
     "vt_stats_view" -> vtStatsViewSql,
     "vt_auto_compact" -> vtAutoCompactSql,
     "vt_merge_full_sync" -> vtMergeFullSyncSql,
