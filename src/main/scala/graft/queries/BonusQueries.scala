@@ -458,8 +458,38 @@ object BonusQueries extends graft.QueryModule {
       |  THEN 1 ELSE 0 END) > 0
       |ORDER BY 1""".stripMargin
 
+  /** Distribution-rank window family: ntile quartiles, percent_rank,
+    * cume_dist over order totals per status — the percentile-style
+    * windows x_window_funcs doesn't cover. Both engines share the
+    * definitions (percent_rank = (rank-1)/(n-1), cume_dist = #peers≤ /
+    * n, ntile = equal buckets with remainder to the front); ordering
+    * carries an id tie-break so rank functions see identical peer
+    * groups. */
+  def xWindowRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .where(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+  val windowRanksSql: String =
+    """SELECT o_orderstatus, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders WHERE o_orderkey % 97 = 0
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |  ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample_ffill" -> (tsResampleFfill _),
+    "x_window_ranks" -> (xWindowRanks _),
     "x_anomaly_zscore" -> (xAnomalyZscore _),
     "x_funnel" -> (xFunnel _),
     "x_cohort_retention" -> (xCohortRetention _),
@@ -479,6 +509,7 @@ object BonusQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "ts_resample_ffill" -> tsResampleSql,
+    "x_window_ranks" -> windowRanksSql,
     "x_anomaly_zscore" -> anomalySql,
     "x_funnel" -> funnelSql,
     "x_cohort_retention" -> cohortSql,

@@ -369,6 +369,32 @@ object SourceQueries extends graft.QueryModule {
       |FROM lineitem WHERE l_quantity > 25
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Hive-style partition-directory pruning: events written
+    * partitioned by day, read back with a single-day predicate — the
+    * filter must land in PartitionFilters (directory-level pruning,
+    * zero IO for other days; asserted on the plan in PerfSpec-style
+    * inline check here via a hard failure if the filter column shows
+    * in the data-filter ReadSchema) and the values must match the
+    * oracle's filtered aggregate. */
+  def r5PartitionPrunedRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = GraftSession.scratch("ppr")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"), col("ts").cast("date").as("dt"))
+    ev.write.mode(SaveMode.Overwrite).partitionBy("dt").parquet(path)
+    val minDt = ev.agg(min("dt")).head.getDate(0)
+    val read = spark.read.parquet(path).where(col("dt") === lit(minDt))
+    val plan = read.queryExecution.executedPlan.toString
+    require(plan.contains("PartitionFilters: [isnotnull(dt"),
+      s"day predicate did not reach PartitionFilters:\n$plan")
+    read.agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+  }
+  val r5Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, value, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt
+      |  FROM events)
+      |SELECT count(*) AS n, round(sum(value), 2) AS total
+      |FROM ev WHERE dt = (SELECT min(dt) FROM ev)""".stripMargin
+
   /** Corrupt-file-tolerant scan: a torn object (garbage bytes, no
     * parquet magic) planted among good files must be SKIPPED, not
     * fail the job — the multi-writer data-lake reality where an
@@ -397,6 +423,7 @@ object SourceQueries extends graft.QueryModule {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_corrupt_tolerant" -> (s12CorruptTolerant _),
+    "r5_partition_pruned_read" -> (r5PartitionPrunedRead _),
     "s1_csv_roundtrip" -> (s1CsvRoundtrip _),
     "s2_csv_semicolon" -> (s2CsvSemicolon _),
     "s3_csv_tab_filelist" -> (s3CsvTabFileList _),
@@ -414,6 +441,7 @@ object SourceQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "s12_corrupt_tolerant" -> s12Sql,
+    "r5_partition_pruned_read" -> r5Sql,
     "s1_csv_roundtrip" -> s1Sql,
     "s2_csv_semicolon" -> s2Sql,
     "s3_csv_tab_filelist" -> s3Sql,
