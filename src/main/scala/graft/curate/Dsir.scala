@@ -68,7 +68,7 @@ object Dsir {
          log((col("raw_c") + 1.0) / (nRaw + Buckets.toDouble))).as("__lr"))
     b.join(broadcast(ratio), Seq("__b"))
       .groupBy(idCol)
-      .agg(round(sum("__lr"), scale).as("score"))
+      .agg(graft.functions.ScoreFns.scoreRound(sum("__lr"), scale).as("score"))
   }
 
   /** Top-`k` most target-like documents (score desc, id tiebreak). */
@@ -100,8 +100,8 @@ object Dsir {
                temperature: Double = 1.0): DataFrame = {
     require(temperature > 0, s"temperature must be > 0, got $temperature")
     score(df, idCol, textCol, isTarget)
-      .withColumn("noisy",
-        round(col("score") / temperature + gumbel(col(idCol)), 4))
+      .withColumn("noisy", graft.functions.ScoreFns.scoreRound(
+        col("score") / temperature + gumbel(col(idCol)), 4))
       .orderBy(col("noisy").desc, col(idCol))
       .limit(k)
   }

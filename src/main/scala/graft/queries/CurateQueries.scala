@@ -350,7 +350,7 @@ object CurateQueries extends graft.QueryModule {
       |      - ln((r.c + 1.0) / (nraw + 1024.0)) AS lr
       |  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
       |scored AS (
-      |  SELECT doc_id, round(sum(lr), 4) AS score
+      |  SELECT doc_id, round(sum(lr), 4) + 0.0 AS score
       |  FROM bkt JOIN ratio USING (b) GROUP BY doc_id)
       |SELECT doc_id, score FROM scored
       |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
@@ -386,13 +386,13 @@ object CurateQueries extends graft.QueryModule {
       |      - ln((r.c + 1.0) / (nraw + 1024.0)) AS lr
       |  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot),
       |scored AS (
-      |  SELECT doc_id, round(sum(lr), 4) AS score
+      |  SELECT doc_id, round(sum(lr), 4) + 0.0 AS score
       |  FROM bkt JOIN ratio USING (b) GROUP BY doc_id),
       |noised AS (
       |  SELECT doc_id, score,
       |    round(score + (-ln(-ln(
       |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      |        AS DOUBLE) + 0.5) / 1152921504606846976.0))), 4) AS noisy
+      |        AS DOUBLE) + 0.5) / 1152921504606846976.0))), 4) + 0.0 AS noisy
       |  FROM scored)
       |SELECT doc_id, score, noisy FROM noised
       |ORDER BY noisy DESC, doc_id LIMIT 50""".stripMargin

@@ -34,9 +34,9 @@ object SimQueries extends graft.QueryModule {
   val bruteSql: String = vecCte +
     """SELECT query_id, rank, neighbor_id, cos FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |    round(""".stripMargin + cosSql("q", "c") + """, 4) AS cos,
+      |    round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 AS cos,
       |    row_number() OVER (PARTITION BY q.vec_id
-      |      ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) DESC, c.vec_id) AS rank
+      |      ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 DESC, c.vec_id) AS rank
       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
       |  WHERE q.vec_id < 10) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
@@ -61,20 +61,20 @@ object SimQueries extends graft.QueryModule {
       |  SELECT vec_id, bucket FROM (
       |    SELECT x.vec_id, c.centroid_id AS bucket,
       |      row_number() OVER (PARTITION BY x.vec_id
-      |        ORDER BY round(""".stripMargin + cosSql("x", "c") + """, 4) DESC, c.centroid_id) AS r
+      |        ORDER BY round(""".stripMargin + cosSql("x", "c") + """, 4) + 0.0 DESC, c.centroid_id) AS r
       |    FROM n x CROSS JOIN cents c) t WHERE r = 1),
       |probes AS (
       |  SELECT query_id, bucket FROM (
       |    SELECT q.vec_id AS query_id, c.centroid_id AS bucket,
       |      row_number() OVER (PARTITION BY q.vec_id
-      |        ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) DESC, c.centroid_id) AS r
+      |        ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 DESC, c.centroid_id) AS r
       |    FROM n q CROSS JOIN cents c
       |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4)
       |SELECT query_id, rank, neighbor_id, cos FROM (
       |  SELECT p.query_id, x.vec_id AS neighbor_id,
-      |    round(""".stripMargin + cosSql("q", "x") + """, 4) AS cos,
+      |    round(""".stripMargin + cosSql("q", "x") + """, 4) + 0.0 AS cos,
       |    row_number() OVER (PARTITION BY p.query_id
-      |      ORDER BY round(""".stripMargin + cosSql("q", "x") + """, 4) DESC, x.vec_id) AS rank
+      |      ORDER BY round(""".stripMargin + cosSql("q", "x") + """, 4) + 0.0 DESC, x.vec_id) AS rank
       |  FROM probes p
       |  JOIN assigned a ON a.bucket = p.bucket
       |  JOIN n x ON x.vec_id = a.vec_id
@@ -135,7 +135,7 @@ object SimQueries extends graft.QueryModule {
        |  SELECT vec_id, bucket FROM (
        |    SELECT x.vec_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY x.vec_id
-       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM $src x CROSS JOIN $prev c) t WHERE r = 1),
        |m$n AS (
        |  SELECT a$n.bucket AS cid, dm.i AS dim,
@@ -162,20 +162,20 @@ object SimQueries extends graft.QueryModule {
        |  SELECT vec_id, bucket FROM (
        |    SELECT x.vec_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY x.vec_id
-       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
        |probes AS (
        |  SELECT query_id, bucket FROM (
        |    SELECT q.vec_id AS query_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM e q CROSS JOIN c2 c
        |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4)
        |SELECT query_id, rank, neighbor_id, cos FROM (
        |  SELECT p.query_id, x.vec_id AS neighbor_id,
-       |    round(${kmCos("q.v", "x.v")}, 4) AS cos,
+       |    round(${kmCos("q.v", "x.v")}, 4) + 0.0 AS cos,
        |    row_number() OVER (PARTITION BY p.query_id
-       |      ORDER BY round(${kmCos("q.v", "x.v")}, 4) DESC, x.vec_id ASC) AS rank
+       |      ORDER BY round(${kmCos("q.v", "x.v")}, 4) + 0.0 DESC, x.vec_id ASC) AS rank
        |  FROM probes p
        |  JOIN af a ON a.bucket = p.bucket
        |  JOIN e x ON x.vec_id = a.vec_id
@@ -223,20 +223,20 @@ object SimQueries extends graft.QueryModule {
        |  SELECT vec_id, bucket FROM (
        |    SELECT x.vec_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY x.vec_id
-       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
        |probes AS (
        |  SELECT query_id, bucket FROM (
        |    SELECT q.vec_id AS query_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM e q CROSS JOIN c2 c
        |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4)
        |SELECT query_id, rank, neighbor_id, cos FROM (
        |  SELECT p.query_id, x.vec_id AS neighbor_id,
-       |    round(${kmCos("q.v", "x.v")}, 4) AS cos,
+       |    round(${kmCos("q.v", "x.v")}, 4) + 0.0 AS cos,
        |    row_number() OVER (PARTITION BY p.query_id
-       |      ORDER BY round(${kmCos("q.v", "x.v")}, 4) DESC, x.vec_id ASC) AS rank
+       |      ORDER BY round(${kmCos("q.v", "x.v")}, 4) + 0.0 DESC, x.vec_id ASC) AS rank
        |  FROM probes p
        |  JOIN af a ON a.bucket = p.bucket
        |  JOIN e x ON x.vec_id = a.vec_id
@@ -276,20 +276,20 @@ object SimQueries extends graft.QueryModule {
        |  SELECT vec_id, bucket FROM (
        |    SELECT x.vec_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY x.vec_id
-       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
        |probes AS (
        |  SELECT query_id, bucket FROM (
        |    SELECT q.vec_id AS query_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM e q CROSS JOIN c2 c
        |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4)
        |SELECT query_id, rank, neighbor_id, cos FROM (
        |  SELECT p.query_id, x.vec_id AS neighbor_id,
-       |    round(${kmCos("q.v", "x.v")}, 4) AS cos,
+       |    round(${kmCos("q.v", "x.v")}, 4) + 0.0 AS cos,
        |    row_number() OVER (PARTITION BY p.query_id
-       |      ORDER BY round(${kmCos("q.v", "x.v")}, 4) DESC, x.vec_id ASC) AS rank
+       |      ORDER BY round(${kmCos("q.v", "x.v")}, 4) + 0.0 DESC, x.vec_id ASC) AS rank
        |  FROM probes p
        |  JOIN af a ON a.bucket = p.bucket
        |  JOIN e x ON x.vec_id = a.vec_id
@@ -310,7 +310,8 @@ object SimQueries extends graft.QueryModule {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 2000)
     val scoredText = graft.text.Bm25.score(docs, "doc_id", "text",
         Seq("spark", "shuffle", "window"))
-      .select(col("doc_id").as("id"), round(col("bm25"), 6).as("s"))
+      .select(col("doc_id").as("id"),
+        graft.functions.ScoreFns.scoreRound(col("bm25"), 6).as("s"))
     val textRank = scoredText
       .withColumn("rank",
         row_number().over(Window.orderBy(col("s").desc, col("id"))))
@@ -353,7 +354,7 @@ object SimQueries extends graft.QueryModule {
       |text_rank AS (
       |  SELECT id, rank FROM (
       |    SELECT doc_id AS id, row_number() OVER (
-      |      ORDER BY round(bm25, 6) DESC, doc_id) AS rank
+      |      ORDER BY round(bm25, 6) + 0.0 DESC, doc_id) AS rank
       |    FROM scored WHERE bm25 > 0.0) WHERE rank <= 10),
       |e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -392,7 +393,8 @@ object SimQueries extends graft.QueryModule {
       .crossJoin(broadcast(q))
       .where(col("clabel") =!= col("qlabel"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Similarity.cosine(col("qv"), col("cv")), 4).as("cos"))
+        graft.functions.ScoreFns.scoreRound(
+          Similarity.cosine(col("qv"), col("cv")), 4).as("cos"))
     Similarity.rankTopK(scored, 5)
       .select("query_id", "rank", "neighbor_id", "cos")
       .orderBy("query_id", "rank")
@@ -409,7 +411,7 @@ object SimQueries extends graft.QueryModule {
       |    round(list_sum(list_transform(generate_series(1, len(x.v)),
       |        i -> x.v[i] * q.qv[i]))
       |      / (sqrt(list_sum(list_transform(x.v, y -> y * y)))
-      |         * sqrt(list_sum(list_transform(q.qv, y -> y * y)))), 4) AS cos,
+      |         * sqrt(list_sum(list_transform(q.qv, y -> y * y)))), 4) + 0.0 AS cos,
       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
       |      round(list_sum(list_transform(generate_series(1, len(x.v)),
       |          i -> x.v[i] * q.qv[i]))
@@ -448,9 +450,9 @@ object SimQueries extends graft.QueryModule {
       |  WHERE srank <= 50)
       |SELECT query_id, rank, neighbor_id, cos FROM (
       |  SELECT s.query_id, s.neighbor_id,
-      |    round(""".stripMargin + cosSql("q", "c") + """, 4) AS cos,
+      |    round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 AS cos,
       |    row_number() OVER (PARTITION BY s.query_id
-      |      ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) DESC,
+      |      ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 DESC,
       |        s.neighbor_id ASC) AS rank
       |  FROM shortlist s
       |  JOIN n q ON q.vec_id = s.query_id
@@ -494,7 +496,7 @@ object SimQueries extends graft.QueryModule {
       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c)
       |SELECT a.vec_id AS a, b.vec_id AS b,
       |  round(list_sum(list_transform(generate_series(1, len(a.v)),
-      |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS cos
+      |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) + 0.0 AS cos
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
       |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) >= 0.9
@@ -522,7 +524,7 @@ object SimQueries extends graft.QueryModule {
        |  SELECT vec_id, bucket FROM (
        |    SELECT x.vec_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY x.vec_id
-       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
        |nn AS (SELECT vec_id, v,
        |  sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM e),
@@ -577,7 +579,7 @@ object SimQueries extends graft.QueryModule {
        |  SELECT vec_id, bucket FROM (
        |    SELECT x.vec_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY x.vec_id
-       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) DESC, c.cid ASC) AS r
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
        |nn AS (SELECT vec_id, v,
        |  sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM e),
@@ -637,7 +639,7 @@ object SimQueries extends graft.QueryModule {
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.vec_id
-      |        ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) DESC, c.vec_id) AS rank
+      |        ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 DESC, c.vec_id) AS rank
       |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
       |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t
       |  WHERE rank <= 5),
@@ -645,19 +647,19 @@ object SimQueries extends graft.QueryModule {
       |  SELECT vec_id, bucket FROM (
       |    SELECT x.vec_id, c.centroid_id AS bucket,
       |      row_number() OVER (PARTITION BY x.vec_id
-      |        ORDER BY round(""".stripMargin + cosSql("x", "c") + """, 4) DESC, c.centroid_id) AS r
+      |        ORDER BY round(""".stripMargin + cosSql("x", "c") + """, 4) + 0.0 DESC, c.centroid_id) AS r
       |    FROM n x CROSS JOIN cents c) t WHERE r = 1),
       |probes AS (
       |  SELECT q.vec_id AS query_id, c.centroid_id AS bucket,
       |    row_number() OVER (PARTITION BY q.vec_id
-      |      ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) DESC, c.centroid_id) AS r
+      |      ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 DESC, c.centroid_id) AS r
       |  FROM n q CROSS JOIN cents c
       |  WHERE q.vec_id >= 100 AND q.vec_id < 110),
       |nps AS (SELECT unnest([4, 8, 12]) AS nprobe),
       |cand AS (
       |  SELECT np.nprobe, p.query_id, x.vec_id AS neighbor_id,
       |    row_number() OVER (PARTITION BY np.nprobe, p.query_id
-      |      ORDER BY round(""".stripMargin + cosSql("q", "x") + """, 4) DESC, x.vec_id) AS rank
+      |      ORDER BY round(""".stripMargin + cosSql("q", "x") + """, 4) + 0.0 DESC, x.vec_id) AS rank
       |  FROM nps np
       |  JOIN probes p ON p.r <= np.nprobe
       |  JOIN assigned a ON a.bucket = p.bucket
@@ -705,7 +707,7 @@ object SimQueries extends graft.QueryModule {
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.vec_id
-      |        ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) DESC, c.vec_id) AS rank
+      |        ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 DESC, c.vec_id) AS rank
       |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
       |    WHERE q.vec_id < 10) t
       |  WHERE rank <= 5),
@@ -727,7 +729,7 @@ object SimQueries extends graft.QueryModule {
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT s.query_id, s.neighbor_id,
       |      row_number() OVER (PARTITION BY s.query_id
-      |        ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) DESC,
+      |        ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 DESC,
       |          s.neighbor_id ASC) AS rank
       |    FROM shortlist s
       |    JOIN n q ON q.vec_id = s.query_id

@@ -45,11 +45,11 @@ object SqlSurfaceQueries extends QueryModule {
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round(dot_product(q.embedding, c.embedding) /
                  (sqrt(dot_product(q.embedding, q.embedding)) *
-                  sqrt(dot_product(c.embedding, c.embedding))), 4) AS cos,
+                  sqrt(dot_product(c.embedding, c.embedding))), 4) + 0.0 AS cos,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY
                  round(dot_product(q.embedding, c.embedding) /
                    (sqrt(dot_product(q.embedding, q.embedding)) *
-                    sqrt(dot_product(c.embedding, c.embedding))), 4) DESC,
+                    sqrt(dot_product(c.embedding, c.embedding))), 4) + 0.0 DESC,
                  c.vec_id ASC) AS r
         FROM g_emb q JOIN g_emb c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < 5)
@@ -65,10 +65,10 @@ object SqlSurfaceQueries extends QueryModule {
       |SELECT query_id, neighbor_id, cos FROM (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    round(list_sum(list_transform(generate_series(1, len(q.v)),
-      |      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) AS cos,
+      |      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 AS cos,
       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
       |      round(list_sum(list_transform(generate_series(1, len(q.v)),
-      |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) DESC,
+      |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 4) + 0.0 DESC,
       |      c.vec_id ASC) AS r
       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
       |  WHERE q.vec_id < 5) t

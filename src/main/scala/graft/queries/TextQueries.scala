@@ -506,7 +506,7 @@ object TextQueries extends graft.QueryModule {
       |  round(ln(CAST(bc.cab AS DOUBLE) * (SELECT n FROM n1)
       |      * (SELECT n FROM n1)
       |    / (CAST(ua.cw AS DOUBLE) * CAST(ub.cw AS DOUBLE)
-      |      * (SELECT n FROM n2))), 4) AS pmi
+      |      * (SELECT n FROM n2))), 4) + 0.0 AS pmi
       |FROM bc JOIN uc ua ON bc.a = ua.w JOIN uc ub ON bc.b = ub.w
       |WHERE bc.cab >= 5
       |ORDER BY bc.a, bc.b""".stripMargin
@@ -685,8 +685,9 @@ object TextQueries extends graft.QueryModule {
       .join(broadcast(byTerm), "term")
       .crossJoin(broadcast(tot)).crossJoin(broadcast(vocab))
       .select(col("source"), col("term"), col("cws"),
-        round(log(((col("cws") + 0.5) / (col("ns") + col("v") * 0.5)) /
-          ((col("cw") + 0.5) / (col("n") + col("v") * 0.5))), 4).as("lift"))
+        graft.functions.ScoreFns.scoreRound(
+          log(((col("cws") + 0.5) / (col("ns") + col("v") * 0.5)) /
+            ((col("cw") + 0.5) / (col("n") + col("v") * 0.5))), 4).as("lift"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("lift").desc, col("term"))
     scored.withColumn("r", row_number().over(w)).where(col("r") <= 5)
@@ -706,7 +707,7 @@ object TextQueries extends graft.QueryModule {
       |scored AS (
       |  SELECT bs.source, bs.term, bs.cws,
       |    round(ln(((bs.cws + 0.5) / (st.ns + 0.5 * voc.v)) /
-      |      ((bt.cw + 0.5) / (tot.n + 0.5 * voc.v))), 4) AS lift
+      |      ((bt.cw + 0.5) / (tot.n + 0.5 * voc.v))), 4) + 0.0 AS lift
       |  FROM bs JOIN st USING (source) JOIN bt USING (term),
       |    tot, voc),
       |ranked AS (
@@ -797,7 +798,7 @@ object TextQueries extends graft.QueryModule {
       |scored AS (
       |  SELECT tf.doc_id, tf.token,
       |    round((CAST(cnt AS DOUBLE) / n_toks)
-      |      * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+      |      * ln(CAST(n.n AS DOUBLE) / df.df), 6) + 0.0 AS score
       |  FROM tf JOIN df USING (token) CROSS JOIN n
       |  WHERE tf.doc_id < 20)
       |SELECT doc_id, rank, token, score FROM (
@@ -895,7 +896,8 @@ object TextQueries extends graft.QueryModule {
     graft.text.Bm25.score(
       Tables.documents(spark, sfDir), "doc_id", "text",
       Seq("spark", "shuffle", "window"))
-      .select(col("doc_id"), round(col("bm25"), 4).as("bm25"))
+      .select(col("doc_id"),
+        graft.functions.ScoreFns.scoreRound(col("bm25"), 4).as("bm25"))
       .orderBy("doc_id")
   val bm25Sql: String =
     """WITH tok AS (
@@ -926,7 +928,7 @@ object TextQueries extends graft.QueryModule {
       |      / (CAST(len(list_filter(t, x -> x = 'window')) AS DOUBLE)
       |         + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS bm25
       |  FROM lens, stats, dfs)
-      |SELECT doc_id, round(bm25, 4) AS bm25 FROM scored
+      |SELECT doc_id, round(bm25, 4) + 0.0 AS bm25 FROM scored
       |WHERE bm25 > 0.0 ORDER BY doc_id""".stripMargin
 
   /** PII redaction over text with injected emails/number runs. */
@@ -965,7 +967,7 @@ object TextQueries extends graft.QueryModule {
       |    sum(ln(coalesce(k.cnt, (SELECT oov_cnt FROM oov)))) AS sl
       |  FROM toks t LEFT JOIN kept k USING (token) GROUP BY t.doc_id)
       |SELECT doc_id,
-      |  round(sl / n_tok - ln((SELECT total FROM tot)), 6) AS lm_logprob
+      |  round(sl / n_tok - ln((SELECT total FROM tot)), 6) + 0.0 AS lm_logprob
       |FROM s ORDER BY doc_id""".stripMargin
 
   /** Hashed-feature linear classifier inference (fastText-style):

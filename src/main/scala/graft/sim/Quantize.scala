@@ -72,7 +72,8 @@ object Quantize {
     // stage 2: exact rescore of the shortlist only
     Similarity.rankTopK(
       shortlist.select(col("query_id"), col("neighbor_id"),
-        round(Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")),
+        graft.functions.ScoreFns.scoreRound(
+          Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")),
           roundTo).as("cos")), k)
   }
 }

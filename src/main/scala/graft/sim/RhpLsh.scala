@@ -221,7 +221,8 @@ object RhpLsh {
       .join(vec.select(col("__id").as("a"), col("__v").as("va"), col("__n").as("na")), "a")
       .join(vec.select(col("__id").as("b"), col("__v").as("vb"), col("__n").as("nb")), "b")
       .select(col("a"), col("b"),
-        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")),
+        graft.functions.ScoreFns.scoreRound(
+          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")),
           roundTo).as("cos"))
       .where(col("cos") >= threshold)
   }

@@ -70,7 +70,8 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
+        graft.functions.ScoreFns.scoreRound(
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -89,7 +90,7 @@ object Similarity {
         norm(col("cvec")).as("cnrm"))
       corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__nrm"))
         .crossJoin(broadcast(cents))
-        .withColumn("cscore", round(
+        .withColumn("cscore", graft.functions.ScoreFns.scoreRound(
           dot(col(vecCol), col("cvec")) / (col("__nrm") * col("cnrm")), roundTo))
         .groupBy(col(idCol))
         .agg(
@@ -110,7 +111,7 @@ object Similarity {
       // top-nprobe buckets per query through the same O(k) heap as
       // rankTopK (qv/qn are group-constant, carried via first())
       val probes = q.crossJoin(broadcast(cents))
-        .withColumn("cscore", round(
+        .withColumn("cscore", graft.functions.ScoreFns.scoreRound(
           dot(col("qv"), col("cvec")) / (col("qn") * col("cnrm")), roundTo))
         .groupBy("query_id")
         .agg(graft.plans.BoundedTopK(
@@ -125,7 +126,8 @@ object Similarity {
         .join(broadcast(probes), Seq("bucket"))
         .where(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
-          round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
+          graft.functions.ScoreFns.scoreRound(
+            dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
       rankTopK(scored, k)
     }
   }

@@ -48,7 +48,11 @@ object Collocations {
       .join(broadcast(uni.select(col("w").as("b"), col("cw").as("cb"))), "b")
       .crossJoin(broadcast(n1df)).crossJoin(broadcast(n2df))
       .select(col("a"), col("b"), col("cab"),
-        round(log(d(col("cab")) * col("n1") * col("n1") /
-          (d(col("ca")) * d(col("cb")) * col("n2"))), 4).as("pmi"))
+        // scoreRound: a bigram with true pmi 0 rounded to -0.0 here vs
+        // 0.0 in the oracle (1-ulp libm difference) — hash-red until
+        // both sides normalize the zero sign
+        graft.functions.ScoreFns.scoreRound(
+          log(d(col("cab")) * col("n1") * col("n1") /
+            (d(col("ca")) * d(col("cb")) * col("n2"))), 4).as("pmi"))
   }
 }

@@ -73,7 +73,8 @@ object Vocab {
       .agg(count(lit(1)).as("n_tok"), sum(log(col("cnt"))).as("sl"))
       .crossJoin(broadcast(total))
       .select(col(idCol),
-        round(col("sl") / col("n_tok") - log(col("total")), 6).as("lm_logprob"))
+        graft.functions.ScoreFns.scoreRound(
+          col("sl") / col("n_tok") - log(col("total")), 6).as("lm_logprob"))
   }
 
   /** Top-`perDoc` terms per document by tf·idf with natural-log idf
@@ -96,7 +97,7 @@ object Vocab {
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.where(docFilter)
       .join(df, "token")
-      .withColumn("score", round(
+      .withColumn("score", graft.functions.ScoreFns.scoreRound(
         (col("cnt").cast("double") / col("n_toks")) *
           log(lit(nDocs).cast("double") / col("df")), 6))
     scored.groupBy(col(idCol))
