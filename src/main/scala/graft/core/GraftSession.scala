@@ -47,15 +47,26 @@ object GraftSession {
     // so the pruning the rule exists for has nothing to prune.
     c.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    // WITH RECURSIVE's runaway valve defaults to 1M TOTAL rows across
-    // all iterations — a per-QUERY cap, so it trips on data volume,
-    // not runaway depth (sql_recursive_cte walks V·log₂V rows: fine
-    // at sf0.1, dead at sf1). Provably-bounded recursions (ours
-    // descends a strictly-shrinking key) need the valve sized to data;
-    // the depth limit (cteRecursionLevelLimit=100) stays as the real
-    // runaway guard.
-    c.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
     spark
+  }
+
+  /** A derived session with extra SQL confs, for frames whose
+    * EXECUTION needs a non-default conf (e.g. the WITH RECURSIVE
+    * total-row valve: `spark.sql.cteRecursionRowLimit` defaults to 1M
+    * rows summed across all iterations — a data-volume cap that a
+    * provably-bounded recursion outgrows at sf1). Set/unset around
+    * plan construction would NOT work: Spark reads these confs when
+    * the query RUNS (possibly much later, when the caller writes the
+    * frame), so the override must live on the session the frame is
+    * bound to. Scoping it here keeps the valve — and every other
+    * override — at its default for all other queries in the session,
+    * instead of disabling a safety limit session-wide. */
+  def confScoped(spark: SparkSession, confs: (String, String)*)
+                (f: SparkSession => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s2 = tune(spark.newSession())
+    confs.foreach { case (k, v) => s2.conf.set(k, v) }
+    f(s2)
   }
 
   def build(appName: String = "graft", master: String = "local[*]"): SparkSession = {

@@ -39,11 +39,16 @@ object Clusters {
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
+      // convergence count folded into the materializing scan: the
+      // changed-label metric rides the same job that fills the cache
+      // (observe = map-side accumulation, no second aggregation pass
+      // over step) — one job per round, asserted by ClustersPlanSpec
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
       val step = propagateStep(edges, labels)
+        .observe(obs, count(when(col("cluster") =!= col("old"), 1)).as("n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = step
-        .agg(count(when(col("cluster") =!= col("old"), 1)).as("n"))
-        .head.getLong(0)
+      step.count() // the round's ONE action
+      val changed = obs.get("n").asInstanceOf[Long]
       cached.unpersist() // the derived select below shares step's cache
       cached = step
       labels = step.select("id", "cluster")

@@ -903,7 +903,17 @@ object VersionedTable {
   /** Tag a committed version with a stable name (Iceberg tags /
     * DVC-style releases): a single-object write under `_tags/`, so
     * "prod reads the `release` tag" survives any number of later
-    * commits, restores, or compactions. Re-tagging a name moves it. */
+    * commits, restores, or compactions. Re-tagging a name moves it.
+    *
+    * Concurrency contract: tag WRITES are single-writer per tag name.
+    * The move is write-tmp → rename, but on filesystems where
+    * rename-over-existing fails the fallback is delete + rename — a
+    * window in which the tag is briefly ABSENT. Readers are shielded
+    * by [[readAsOfTag]]'s bounded re-read of that window; two
+    * concurrent re-taggers of the SAME name, however, can interleave
+    * delete/rename and lose one writer's move (last-rename-wins is
+    * not guaranteed) — serialize re-tags of a name externally, as
+    * every tag-moving deployment (promote-to-prod) naturally does. */
   def tagVersion(spark: SparkSession, root: String, name: String,
                  v: Long): Unit = {
     require(versions(spark, root).contains(v),
@@ -935,12 +945,21 @@ object VersionedTable {
         readSmall(spark, s.getPath).trim.toLong).toMap
   }
 
-  /** Time travel by tag name. */
+  /** Time travel by tag name. A re-tag in flight ([[tagVersion]]'s
+    * delete+rename fallback) can make the tag momentarily absent, so
+    * a miss is re-read a few times before concluding the tag really
+    * does not exist — "prod pins a release" must not throw because a
+    * deploy moved the pin at the wrong instant. */
   def readAsOfTag(spark: SparkSession, root: String, keyCols: Seq[String],
                   name: String): DataFrame = {
-    val v = tags(spark, root).getOrElse(name,
-      throw new IllegalArgumentException(s"unknown tag '$name' on $root"))
-    readAsOf(spark, root, keyCols, v)
+    var v = tags(spark, root).get(name)
+    var retries = 3
+    while (v.isEmpty && retries > 0) {
+      Thread.sleep(50); retries -= 1
+      v = tags(spark, root).get(name)
+    }
+    readAsOf(spark, root, keyCols, v.getOrElse(
+      throw new IllegalArgumentException(s"unknown tag '$name' on $root")))
   }
 
   /** Compact only when the live chain (newest snapshot through head)

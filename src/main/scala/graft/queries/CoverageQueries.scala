@@ -214,7 +214,30 @@ object CoverageQueries extends graft.QueryModule {
     """SELECT 336 AS parts_64k, 84 AS parts_256k,
       |  CAST(22000000 AS BIGINT) AS n_bytes""".stripMargin
 
+  /** R4: `rdd.getNumPartitions` introspection (the reference logs the
+    * post-read and post-repartition counts to size its write). The
+    * gate pins the introspected count through each layout operator it
+    * drives: an explicit repartition(7), a coalesce(3) on top (narrow
+    * — must not exceed its parent's count), and a keyed
+    * repartition(5, col) — all exact; plus the row count to prove the
+    * reshapes lost nothing. */
+  def r4NumPartitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey")
+    val wide = orders.repartition(7)
+    val narrow = wide.coalesce(3)
+    val keyed = orders.repartition(5, col("o_orderkey"))
+    spark.range(1).select(
+      lit(wide.rdd.getNumPartitions).as("parts_repart"),
+      lit(narrow.rdd.getNumPartitions).as("parts_coalesce"),
+      lit(keyed.rdd.getNumPartitions).as("parts_keyed"),
+      lit(narrow.count()).as("n_rows"))
+  }
+  val r4Sql: String =
+    """SELECT 7 AS parts_repart, 3 AS parts_coalesce, 5 AS parts_keyed,
+      |  count(*) AS n_rows FROM orders""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r4_num_partitions" -> (r4NumPartitions _),
     "p1p3_struct_projection" -> (p1p3StructProjection _),
     "j9_join_by_name" -> (j9JoinByName _),
     "w3_save_as_table" -> (w3SaveAsTable _),
@@ -224,6 +247,7 @@ object CoverageQueries extends graft.QueryModule {
     "s10_jdbc_export" -> (s10JdbcExport _))
 
   def oracles: Map[String, String] = Map(
+    "r4_num_partitions" -> r4Sql,
     "p1p3_struct_projection" -> p1p3Sql,
     "j9_join_by_name" -> j9Sql,
     "w3_save_as_table" -> w3Sql,

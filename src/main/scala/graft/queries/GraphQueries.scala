@@ -58,15 +58,66 @@ object GraphQueries extends graft.QueryModule {
       |outw AS (SELECT src, sum(w) AS tw FROM el GROUP BY 1),
       |e AS (SELECT el.src, el.dst, el.w / o.tw AS p
       |      FROM el JOIN outw o ON el.src = o.src),
-      |nodes AS (SELECT DISTINCT src AS node FROM el),
+      |nodes AS (SELECT src AS node FROM el UNION SELECT dst FROM el),
       |r0 AS (SELECT node, 1.0 AS rank FROM nodes),
       |""".stripMargin +
       (1 to 5).map(prRound).mkString(",\n") +
       "\nSELECT node, round(rank, 4) AS rank FROM r5 ORDER BY node"
 
+  /** Triangle count + transitivity of the part co-purchase graph
+    * (graph.Triangles): degree-ordered orientation bounds the wedge
+    * join at O(E^1.5) regardless of hub skew. The oracle replays
+    * orientation → wedge → closure with the identical lexicographic
+    * (degree, id) tie-break, so an off-by-one in the orientation (the
+    * classic double/zero-count bug) breaks the value, not just the
+    * plan. Same bounded basket expansion as graph_pagerank. */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val pairs = li.groupBy("l_orderkey")
+      .agg(collect_list("l_partkey").as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") =!= col("b"))
+    graft.graph.Triangles.stats(pairs)
+  }
+  val graphTrianglesSql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+      |    greatest(x.l_partkey, y.l_partkey) AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey <> y.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS d FROM (
+      |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY id),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN u.a ELSE u.b END AS u,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN u.b ELSE u.a END AS v,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN db.d ELSE da.d END AS dv
+      |  FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id),
+      |wedge AS (
+      |  SELECT e1.v AS x, e2.v AS y
+      |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+      |tri AS (
+      |  SELECT count(*) AS t FROM wedge w
+      |  JOIN o ON o.u = w.x AND o.v = w.y),
+      |wt AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg)
+      |SELECT t AS n_triangles, wedges AS n_wedges,
+      |  CASE WHEN wedges = 0 THEN 0.0
+      |    ELSE round(3.0 * t / wedges, 6) END AS clustering
+      |FROM tri, wt""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _))
 
   def oracles: Map[String, String] = Map(
-    "graph_pagerank" -> graphPagerankSql)
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_triangles" -> graphTrianglesSql)
 }

@@ -745,7 +745,48 @@ object SimQueries extends graft.QueryModule {
       |    AS DOUBLE) / tot.total, 4) AS recall
       |FROM tot""".stripMargin
 
+  /** Sparse tf-idf cosine top-20 document pairs (sim.SparseCosine)
+    * over TRIGRAM shingle terms with the df ∈ [2, 20] stop-phrase cap
+    * — the lexical near-dup detector that needs no embeddings.
+    * (Unigram terms are useless on this corpus: its whole vocabulary
+    * is ~30 words, every one df > 20 — shingles are what keeps the
+    * term space discriminative.) The oracle recomputes shingle tf,
+    * the df window, 6dp-rounded idf, pruned norms, and the pair dot
+    * products in DuckDB. */
+  def simSparseCosine(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sim.SparseCosine.topPairs(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      k = 20, maxDf = 20, n = 3)
+  val sparseCosineSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS term
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |  WHERE len(t) >= 3),
+      |tf AS (SELECT doc_id, term, count(*) AS cnt FROM sh GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |       HAVING count(*) BETWEEN 2 AND 20),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |w AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    cnt * round(ln(CAST((SELECT n FROM nn) AS DOUBLE) / df.df), 6) AS w
+      |  FROM tf JOIN df USING (term)),
+      |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+      |d AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w * y.w) AS dot
+      |  FROM w x JOIN w y ON x.term = y.term AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d.a, d.b,
+      |  round(d.dot / (na.nrm * nb.nrm), 4) + 0.0 AS cos
+      |FROM d JOIN nrm na ON d.a = na.doc_id JOIN nrm nb ON d.b = nb.doc_id
+      |ORDER BY cos DESC, d.a, d.b LIMIT 20""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_sparse_cosine" -> (simSparseCosine _),
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
@@ -762,6 +803,7 @@ object SimQueries extends graft.QueryModule {
     "dedup_semantic_capped" -> (dedupSemanticCapped _))
 
   def oracles: Map[String, String] = Map(
+    "sim_sparse_cosine" -> sparseCosineSql,
     "sim_bruteforce_topk" -> bruteSql,
     "sim_ivf_topk" -> ivfSql,
     "sim_kmeans_ivf" -> kmeansIvfSql,

@@ -173,9 +173,15 @@ object SqlSurfaceQueries extends QueryModule {
     * recursion. The iteration state each round is one row per still-
     * walking node, never the closure so far: UnionLoop materializes
     * per-step deltas, the semi-naive shape that survives scale. */
-  def sqlRecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.customer(spark, sfDir).createOrReplaceTempView("g_cust")
-    spark.sql("""
+  def sqlRecursiveCte(spark: SparkSession, sfDir: String): DataFrame =
+    // valve sized to data for THIS query only (this recursion descends
+    // a strictly-shrinking key, so depth — not the default 1M-row
+    // total — is the meaningful guard); every other query keeps the
+    // session default
+    graft.core.GraftSession.confScoped(spark,
+      "spark.sql.cteRecursionRowLimit" -> Int.MaxValue.toString) { s2 =>
+    Tables.customer(s2, sfDir).createOrReplaceTempView("g_cust")
+    s2.sql("""
       WITH RECURSIVE walk AS (
         SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM g_cust
         UNION ALL

@@ -287,7 +287,57 @@ object StreamQueries extends graft.QueryModule {
       |  2 AS n_versions, 50 AS n_quarantined
       |FROM ev""".stripMargin
 
+  /** Quarantine replay-after-fix — the second half of the WAP
+    * contract (rejecting a poison batch is only useful if the
+    * corrected data can later be landed): bootstrap the table, drain
+    * a batch of out-of-range rows into the quarantine (no version
+    * created), then REPLAY it through the same audit gate with a fix
+    * that clamps the bad values — the repaired rows commit as a new
+    * version and the quarantine empties. The final state must be
+    * base + repaired rows, exactly two versions, zero rows left in
+    * quarantine, and the replay must report one committed batch. */
+  def t10QuarantineReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.{Quality, VersionedTable}
+    import graft.streaming.AuditedIngest
+    val tag = synchronized { cdcCtr += 1; s"replay$cdcCtr" }
+    val base = GraftSession.scratch(tag)
+    val feed = s"$base/feed"; val root = s"$base/tbl"; val ck = s"$base/ck"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    def audit(m: DataFrame): Seq[DataFrame] = Seq(
+      Quality.complete(m, "value"),
+      Quality.inRange(m, "value", 0.0, 10000.0))
+    GraftSession.stateScoped(spark, 8) { s2 =>
+      ev.write.parquet(feed)
+      AuditedIngest.runAvailable(s2,
+        s2.readStream.schema(schema).parquet(feed),
+        root, Seq("event_id"), ck, audit)                    // v0 bootstrap
+      spark.range(50)
+        .select((col("id") + 4000000).as("event_id"), lit(-7.5).as("value"))
+        .write.mode("append").parquet(feed)
+      AuditedIngest.runAvailable(s2,
+        s2.readStream.schema(schema).parquet(feed),
+        root, Seq("event_id"), ck, audit)                    // quarantined
+      val nReplayed = AuditedIngest.replayAll(s2, root, Seq("event_id"),
+        audit)(b => b.withColumn("value", abs(col("value"))))  // fix → v1
+      VersionedTable.readLatest(s2, root, Seq("event_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("n"), col("total"),
+          lit(VersionedTable.versions(s2, root).size.toLong).as("n_versions"),
+          lit(AuditedIngest.quarantined(s2, root).count()).as("n_quarantined"),
+          lit(nReplayed.toLong).as("n_replayed"))
+    }
+  }
+  val t10Sql: String =
+    """WITH ev AS (SELECT event_id, value FROM events)
+      |SELECT count(*) + 50 AS n,
+      |  round(sum(value) + 50 * 7.5, 2) AS total,
+      |  2 AS n_versions, 0 AS n_quarantined, 1 AS n_replayed
+      |FROM ev""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_quarantine_replay" -> (t10QuarantineReplay _),
     "t9_stream_audited" -> (t9StreamAudited _),
     "t1_stream_ingest" -> (t1StreamIngest _),
     "t5_stream_window" -> (t5StreamWindow _),
@@ -296,6 +346,7 @@ object StreamQueries extends graft.QueryModule {
     "t8_cdc_pipeline" -> (t8CdcPipeline _))
 
   def oracles: Map[String, String] = Map(
+    "t10_quarantine_replay" -> t10Sql,
     "t9_stream_audited" -> t9Sql,
     "t1_stream_ingest" -> t1Sql,
     "t5_stream_window" -> t5Sql,

@@ -970,6 +970,36 @@ object TextQueries extends graft.QueryModule {
       |  round(sl / n_tok - ln((SELECT total FROM tot)), 6) + 0.0 AS lm_logprob
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM quality score (text.Vocab.bigramLogProb): per-doc mean
+    * ln P(wᵢ|wᵢ₋₁) under the corpus's add-1-smoothed bigram model —
+    * prices word order, which the unigram text_lm_score cannot. The
+    * oracle rebuilds the bigram model and replays the identical
+    * smoothing algebra. */
+  def textBigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.Vocab.bigramLogProb(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+  val bigramLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+      |    '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |u AS (SELECT unnest(t) AS w FROM toks),
+      |uc AS (SELECT w, count(*) AS cw FROM u GROUP BY 1),
+      |vv AS (SELECT count(*) AS v FROM uc),
+      |bi AS (
+      |  SELECT doc_id, t[i] AS a, t[i + 1] AS b, count(*) AS cnt
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      |  WHERE len(t) >= 2 GROUP BY 1, 2, 3),
+      |bc AS (SELECT a, b, sum(cnt) AS cab FROM bi GROUP BY 1, 2)
+      |SELECT bi.doc_id,
+      |  round(sum(bi.cnt * ln((bc.cab + 1.0)
+      |      / (uc.cw + (SELECT v FROM vv))))
+      |    / sum(bi.cnt), 6) + 0.0 AS bigram_logprob
+      |FROM bi JOIN bc USING (a, b) JOIN uc ON bi.a = uc.w
+      |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
+
   /** Hashed-feature linear classifier inference (fastText-style):
     * logistic over mean-pooled md5-bucket weights. */
   def textQualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
@@ -997,6 +1027,7 @@ object TextQueries extends graft.QueryModule {
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality_classifier" -> (textQualityClassifier _),
     "text_lm_score" -> (textLmScore _),
+    "text_bigram_lm" -> (textBigramLm _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
     "text_normalize" -> (textNormalize _),
@@ -1035,6 +1066,7 @@ object TextQueries extends graft.QueryModule {
   def oracles: Map[String, String] = Map(
     "text_quality_classifier" -> classifierSql,
     "text_lm_score" -> lmScoreSql,
+    "text_bigram_lm" -> bigramLmSql,
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,
     "text_normalize" -> normalizeSql,

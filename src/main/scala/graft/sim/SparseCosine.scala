@@ -1,0 +1,71 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse tf-idf cosine similarity between documents over n-gram
+  * SHINGLE terms — the LEXICAL counterpart to the dense embedding
+  * paths (RhpLsh/SemDedup): finds template/boilerplate families and
+  * near-copies that share phrasing, with no embedding model in the
+  * loop. Shingles (not unigrams) are the term space because word
+  * n-grams keep df low and discriminative even over a small
+  * vocabulary: two documents share a term only when they share an
+  * exact n-word phrase.
+  *
+  * Candidate generation is the inverted-index join: two documents are
+  * compared iff they share a kept shingle, and the per-term fan-out is
+  * capped by `maxDf` — shingles in more than `maxDf` documents are
+  * STOP-PHRASES, dropped both as similarity signal (their idf ≈ 0
+  * anyway) and as join keys (a corpus-wide phrase would otherwise
+  * generate an all-pairs candidate set: the df cap bounds candidates
+  * at Σ df² ≤ maxDf·Σ df, the same role maxBucketSize plays for LSH).
+  * df < 2 terms are dropped too (they cannot co-occur). Weights,
+  * norms, and the final cosine are all computed in the PRUNED term
+  * space — the statistic is "cosine over discriminative shared
+  * phrasing", documented as such, not an approximation of the
+  * unpruned cosine.
+  *
+  * idf is rounded to 6 decimals before weighting (the Bm25 idiom:
+  * ln() differs by an ulp across libm implementations; the rounded
+  * value is what any replaying engine reproduces exactly). Top-k is a
+  * global ordered limit — TakeOrdered, k rows per partition then a
+  * driver-side k-merge, never a full sort.
+  */
+object SparseCosine {
+
+  /** Top-`k` most similar document pairs (a < b) by tf-idf cosine over
+    * `n`-gram shingles with df in [2, maxDf]. Output:
+    * (a, b, cos) ordered by (cos DESC, a, b). */
+  def topPairs(docs: DataFrame, idCol: String, textCol: String,
+               k: Int, maxDf: Int, n: Int = 3): DataFrame = {
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col(idCol).as("id"),
+        expr(s"filter(split(trim(lower($textCol)), '\\\\s+')," +
+          " x -> x != '')").as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1})," +
+          s" i -> array_join(slice(t, i, $n), ' '))")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+    val w = tf.join(df, "term")
+      .select(col("id"), col("term"),
+        (col("cnt") * round(log(lit(nDocs.toDouble) / col("df")), 6)).as("w"))
+    val nrm = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dot = w.select(col("term"), col("id").as("a"), col("w").as("wa"))
+      .join(w.select(col("term"), col("id").as("b"), col("w").as("wb")),
+        Seq("term"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(nrm.select(col("id").as("a"), col("nrm").as("na")), "a")
+      .join(nrm.select(col("id").as("b"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        graft.functions.ScoreFns.scoreRound(
+          col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(k)
+  }
+}

@@ -77,6 +77,49 @@ object Vocab {
           col("sl") / col("n_tok") - log(col("total")), 6).as("lm_logprob"))
   }
 
+  /** Bigram-LM quality score: per-doc mean ln P(wᵢ | wᵢ₋₁) under the
+    * corpus's own add-1-smoothed bigram model, P(b|a) =
+    * (c(a,b) + 1) / (c(a) + V) — the next strength up from
+    * [[lmLogProb]]'s unigram model: it prices word ORDER, so shuffled
+    * or boilerplate-stitched text scores low even when its unigram
+    * distribution is natural. Docs with fewer than two tokens carry
+    * no bigram and are excluded.
+    *
+    * Scale shape: bigrams expand map-side from each doc's token array
+    * (the Collocations idiom — never a positional self-join), are
+    * counted per (doc, a, b) FIRST so the model join moves per-doc
+    * DISTINCT bigrams rather than every occurrence, then meet the
+    * corpus bigram counts in one keyed join; unigram counts broadcast
+    * (vocabulary-sized), V and the per-doc mean are
+    * partial-aggregable. Rounded to 6 digits (same slack argument as
+    * [[lmLogProb]]). */
+  def bigramLogProb(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      expr(s"filter(split(trim(lower($textCol)), '\\\\s+')," +
+        " x -> x != '')").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val biPerDoc = toks.where(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+        .as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col(idCol), col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val bc = biPerDoc.groupBy("a", "b").agg(sum("cnt").as("cab"))
+    biPerDoc.join(bc, Seq("a", "b"))
+      .join(broadcast(uni.select(col("w").as("a"), col("cw").as("ca"))), "a")
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(graft.functions.ScoreFns.scoreRound(
+        sum(col("cnt") * log((col("cab") + 1.0) /
+          (col("ca") + col("v")))) / sum(col("cnt")), 6)
+        .as("bigram_logprob"))
+  }
+
   /** Top-`perDoc` terms per document by tf·idf with natural-log idf
     * over the FULL corpus (`nDocs` passed in so callers control the
     * count pass); `docFilter` restricts which docs are scored without

@@ -41,6 +41,59 @@ class ClustersPlanSpec extends SparkSpecBase {
     } finally edges.unpersist()
   }
 
+  test("convergence count rides the materializing scan (observe adds no job)") {
+    // the r8 shape materialized the persisted step with a SEPARATE
+    // count-aggregation action; the fold attaches the changed-label
+    // metric as an Observation on the same scan. Absolute job counts
+    // are AQE-stage-dependent, so assert relatively: a round with the
+    // observation attached fires exactly as many jobs as a bare
+    // materialization of the same step — the metric is free.
+    def jobsOf(body: => Unit): Int = {
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(counter)
+      try {
+        body
+        // listener delivery is async; poll until the count stabilizes
+        var last = -1; var n = counter.jobs.get()
+        while (n != last) { last = n; Thread.sleep(200); n = counter.jobs.get() }
+        n
+      } finally spark.sparkContext.removeSparkListener(counter)
+    }
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().repartition(col("dst")).persist()
+    edges.count()
+    val labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster")).persist()
+    labels.count()
+    try {
+      val bare = jobsOf {
+        val step = Clusters.propagateStep(edges, labels).persist()
+        step.count(); step.unpersist(blocking = true); ()
+      }
+      val obs = org.apache.spark.sql.Observation("cc_spec")
+      var changed = -1L
+      val folded = jobsOf {
+        val step = Clusters.propagateStep(edges, labels)
+          .observe(obs, count(when(col("cluster") =!= col("old"), 1)).as("n"))
+          .persist()
+        step.count()
+        changed = obs.get("n").asInstanceOf[Long]
+        step.unpersist(blocking = true); ()
+      }
+      assert(changed >= 1, "first round of a chain must change labels")
+      assert(folded == bare,
+        s"observation added jobs: bare=$bare folded=$folded")
+    } finally { labels.unpersist(); edges.unpersist(); () }
+  }
+
   test("connected components still collapses transitive chains") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 8L)).toDF("a", "b")
     val got = Clusters.connectedComponents(pairs)
