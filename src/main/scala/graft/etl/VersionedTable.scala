@@ -759,6 +759,32 @@ object VersionedTable {
   def commitUpsert(spark: SparkSession, root: String, updates: DataFrame): Long =
     write(spark, root, updates.withColumn(Deleted, lit(false)), snapshot = false)
 
+  /** Conditional MERGE for out-of-order feeds (`WHEN MATCHED AND
+    * source.ord > target.ord THEN UPDATE / NOT MATCHED INSERT` — the
+    * late-arriving-data guard): an incoming row lands only if its key
+    * is new or its `ordCol` is STRICTLY greater than the live row's,
+    * so a replayed or delayed stale update can never clobber fresher
+    * state. Rows that lose the comparison are silently dropped — they
+    * were superseded before they arrived. One join of the batch
+    * against the live state (batch-sized, not table-rewriting), then
+    * a normal delta commit of the survivors; NO version is created
+    * when nothing survives, keeping replays of all-stale batches
+    * no-ops in the history too. `updates` must carry one row per key
+    * (dedup upstream — two in-batch rows for a key would race each
+    * other, same contract as commitUpsert). Returns the committed
+    * version, or the current head when the batch was all-stale. */
+  def commitUpsertIfNewer(spark: SparkSession, root: String,
+                          updates: DataFrame, keyCols: Seq[String],
+                          ordCol: String): Long = {
+    val live = readLatest(spark, root, keyCols)
+      .select((keyCols.map(col) :+ col(ordCol).as("__live_ord")): _*)
+    val survivors = updates.join(live, keyCols, "left_outer")
+      .where(col("__live_ord").isNull || col(ordCol) > col("__live_ord"))
+      .drop("__live_ord")
+    if (survivors.isEmpty) versions(spark, root).last
+    else commitUpsert(spark, root, survivors)
+  }
+
   /** Append a delete commit: `keys` holds the key columns only; payload
     * columns are null-filled to keep one schema per table. */
   def commitDelete(spark: SparkSession, root: String, keys: DataFrame): Long = {

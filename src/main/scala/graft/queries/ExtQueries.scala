@@ -556,6 +556,55 @@ object ExtQueries extends graft.QueryModule {
       |  round(sum(value * 2) + 700.0, 2) AS total, 2 AS n_versions
       |FROM ev WHERE event_id % 3 = 0""".stripMargin
 
+  /** Conditional MERGE (VersionedTable.commitUpsertIfNewer): the
+    * late-arriving-data guard. One batch carries STALE updates (ts a
+    * day older, value ×100 — must be dropped), FRESH updates (ts an
+    * hour newer, value +10 — must land) and NEW keys; a second
+    * all-stale batch must create NO version. Final state + version
+    * count are computed arithmetically by the oracle — a clobbered
+    * stale row shows up as a ×100 value, a phantom version as
+    * n_versions=3. */
+  def vtMergeConditional(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtcond") + "/tbl"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("value"))
+    VersionedTable.init(spark, root, ev)                               // v0
+    val batch = ev.where(col("event_id") % 10 === 0)
+      .select(col("event_id"), (col("ts") - expr("INTERVAL 1 DAY")).as("ts"),
+        (col("value") * 100).as("value"))                              // stale
+      .unionByName(ev.where(col("event_id") % 10 === 1)
+        .select(col("event_id"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("ts"),
+          (col("value") + 10).as("value")))                            // fresh
+      .unionByName(spark.range(50)
+        .select((col("id") + 6000000).as("event_id"),
+          current_timestamp().as("ts"), lit(3.0).as("value")))         // new
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsertIfNewer(spark, root, batch,
+        Seq("event_id"), "ts")                                         // v1
+    }
+    val allStale = ev.where(col("event_id") % 10 === 2)
+      .select(col("event_id"), (col("ts") - expr("INTERVAL 2 DAY")).as("ts"),
+        lit(-999.0).as("value"))
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitUpsertIfNewer(spark, root, allStale,
+        Seq("event_id"), "ts")                                         // no-op
+    }
+    VersionedTable.readLatest(spark, root, Seq("event_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("n"), col("total"),
+        lit(VersionedTable.versions(spark, root).size.toLong)
+          .as("n_versions"))
+  }
+  val vtMergeConditionalSql: String =
+    """WITH ev AS (SELECT event_id, value FROM events)
+      |SELECT count(*) + 50 AS n,
+      |  round(sum(CASE WHEN event_id % 10 = 1 THEN value + 10
+      |    ELSE value END) + 150.0, 2) AS total,
+      |  2 AS n_versions
+      |FROM ev""".stripMargin
+
   /** Auto-compaction policy: six upsert batches with
     * `compactIfNeeded(maxChain=3)` after each — the chain-length
     * budget triggers compactions at exactly v4 and v8 (init snapshot
@@ -986,6 +1035,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_stats_view" -> (vtStatsView _),
     "vt_auto_compact" -> (vtAutoCompact _),
     "vt_merge_full_sync" -> (vtMergeFullSync _),
+    "vt_merge_conditional" -> (vtMergeConditional _),
     "vt_projected_read" -> (vtProjectedRead _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
@@ -1013,6 +1063,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_stats_view" -> vtStatsViewSql,
     "vt_auto_compact" -> vtAutoCompactSql,
     "vt_merge_full_sync" -> vtMergeFullSyncSql,
+    "vt_merge_conditional" -> vtMergeConditionalSql,
     "vt_projected_read" -> vtProjectedReadSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,

@@ -113,11 +113,56 @@ object GraphQueries extends graft.QueryModule {
       |    ELSE round(3.0 * t / wedges, 6) END AS clustering
       |FROM tri, wt""".stripMargin
 
+  /** Degree statistics + power-law exponent of the co-purchase graph:
+    * node/edge counts, the hub degree, and the log-log slope of the
+    * degree-frequency distribution (regr_slope over (ln d, ln f) —
+    * the standard first-look test for scale-free structure, and the
+    * number that says whether a degree-capped algorithm will face
+    * hubs). Everything is keyed aggregation; the regression runs over
+    * the DISTINCT-degree table, which is at most √(2E) rows. */
+  def graphDegreeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val und = li.groupBy("l_orderkey")
+      .agg(collect_list("l_partkey").as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    val slope = deg.groupBy("d").agg(count(lit(1)).as("f"))
+      .agg(graft.functions.ScoreFns.scoreRound(
+        expr("regr_slope(ln(f), ln(d))"), 6).as("powerlaw_slope"))
+    deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_deg"))
+      .crossJoin(broadcast(nEdges)).crossJoin(broadcast(slope))
+      .select("n_nodes", "n_edges", "max_deg", "powerlaw_slope")
+  }
+  val graphDegreeStatsSql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey < y.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS d FROM (
+      |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY id),
+      |fr AS (SELECT d, count(*) AS f FROM deg GROUP BY 1)
+      |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+      |  (SELECT count(*) FROM und) AS n_edges,
+      |  (SELECT max(d) FROM deg) AS max_deg,
+      |  round(regr_slope(ln(f), ln(d)), 6) + 0.0 AS powerlaw_slope
+      |FROM fr""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
+    "graph_degree_stats" -> (graphDegreeStats _),
     "graph_triangles" -> (graphTriangles _))
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
+    "graph_degree_stats" -> graphDegreeStatsSql,
     "graph_triangles" -> graphTrianglesSql)
 }

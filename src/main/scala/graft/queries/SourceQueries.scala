@@ -173,6 +173,37 @@ object SourceQueries extends graft.QueryModule {
       |FROM lineitem WHERE l_quantity > 25 AND l_discount > 0.02
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S13: `binaryFile` datasource — the opaque-blob read path every
+    * multimodal pipeline starts from (image/audio shards land as raw
+    * files; Spark lists, splits and streams them as (path, content)
+    * rows). Fixture: the first 20 documents written as UTF-8 .txt
+    * blobs; the gate reads them back as binary, keys each blob by the
+    * id parsed from its filename, and proves content integrity by
+    * md5 + byte length against the oracle's view of the same text. */
+  def s13BinaryFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("s13")
+    new java.io.File(dir).mkdirs()
+    Tables.documents(spark, sfDir).where(col("doc_id") < 20)
+      .select("doc_id", "text").collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"${r.getLong(0)}%05d.txt"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.txt")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        md5(col("content")).as("content_md5"),
+        length(col("content")).cast("long").as("n_bytes"))
+      .orderBy("doc_id")
+  }
+  val s13Sql: String =
+    """SELECT doc_id, md5(text) AS content_md5,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+
   /** W2: dynamic-partition overwrite — rewrite ONE day, keep the rest. */
   def w2DynamicPartition(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratch("w2")
@@ -432,6 +463,7 @@ object SourceQueries extends graft.QueryModule {
     "s6_jdbc_roundtrip" -> (s6JdbcRoundtrip _),
     "s7_json_schema" -> (s7JsonSchema _),
     "s11_orc_roundtrip" -> (s11OrcRoundtrip _),
+    "s13_binary_files" -> (s13BinaryFiles _),
     "w1_parquet_roundtrip" -> (w1ParquetRoundtrip _),
     "w2_dynamic_partition" -> (w2DynamicPartition _),
     "r1_one_file_per_partition" -> (r1OneFilePerPartition _),
@@ -450,6 +482,7 @@ object SourceQueries extends graft.QueryModule {
     "s6_jdbc_roundtrip" -> s6Sql,
     "s7_json_schema" -> s7Sql,
     "s11_orc_roundtrip" -> s11Sql,
+    "s13_binary_files" -> s13Sql,
     "w1_parquet_roundtrip" -> w1Sql,
     "w2_dynamic_partition" -> w2Sql,
     "r1_one_file_per_partition" -> r1Sql,

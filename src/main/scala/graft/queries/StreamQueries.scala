@@ -287,6 +287,52 @@ object StreamQueries extends graft.QueryModule {
       |  2 AS n_versions, 50 AS n_quarantined
       |FROM ev""".stripMargin
 
+  /** Stream-static enrichment join — the production lookup shape: a
+    * micro-batched event stream joined against a BATCH dimension
+    * (customer segment) inside each micro-batch, appended to the
+    * enriched zone, then aggregated. The static side re-resolves per
+    * micro-batch (Spark's stream-static contract), and at scale it is
+    * the broadcast side — no stream-side shuffle, no state store; the
+    * oracle is the plain batch left join. Events with no matching
+    * customer must SURVIVE with a sentinel segment (left join, not
+    * inner — dropping unknown users is the classic enrichment bug). */
+  def t11StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = synchronized { cdcCtr += 1; s"enrich$cdcCtr" }
+    val base = GraftSession.scratch(tag)
+    val feed = s"$base/feed"; val out = s"$base/enriched"
+    val ck = s"$base/ck"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    GraftSession.stateScoped(spark, 8) { s2 =>
+      ev.write.parquet(feed)
+      val dim = Tables.customer(s2, sfDir).select(
+        col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val q = s2.readStream.schema(schema).parquet(feed)
+        .join(broadcast(dim), Seq("user_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("segment"), lit("(none)")).as("segment"),
+          col("value"))
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out)
+        .start()
+      q.awaitTermination()
+      s2.read.parquet(out)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("segment")
+    }
+  }
+  val t11Sql: String =
+    """SELECT coalesce(c.c_mktsegment, '(none)') AS segment,
+      |  count(*) AS n, round(sum(e.value), 2) AS total
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Quarantine replay-after-fix — the second half of the WAP
     * contract (rejecting a poison batch is only useful if the
     * corrected data can later be landed): bootstrap the table, drain
@@ -337,6 +383,7 @@ object StreamQueries extends graft.QueryModule {
       |FROM ev""".stripMargin
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_stream_static_join" -> (t11StreamStaticJoin _),
     "t10_quarantine_replay" -> (t10QuarantineReplay _),
     "t9_stream_audited" -> (t9StreamAudited _),
     "t1_stream_ingest" -> (t1StreamIngest _),
@@ -346,6 +393,7 @@ object StreamQueries extends graft.QueryModule {
     "t8_cdc_pipeline" -> (t8CdcPipeline _))
 
   def oracles: Map[String, String] = Map(
+    "t11_stream_static_join" -> t11Sql,
     "t10_quarantine_replay" -> t10Sql,
     "t9_stream_audited" -> t9Sql,
     "t1_stream_ingest" -> t1Sql,
