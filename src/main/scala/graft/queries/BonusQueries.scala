@@ -38,6 +38,29 @@ object BonusQueries extends graft.QueryModule {
       |  count(*) FILTER (event_type = 'purchase') AS purchase
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** UNPIVOT (melt): the inverse of x_pivot — wide per-user event-type
+    * counts back to long (user_id, event_type, n) rows via the
+    * `unpivot` API (Spark's Expand operator: each input row fans out
+    * map-side, no shuffle beyond the pivot's own aggregation). Zero
+    * rows are dropped (the pivot's fill) so the round trip equals the
+    * original long form the oracle computes directly. */
+  def xUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val wide = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    wide.unpivot(Array(col("user_id")),
+        Array(col("click"), col("view"), col("purchase")),
+        "event_type", "n")
+      .where(col("n") > 0)
+      .orderBy("user_id", "event_type")
+  }
+  val unpivotSql: String =
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events WHERE event_type IN ('click', 'view', 'purchase')
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Semi + anti joins: customers with orders vs without. */
   def xSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
@@ -501,6 +524,7 @@ object BonusQueries extends graft.QueryModule {
     "x_rolling_range" -> (xRollingRange _),
     "x_exists_subquery" -> (xExistsSubquery _),
     "x_pivot" -> (xPivot _),
+    "x_unpivot" -> (xUnpivot _),
     "x_semi_anti" -> (xSemiAnti _),
     "x_distinct_agg" -> (xDistinctAgg _),
     "x_cube" -> (xCube _),
@@ -521,6 +545,7 @@ object BonusQueries extends graft.QueryModule {
     "x_rolling_range" -> rollingRangeSql,
     "x_exists_subquery" -> existsSql,
     "x_pivot" -> pivotSql,
+    "x_unpivot" -> unpivotSql,
     "x_semi_anti" -> semiAntiSql,
     "x_distinct_agg" -> distinctSql,
     "x_cube" -> cubeSql,

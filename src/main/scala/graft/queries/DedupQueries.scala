@@ -553,6 +553,93 @@ object DedupQueries extends graft.QueryModule {
       |WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4
       |ORDER BY left_name, right_name""".stripMargin
 
+  /** Asymmetric shingle containment (dedup.Containment): the
+    * superset/subset near-dup signal Jaccard dilutes — c(A→B) =
+    * |S(A)∩S(B)|/|S(A)| over df-capped trigram shingles (absolute
+    * cap df ≤ 100 — candidates stay linear in postings; see the
+    * Containment scaladoc for the measured quadratic failure of a
+    * fractional cap), both directions reported, pair kept when either
+    * reaches 0.5. Counts are integral on both sides; the oracle
+    * replays postings → df window → intersection → ratio exactly. */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.Containment.pairs(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      threshold = 0.5, n = 3, maxDf = 100)
+  val dedupContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |  WHERE len(t) >= 3),
+      |kept AS (
+      |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+      |  WHERE df BETWEEN 2 AND 100),
+      |p AS (SELECT s.doc_id, s.sh FROM sh s JOIN kept USING (sh)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+      |inter AS (
+      |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+      |  FROM p x JOIN p y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b,
+      |  round(CAST(common AS DOUBLE) / sa.sz, 4) AS c_ab,
+      |  round(CAST(common AS DOUBLE) / sb.sz, 4) AS c_ba
+      |FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+      |JOIN sizes sb ON inter.b = sb.doc_id
+      |WHERE round(CAST(common AS DOUBLE) / sa.sz, 4) >= 0.5
+      |   OR round(CAST(common AS DOUBLE) / sb.sz, 4) >= 0.5
+      |ORDER BY a, b""".stripMargin
+
+  /** ER endgame: fuzzy match pairs → ENTITY CLUSTERS. Pairwise
+    * matches are not entities (a≈b≈c must become ONE entity even when
+    * a~c exceeds the distance bound), so the pairs feed the same
+    * connected-components propagation the near-dup path uses
+    * (dedup.Clusters — min-label works unchanged on string ids), and
+    * the gate reports the cluster-size profile. The oracle computes
+    * the transitive closure with a recursive CTE (bounded: name-variant
+    * components are tiny) and must agree on every count — a
+    * non-transitive grouping or a lost singleton breaks it. */
+  def erClusterEntities(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.dedup.FuzzyJoin.selfMatch(
+        Tables.part(spark, sfDir), "p_name",
+        n => regexp_extract(n, "([^ ]+)$", 1), maxDist = 4)
+      .select(col("left_name").as("a"), col("right_name").as("b"))
+    val comp = graft.dedup.Clusters.connectedComponents(pairs)
+    val sizes = comp.groupBy("cluster").agg(count(lit(1)).as("size"))
+    sizes.agg(
+      count(lit(1)).as("n_clusters"),
+      sum("size").as("n_entities"),
+      max("size").as("max_size"),
+      round(avg("size"), 4).as("avg_size"))
+  }
+  val erClusterEntitiesSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+      |blk AS (
+      |  SELECT name, regexp_extract(name, '([^ ]+)$', 1) AS blk FROM names),
+      |p AS (
+      |  SELECT a.name AS l, c.name AS r
+      |  FROM blk a JOIN blk c ON a.blk = c.blk AND a.name < c.name
+      |  WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4),
+      |e AS (SELECT l AS a, r AS b FROM p UNION SELECT r, l FROM p),
+      |n AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+      |rr(src, dst) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT rr.src, e.b FROM rr JOIN e ON rr.dst = e.a
+      |    WHERE e.b <> rr.src),
+      |comp AS (
+      |  SELECT n.node, least(n.node, min(r.dst)) AS cluster
+      |  FROM n LEFT JOIN rr r ON r.src = n.node
+      |  GROUP BY n.node),
+      |sizes AS (SELECT cluster, count(*) AS size FROM comp GROUP BY 1)
+      |SELECT count(*) AS n_clusters,
+      |  CAST(sum(size) AS BIGINT) AS n_entities,
+      |  max(size) AS max_size, round(avg(size), 4) AS avg_size
+      |FROM sizes""".stripMargin
+
   /** Blocking-recall audit for the fuzzy ER join: the blocked match
     * vs the all-pairs ground truth at the same distance bound, over
     * the (dictionary-sized) distinct-name set. Reports found/true/
@@ -616,7 +703,9 @@ object DedupQueries extends graft.QueryModule {
     "dedup_lines" -> (dedupLines _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
+    "dedup_containment" -> (dedupContainment _),
     "er_fuzzy_match" -> (erFuzzyMatch _),
+    "er_cluster_entities" -> (erClusterEntities _),
     "er_blocking_recall" -> (erBlockingRecall _))
 
   def oracles: Map[String, String] = Map(
@@ -635,6 +724,8 @@ object DedupQueries extends graft.QueryModule {
     "dedup_lines" -> dedupLinesSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_bloom" -> dedupIncrementalSql,
+    "dedup_containment" -> dedupContainmentSql,
     "er_fuzzy_match" -> erFuzzyMatchSql,
+    "er_cluster_entities" -> erClusterEntitiesSql,
     "er_blocking_recall" -> erBlockingRecallSql)
 }

@@ -156,13 +156,56 @@ object GraphQueries extends graft.QueryModule {
       |  round(regr_slope(ln(f), ln(d)), 6) + 0.0 AS powerlaw_slope
       |FROM fr""".stripMargin
 
+  /** Three k-core peel rounds (k=3) over the co-purchase graph
+    * (graph.KCore): per-round surviving node/edge counts. The oracle
+    * unrolls the identical peel — degree, threshold, both-endpoint
+    * edge filter — three times; a drifted threshold or a
+    * single-endpoint filter bug breaks the counts immediately. */
+  def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val pairs = li.groupBy("l_orderkey")
+      .agg(collect_list("l_partkey").as("ps"))
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") =!= col("b"))
+    graft.graph.KCore.peelRounds(pairs, k = 3, rounds = 3)
+  }
+  private def kcoreRound(n: Int, prev: String): String =
+    s"""d$n AS (
+       |  SELECT id, count(*) AS d FROM (
+       |    SELECT a AS id FROM $prev UNION ALL SELECT b FROM $prev)
+       |  GROUP BY id),
+       |k$n AS (SELECT id FROM d$n WHERE d >= 3),
+       |e$n AS (
+       |  SELECT p.a, p.b FROM $prev p
+       |  JOIN k$n x ON p.a = x.id JOIN k$n y ON p.b = y.id)""".stripMargin
+  val graphKcoreSql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (
+      |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+      |    greatest(x.l_partkey, y.l_partkey) AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey <> y.l_partkey),
+      |""".stripMargin +
+      Seq(kcoreRound(1, "e0"), kcoreRound(2, "e1"), kcoreRound(3, "e2"))
+        .mkString(",\n") + "\n" +
+      """SELECT 1 AS round, (SELECT count(*) FROM k1) AS n_nodes,
+        |  (SELECT count(*) FROM e1) AS n_edges
+        |UNION ALL
+        |SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
+        |UNION ALL
+        |SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)
+        |ORDER BY round""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_degree_stats" -> (graphDegreeStats _),
+    "graph_kcore" -> (graphKcore _),
     "graph_triangles" -> (graphTriangles _))
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "graph_degree_stats" -> graphDegreeStatsSql,
+    "graph_kcore" -> graphKcoreSql,
     "graph_triangles" -> graphTrianglesSql)
 }

@@ -746,17 +746,19 @@ object SimQueries extends graft.QueryModule {
       |FROM tot""".stripMargin
 
   /** Sparse tf-idf cosine top-20 document pairs (sim.SparseCosine)
-    * over TRIGRAM shingle terms with the df ∈ [2, 20] stop-phrase cap
-    * — the lexical near-dup detector that needs no embeddings.
+    * over TRIGRAM shingle terms with the df ∈ [2, 100] stop-phrase
+    * cap — the lexical near-dup detector that needs no embeddings.
     * (Unigram terms are useless on this corpus: its whole vocabulary
-    * is ~30 words, every one df > 20 — shingles are what keeps the
-    * term space discriminative.) The oracle recomputes shingle tf,
-    * the df window, 6dp-rounded idf, pruned norms, and the pair dot
-    * products in DuckDB. */
+    * is ~30 words, every one corpus-hot — shingles are what keeps the
+    * term space discriminative. The ABSOLUTE cap keeps candidates
+    * linear in postings; see the SparseCosine scaladoc for the
+    * measured quadratic failure of a fractional cap.) The oracle
+    * recomputes shingle tf, the df window, 6dp-rounded idf, pruned
+    * norms, and the pair dot products in DuckDB. */
   def simSparseCosine(spark: SparkSession, sfDir: String): DataFrame =
     graft.sim.SparseCosine.topPairs(
       Tables.documents(spark, sfDir), "doc_id", "text",
-      k = 20, maxDf = 20, n = 3)
+      k = 20, maxDf = 100, n = 3)
   val sparseCosineSql: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(
@@ -768,9 +770,9 @@ object SimQueries extends graft.QueryModule {
       |    SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
       |  WHERE len(t) >= 3),
       |tf AS (SELECT doc_id, term, count(*) AS cnt FROM sh GROUP BY 1, 2),
-      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
-      |       HAVING count(*) BETWEEN 2 AND 20),
       |nn AS (SELECT count(*) AS n FROM documents),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |       HAVING count(*) BETWEEN 2 AND 100),
       |w AS (
       |  SELECT tf.doc_id, tf.term,
       |    cnt * round(ln(CAST((SELECT n FROM nn) AS DOUBLE) / df.df), 6) AS w

@@ -970,6 +970,113 @@ object TextQueries extends graft.QueryModule {
       |  round(sl / n_tok - ln((SELECT total FROM tot)), 6) + 0.0 AS lm_logprob
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Per-document token Shannon entropy — the degenerate-text detector
+    * that catches what length and stopword ratios miss (a 10k-token
+    * doc of one repeated word has perfect length and zero entropy).
+    * Computed as H = ln(n) − (Σ c·ln c)/n over per-doc token counts —
+    * the algebraic form that needs ONE aggregation pass (Σc and
+    * Σ c·ln c are both partial-aggregable), no per-token probability
+    * column. scoreRound guards the single-token edge: −1·ln(1)
+    * evaluates to −0.0. */
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"))
+        .as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        graft.functions.ScoreFns.scoreRound(
+          log(sum("c").cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double"))) /
+              sum("c").cast("double"), 6).as("entropy"))
+      .orderBy("doc_id")
+  val entropySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  round(ln(CAST(sum(c) AS DOUBLE))
+      |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+      |      / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS entropy
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Corpus Zipf fit: slope of ln(frequency) on ln(rank) over the
+    * frequency-ranked vocabulary (natural text ≈ −1; a synthetic or
+    * template-dominated corpus drifts toward 0). The rank window runs
+    * over the VOCABULARY (the keyness precedent — vocab ≪ corpus and
+    * the token stream itself never sorts); tie-break (freq DESC,
+    * token ASC) is pinned identically on both sides because rank
+    * feeds the regression. */
+  def textZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("f"))
+    freq.withColumn("r",
+        row_number().over(Window.orderBy(col("f").desc, col("token"))))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum("f").as("total_tokens"),
+        graft.functions.ScoreFns.scoreRound(
+          expr("regr_slope(ln(f), ln(r))"), 6).as("zipf_slope"))
+  }
+  val zipfFitSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |freq AS (SELECT token, count(*) AS f FROM toks GROUP BY 1),
+      |ranked AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, token ASC) AS r
+      |  FROM freq)
+      |SELECT count(*) AS vocab_size, CAST(sum(f) AS BIGINT) AS total_tokens,
+      |  round(regr_slope(ln(f), ln(r)), 6) + 0.0 AS zipf_slope
+      |FROM ranked""".stripMargin
+
+  /** N-gram novelty profile: per document, the fraction of its
+    * DISTINCT trigram shingles that first appear in THIS document
+    * (first = lowest doc_id — any total order works; ingestion time
+    * in production). The running-dedup health metric: a corpus whose
+    * late documents trend toward zero novelty is re-crawling itself.
+    * One postings explode, one min-per-shingle aggregation, one join
+    * back — all keyed on the shingle, nothing quadratic, and every
+    * statistic is a ratio of integers (bit-identical division). */
+  def textNgramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val posts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.dedup.Shingles.tokens(lower(col("text"))).as("__toks"))
+      .select(col("doc_id"), explode(
+        graft.dedup.Shingles.shinglesFromTokens(col("__toks"), 3)).as("sh"))
+    val first = posts.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    posts.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(
+        round(avg(when(col("first_doc") === col("doc_id"), 1.0)
+          .otherwise(0.0)), 4).as("novelty"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+  val ngramNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+      |  WHERE len(t) >= 3),
+      |fst AS (SELECT sh, min(doc_id) AS fd FROM sh GROUP BY 1)
+      |SELECT s.doc_id,
+      |  round(avg(CASE WHEN f.fd = s.doc_id THEN 1.0 ELSE 0.0 END), 4)
+      |    AS novelty,
+      |  count(*) AS n_shingles
+      |FROM sh s JOIN fst f USING (sh)
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   /** Bigram-LM quality score (text.Vocab.bigramLogProb): per-doc mean
     * ln P(wᵢ|wᵢ₋₁) under the corpus's add-1-smoothed bigram model —
     * prices word order, which the unigram text_lm_score cannot. The
@@ -1028,6 +1135,9 @@ object TextQueries extends graft.QueryModule {
     "text_quality_classifier" -> (textQualityClassifier _),
     "text_lm_score" -> (textLmScore _),
     "text_bigram_lm" -> (textBigramLm _),
+    "text_ngram_novelty" -> (textNgramNovelty _),
+    "text_entropy" -> (textEntropy _),
+    "text_zipf_fit" -> (textZipfFit _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
     "text_normalize" -> (textNormalize _),
@@ -1067,6 +1177,9 @@ object TextQueries extends graft.QueryModule {
     "text_quality_classifier" -> classifierSql,
     "text_lm_score" -> lmScoreSql,
     "text_bigram_lm" -> bigramLmSql,
+    "text_ngram_novelty" -> ngramNoveltySql,
+    "text_entropy" -> entropySql,
+    "text_zipf_fit" -> zipfFitSql,
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,
     "text_normalize" -> normalizeSql,

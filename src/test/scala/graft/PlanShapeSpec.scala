@@ -39,6 +39,29 @@ class PlanShapeSpec extends SparkSpecBase {
       s"fuzzy match degenerated to all-pairs:\n$p")
   }
 
+  test("sim_sparse_cosine pairs via the shingle inverted-index equi-join, never all-pairs") {
+    val p = planOf("sim_sparse_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sparse cosine degenerated to all-pairs:\n$p")
+  }
+
+  test("dedup_containment pairs via the shingle inverted-index equi-join, never all-pairs") {
+    val p = planOf("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment degenerated to all-pairs:\n$p")
+  }
+
+  test("graph_triangles closes wedges with equi-joins, never all-pairs") {
+    val p = planOf("graph_triangles")
+    assert(!p.contains("CartesianProduct"),
+      s"triangle counting degenerated to all-pairs:\n$p")
+    // exactly ONE nested-loop join is expected: the final 1-row × 1-row
+    // cross of the triangle count with the wedge total — the wedge and
+    // closure joins themselves must stay hash equi-joins
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1, s"$nlj nested-loop joins (only the 1x1 stats cross is allowed):\n$p")
+  }
+
   test("q1 scan prunes to the referenced lineitem columns") {
     val p = planOf("q1_pricing_summary")
     // the pricing summary touches 7 of 16 lineitem columns; a full-width
