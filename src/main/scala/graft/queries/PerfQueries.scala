@@ -105,12 +105,45 @@ object PerfQueries extends graft.QueryModule {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Dynamic partition pruning: events written PARTITIONED BY date,
+    * joined to a date dimension carrying a selective non-partition
+    * predicate (day-of-week = Monday). The partition filter is only
+    * knowable at RUNTIME from the dim side, so a correct plan injects
+    * a dynamicpruning subquery into the fact scan and reads ~1/7 of
+    * the partitions (PerfSpec asserts the pruning expression on the
+    * executed plan); the oracle computes the same join statically.
+    * This is the r5 static-pruning gate's big sibling — the shape
+    * that decides whether a 100 TB date-partitioned fact table reads
+    * 100 TB or 14 TB on a filtered dim join. */
+  def perfDppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = next()
+    val dir = GraftSession.scratch(s"dpp-$n")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"), col("ts").cast("date").as("dt"))
+    ev.write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val dimDates = ev.select(col("dt")).distinct()
+      .withColumn("dow", dayofweek(col("dt")))
+    spark.read.parquet(dir)
+      .join(broadcast(dimDates.where(col("dow") === 2)), Seq("dt"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"),
+        countDistinct("dt").as("n_days"))
+  }
+  val dppSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, value, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dt
+      |  FROM events)
+      |SELECT count(*) AS n, round(sum(value), 2) AS total,
+      |  count(DISTINCT dt) AS n_days
+      |FROM ev WHERE dayofweek(dt) = 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "perf_dpp_join" -> (perfDppJoin _),
     "perf_bucketed_join" -> (perfBucketedJoin _),
     "perf_salted_join" -> (perfSaltedJoin _),
     "perf_zorder" -> (perfZorder _))
 
   def oracles: Map[String, String] = Map(
+    "perf_dpp_join" -> dppSql,
     "perf_bucketed_join" -> bucketedSql,
     "perf_salted_join" -> saltedSql,
     "perf_zorder" -> zorderSql)

@@ -204,6 +204,35 @@ object SourceQueries extends graft.QueryModule {
       |  CAST(strlen(text) AS BIGINT) AS n_bytes
       |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
 
+  /** S14: schema-drift read via parquet `mergeSchema` — the raw-zone
+    * reality where a producer ADDED a column mid-stream: batch 1 lands
+    * without `o_orderstatus`, batch 2 with it; the merged read must
+    * union the schemas, null-fill the early rows, and keep every row.
+    * (mergeSchema is opt-in per read because schema inference over
+    * many footers costs a listing pass — at 100 TB the production
+    * pattern is a table-format schema log, `vt_schema_evolution`;
+    * this is the raw-file fallback.) */
+  def s14SchemaMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("s14")
+    val o = Tables.orders(spark, sfDir)
+    o.where(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.parquet(s"$dir/batch=1")
+    o.where(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.parquet(s"$dir/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(coalesce(col("o_orderstatus"), lit("(pre-schema)"))
+        .as("status"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("status")
+  }
+  val s14Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(pre-schema)'
+      |  ELSE o_orderstatus END AS status,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** W2: dynamic-partition overwrite — rewrite ONE day, keep the rest. */
   def w2DynamicPartition(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratch("w2")
@@ -464,6 +493,7 @@ object SourceQueries extends graft.QueryModule {
     "s7_json_schema" -> (s7JsonSchema _),
     "s11_orc_roundtrip" -> (s11OrcRoundtrip _),
     "s13_binary_files" -> (s13BinaryFiles _),
+    "s14_schema_merge" -> (s14SchemaMerge _),
     "w1_parquet_roundtrip" -> (w1ParquetRoundtrip _),
     "w2_dynamic_partition" -> (w2DynamicPartition _),
     "r1_one_file_per_partition" -> (r1OneFilePerPartition _),
@@ -483,6 +513,7 @@ object SourceQueries extends graft.QueryModule {
     "s7_json_schema" -> s7Sql,
     "s11_orc_roundtrip" -> s11Sql,
     "s13_binary_files" -> s13Sql,
+    "s14_schema_merge" -> s14Sql,
     "w1_parquet_roundtrip" -> w1Sql,
     "w2_dynamic_partition" -> w2Sql,
     "r1_one_file_per_partition" -> r1Sql,

@@ -33,6 +33,22 @@ class PerfSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dpp join injects a dynamicpruning subquery into the fact scan") {
+    GraftSession.tune(spark)
+    val dir = GraftSession.scratch("spec-dpp")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("value"), col("ts").cast("date").as("dt"))
+    ev.write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val dim = ev.select(col("dt")).distinct()
+      .withColumn("dow", dayofweek(col("dt")))
+    val joined = spark.read.parquet(dir)
+      .join(broadcast(dim.where(col("dow") === 2)), Seq("dt"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"fact scan carries no dynamic pruning filter:\n$p")
+  }
+
   test("salted join equals plain join") {
     val fact = Tables.lineitem(spark, sfDir)
       .withColumn("hot_key",
