@@ -224,6 +224,44 @@ object FunctionQueries extends graft.QueryModule {
     * parsed three ways — path extraction (get_json_object), schema'd
     * parse (from_json), and re-serialization (to_json over a struct,
     * whose compact field:value form the oracle rebuilds verbatim). */
+  /** F27: the higher-order-function suite — filter / aggregate /
+    * exists / transform / zip_with in one per-row array program over
+    * the token array, all codegen'd (no UDF anywhere). zip_with of
+    * the array against its own tail computes adjacent-repeat counts —
+    * the HOF spelling of a self-join-free sequential statistic. Sizes
+    * cast to long: Spark `size` is INT while DuckDB `len` is BIGINT
+    * (the dtype-mismatch pitfall). */
+  def f27HofSuite(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')").as("t"))
+      .select(col("doc_id"),
+        expr("size(filter(t, x -> length(x) >= 6))")
+          .cast("long").as("n_long"),
+        expr("aggregate(t, 0L, (acc, x) -> acc + length(x))")
+          .as("total_chars"),
+        expr("cast(exists(t, x -> x = 'spark') as int)").as("has_spark"),
+        expr("array_max(transform(t, x -> length(x)))")
+          .cast("long").as("max_len"),
+        expr("size(filter(zip_with(slice(t, 1, size(t) - 1)," +
+          " slice(t, 2, size(t) - 1), (a, b) -> a = b), x -> x))")
+          .cast("long").as("n_adjacent_repeats"))
+      .orderBy("doc_id")
+  val f27Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(list_filter(t, x -> length(x) >= 6)) AS n_long,
+      |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+      |    AS total_chars,
+      |  CAST(list_contains(t, 'spark') AS INT) AS has_spark,
+      |  list_max(list_transform(t, x -> length(x))) AS max_len,
+      |  len(list_filter(generate_series(1, len(t) - 1),
+      |    i -> t[i] = t[i + 1])) AS n_adjacent_repeats
+      |FROM d ORDER BY doc_id""".stripMargin
+
   def f25JsonProps(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val kPath = get_json_object(col("props"), "$.k").cast("int")
@@ -257,7 +295,8 @@ object FunctionQueries extends graft.QueryModule {
     "f21_ddb_decode" -> (f21DdbDecode _),
     "f22_sanitize" -> (f22Sanitize _),
     "f23_md5" -> (f23Md5 _),
-    "f25_json_props" -> (f25JsonProps _))
+    "f25_json_props" -> (f25JsonProps _),
+    "f27_hof_suite" -> (f27HofSuite _))
 
   def oracles: Map[String, String] = Map(
     "f1_parse_dates" -> f1Sql,
@@ -273,5 +312,6 @@ object FunctionQueries extends graft.QueryModule {
     "f21_ddb_decode" -> f21Sql,
     "f22_sanitize" -> f22Sql,
     "f23_md5" -> f23Sql,
-    "f25_json_props" -> f25Sql)
+    "f25_json_props" -> f25Sql,
+    "f27_hof_suite" -> f27Sql)
 }

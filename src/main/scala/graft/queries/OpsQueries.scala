@@ -256,6 +256,29 @@ object OpsQueries extends graft.QueryModule {
   val u2Sql: String =
     "SELECT count(*) AS n, round(sum(value), 2) AS total FROM events"
 
+  /** U3: schema-drift union — `unionByName(allowMissingColumns=true)`
+    * across two projections where each side lacks a column the other
+    * carries; the missing side null-fills. The feed-merge reality
+    * when producers evolve at different speeds (same drift class as
+    * s14_schema_merge, at the DataFrame level instead of the file
+    * level). */
+  def u3UnionMissing(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val old = ev.where(col("event_id") % 2 === 0)
+      .select("event_id", "value")
+    val withType = ev.where(col("event_id") % 2 === 1)
+      .select("event_id", "value", "event_type")
+    old.unionByName(withType, allowMissingColumns = true)
+      .groupBy(coalesce(col("event_type"), lit("(legacy)")).as("etype"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("etype")
+  }
+  val u3Sql: String =
+    """SELECT CASE WHEN event_id % 2 = 0 THEN '(legacy)'
+      |  ELSE event_type END AS etype,
+      |  count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- F20: map → rows roundtrip (build map, explode back) ---
   def f20MapToRows(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.events(spark, sfDir)
@@ -286,6 +309,7 @@ object OpsQueries extends graft.QueryModule {
     "p9_regex_route" -> (p9RegexRoute _),
     "o1_limit_probe" -> (o1LimitProbe _),
     "u2_union" -> (u2Union _),
+    "u3_union_missing" -> (u3UnionMissing _),
     "f20_map_to_rows" -> (f20MapToRows _))
 
   def oracles: Map[String, String] = Map(
@@ -306,5 +330,6 @@ object OpsQueries extends graft.QueryModule {
     "p9_regex_route" -> p9Sql,
     "o1_limit_probe" -> o1Sql,
     "u2_union" -> u2Sql,
+    "u3_union_missing" -> u3Sql,
     "f20_map_to_rows" -> f20Sql)
 }

@@ -233,6 +233,40 @@ object SourceQueries extends graft.QueryModule {
       |  count(*) AS n, round(sum(o_totalprice), 2) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S15: native XML source (Spark 4 ships the former spark-xml as a
+    * built-in format) — the B2B/legacy-feed interchange path. Write a
+    * projection as `<order>` rows, read it back with an IMPOSED
+    * schema (inference costs an extra full scan, the S1-S4 rule), and
+    * prove the typed roundtrip by aggregating against the parquet
+    * original. */
+  def s15XmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = scratch("s15")
+    Tables.orders(spark, sfDir).where(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").format("xml").option("rowTag", "order")
+      .save(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.read.format("xml").option("rowTag", "order").schema(schema)
+      .load(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+  val s15Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total,
+      |  max(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** W2: dynamic-partition overwrite — rewrite ONE day, keep the rest. */
   def w2DynamicPartition(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = scratch("w2")
@@ -494,6 +528,7 @@ object SourceQueries extends graft.QueryModule {
     "s11_orc_roundtrip" -> (s11OrcRoundtrip _),
     "s13_binary_files" -> (s13BinaryFiles _),
     "s14_schema_merge" -> (s14SchemaMerge _),
+    "s15_xml_roundtrip" -> (s15XmlRoundtrip _),
     "w1_parquet_roundtrip" -> (w1ParquetRoundtrip _),
     "w2_dynamic_partition" -> (w2DynamicPartition _),
     "r1_one_file_per_partition" -> (r1OneFilePerPartition _),
@@ -514,6 +549,7 @@ object SourceQueries extends graft.QueryModule {
     "s11_orc_roundtrip" -> s11Sql,
     "s13_binary_files" -> s13Sql,
     "s14_schema_merge" -> s14Sql,
+    "s15_xml_roundtrip" -> s15Sql,
     "w1_parquet_roundtrip" -> w1Sql,
     "w2_dynamic_partition" -> w2Sql,
     "r1_one_file_per_partition" -> r1Sql,
