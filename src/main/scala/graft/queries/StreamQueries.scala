@@ -333,6 +333,51 @@ object StreamQueries extends graft.QueryModule {
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Streaming incremental materialized view: each micro-batch writes
+    * its PARTIAL aggregate to an append-only `batch=<id>` dir
+    * (idempotent per batch id — a replayed batch overwrites itself,
+    * the same exactly-once idiom as the quarantine), and the view
+    * reads as a re-aggregation of the partials. The partials are
+    * group-cardinality-sized, so the MV never rewrites history and
+    * the read-side compaction is tiny — the streaming counterpart of
+    * etl_incremental_mv's CDF algebra. Two drains over a growing
+    * feed; final MV must equal the direct batch aggregate. */
+  def t12StreamMv(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = synchronized { cdcCtr += 1; s"smv$cdcCtr" }
+    val base = GraftSession.scratch(tag)
+    val feed = s"$base/feed"; val mv = s"$base/mv"; val ck = s"$base/ck"
+    val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    GraftSession.stateScoped(spark, 8) { s2 =>
+      def drain(): Unit = {
+        val q = s2.readStream.schema(schema).parquet(feed).writeStream
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.groupBy((col("event_id") % 10).as("grp"))
+              .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+              .write.mode("overwrite").parquet(s"$mv/batch=$id")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      ev.where(col("event_id") % 2 === 0).write.parquet(feed)
+      drain()
+      ev.where(col("event_id") % 2 === 1).write.mode("append").parquet(feed)
+      drain()
+      s2.read.parquet(mv)
+        .groupBy("grp")
+        .agg(sum("pn").as("n"), round(sum("pv"), 2).as("total"))
+        .orderBy("grp")
+    }
+  }
+  val t12Sql: String =
+    """SELECT event_id % 10 AS grp, count(*) AS n,
+      |  round(sum(value), 2) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Quarantine replay-after-fix — the second half of the WAP
     * contract (rejecting a poison batch is only useful if the
     * corrected data can later be landed): bootstrap the table, drain
@@ -384,6 +429,7 @@ object StreamQueries extends graft.QueryModule {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_stream_static_join" -> (t11StreamStaticJoin _),
+    "t12_stream_mv" -> (t12StreamMv _),
     "t10_quarantine_replay" -> (t10QuarantineReplay _),
     "t9_stream_audited" -> (t9StreamAudited _),
     "t1_stream_ingest" -> (t1StreamIngest _),
@@ -394,6 +440,7 @@ object StreamQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "t11_stream_static_join" -> t11Sql,
+    "t12_stream_mv" -> t12Sql,
     "t10_quarantine_replay" -> t10Sql,
     "t9_stream_audited" -> t9Sql,
     "t1_stream_ingest" -> t1Sql,
