@@ -96,6 +96,43 @@ object ExtQueries extends graft.QueryModule {
       |  min(ts) AS session_start, max(ts) AS session_end
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Native session windows (o6): Spark's built-in `session_window`
+    * aggregation — the engine-level twin of the hand-rolled gap logic
+    * in o5_sessionize (which exists for parity with engines lacking
+    * the operator). Semantics difference the oracle must replay
+    * EXACTLY: session_window extends a session only while the next
+    * event is STRICTLY inside `last + gap`, so a pair of events
+    * exactly 30 minutes apart SPLITS here but merges under o5's
+    * `diff > gap` rule; and the reported end is `last_event + gap`,
+    * not max(ts). Gap comparison replayed at microsecond precision
+    * (the same-precision-on-both-sides rule). */
+  def o6SessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  val o6Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |      OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** As-of join: each purchase matched to the user's latest prior (or
     * same-instant) click. Right side deduped per (user, ts) for
     * deterministic equal-ts semantics; oracle uses DuckDB ASOF JOIN. */
@@ -1043,7 +1080,8 @@ object ExtQueries extends graft.QueryModule {
     "asof_join" -> (asofJoin _),
     "cat_index_docs" -> (catIndexDocs _),
     "upsert_merge" -> (upsertMerge _),
-    "o5_sessionize" -> (o5Sessionize _))
+    "o5_sessionize" -> (o5Sessionize _),
+    "o6_session_window" -> (o6SessionWindow _))
 
   def oracles: Map[String, String] = Map(
     "vt_time_travel" -> vtSql,
@@ -1071,5 +1109,6 @@ object ExtQueries extends graft.QueryModule {
     "asof_join" -> asofSql,
     "cat_index_docs" -> catIndexSql,
     "upsert_merge" -> upsertSql,
-    "o5_sessionize" -> sessionizeSql)
+    "o5_sessionize" -> sessionizeSql,
+    "o6_session_window" -> o6Sql)
 }
