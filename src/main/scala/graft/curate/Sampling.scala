@@ -113,9 +113,9 @@ object Sampling {
     * `buckets` rows INSIDE the boundary bucket pay a running-sum sort
     * — the selected set is provably identical to the global-sort
     * answer because equal qualities always share a bucket. At 100 TB:
-    * two scans (histogram + filter) and a single-partition window
-    * over one bucket, vs the curriculum-style global range sort the
-    * naive form would cost.
+    * two scans (histogram + filter) plus a range-partitioned sort +
+    * prefix sum over one bucket — parallel even when a ties-heavy
+    * quality distribution collapses the corpus into that bucket.
     *
     * Rows with null quality or token count are never selected (they
     * have no place in a quality ordering). Returns `df`'s rows
@@ -151,12 +151,20 @@ object Sampling {
     if (boundary < 0) return clean // budget exceeds the corpus
     val remaining = budget - above
     val withB = clean.withColumn("__b", bucketOf)
-    val edgeW = Window.orderBy(col(qualityCol).desc, col(idCol))
-    val edge = withB.where(col("__b") === boundary)
-      .withColumn("__before",
-        sum(col(tokensCol).cast("long")).over(edgeW) - col(tokensCol))
+    // The boundary-bucket running sum uses the range-partitioned
+    // prefix-sum (IdOps.runningTotal), NOT an unpartitioned window: a
+    // degenerate quality distribution (heavy ties) collapses the whole
+    // corpus into ONE bucket, and `sum().over(orderBy)` would then
+    // funnel it through a single WindowExec task — the same A8
+    // rationale curriculumBins documents, applied here. Normal case is
+    // still ~corpus/buckets rows; the prefix-sum just removes the
+    // degenerate single-task cliff.
+    val edgeSorted = withB.where(col("__b") === boundary)
+      .withColumn("__tok", col(tokensCol).cast("long"))
+      .sort(col(qualityCol).desc, col(idCol))
+    val edge = graft.ops.IdOps.runningTotal(edgeSorted, "__tok", "__before")
       .where(col("__before") < remaining)
-      .drop("__b", "__before")
+      .drop("__b", "__tok", "__before")
     withB.where(col("__b") > boundary).drop("__b").unionByName(edge)
   }
 

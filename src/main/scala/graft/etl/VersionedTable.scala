@@ -778,11 +778,18 @@ object VersionedTable {
                           ordCol: String): Long = {
     val live = readLatest(spark, root, keyCols)
       .select((keyCols.map(col) :+ col(ordCol).as("__live_ord")): _*)
+    // Persist so the batch-vs-table join evaluates ONCE: without it the
+    // emptiness probe and the commit re-run the join against the LIVE
+    // state, and a concurrent writer landing between the two evaluations
+    // would make the committed set differ from the checked set.
     val survivors = updates.join(live, keyCols, "left_outer")
       .where(col("__live_ord").isNull || col(ordCol) > col("__live_ord"))
       .drop("__live_ord")
-    if (survivors.isEmpty) versions(spark, root).last
-    else commitUpsert(spark, root, survivors)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (survivors.isEmpty) versions(spark, root).last
+      else commitUpsert(spark, root, survivors)
+    } finally survivors.unpersist(blocking = false)
   }
 
   /** Append a delete commit: `keys` holds the key columns only; payload

@@ -33,12 +33,15 @@ object KCore {
     * where n_nodes counts nodes meeting the threshold that round and
     * n_edges the edges with both endpoints surviving. */
   def peelRounds(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var edges = pairs
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    cached += edges
     val stats = (1 to rounds).map { r =>
       val deg = edges.select(col("a").as("id"))
         .unionAll(edges.select(col("b").as("id")))
@@ -49,12 +52,21 @@ object KCore {
         .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += next
       val row = keep.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(broadcast(next.agg(count(lit(1)).as("n_edges"))))
         .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
       edges = next
       row
     }
-    stats.reduceLeft(_ unionAll _).orderBy("round")
+    val plan = stats.reduceLeft(_ unionAll _).orderBy("round")
+    // Materialize here (`rounds` rows — k-bounded) so every per-round
+    // cached edge frame can be released immediately; returning the lazy
+    // plan instead leaks rounds+1 cached frames for the session lifetime
+    // (real in a bench loop that runs the registry repeatedly).
+    val rows = plan.collect().toIndexedSeq
+    cached.foreach(_.unpersist(blocking = false))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, plan.schema)
   }
 }

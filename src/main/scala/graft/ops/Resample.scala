@@ -47,4 +47,43 @@ object Resample {
         last(col("obs_v"), ignoreNulls = true).over(fill).as("value"),
         col("obs_v").isNotNull.as("observed"))
   }
+
+  /** [[forwardFill]]'s sibling with LINEAR interpolation: a missing
+    * bucket gets the straight line between its nearest observed
+    * neighbors (`fill(linear)` / gapfill-interpolate in the same
+    * time-series stores). The grid spans first..last observed bucket
+    * per key, so every gap is interior — both neighbors always
+    * exist. Neighbor (bucket, value) pairs travel as ONE struct
+    * through the ignore-nulls window frames, so the pair is always
+    * consistent; same single per-key exchange as forwardFill. */
+  def interpolateLinear(df: DataFrame, keyCol: String, tsCol: String,
+                        valCol: String, stepSeconds: Long): DataFrame = {
+    val stepUs = stepSeconds * 1000000L
+    val obs = df
+      .select(col(keyCol), unix_micros(col(tsCol)).as("us"),
+        col(valCol).as("v"))
+      .withColumn("bucket", floor(col("us") / stepUs) * stepSeconds)
+      .groupBy(keyCol, "bucket")
+      .agg(max(struct(col("us"), col("v"))).getField("v").as("obs_v"))
+    val grid = obs.groupBy(keyCol)
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col(keyCol),
+        explode(sequence(col("b0"), col("b1"), lit(stepSeconds)))
+          .as("bucket"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+    val prevW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nextW = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .withColumn("__o", when(col("obs_v").isNotNull,
+        struct(col("bucket").as("b"), col("obs_v").as("v"))))
+      .withColumn("__p", last(col("__o"), ignoreNulls = true).over(prevW))
+      .withColumn("__n", first(col("__o"), ignoreNulls = true).over(nextW))
+      .select(col(keyCol), col("bucket"),
+        when(col("obs_v").isNotNull, col("obs_v"))
+          .otherwise(col("__p.v") + (col("__n.v") - col("__p.v")) *
+            ((col("bucket") - col("__p.b")).cast("double") /
+              (col("__n.b") - col("__p.b")).cast("double")))
+          .as("value"),
+        col("obs_v").isNotNull.as("observed"))
+  }
 }

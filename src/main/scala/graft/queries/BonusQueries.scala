@@ -320,6 +320,79 @@ object BonusQueries extends graft.QueryModule {
       |  round(sum(fv), 2) AS total
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Linear-interpolation resample (Resample.interpolateLinear): the
+    * `fill(linear)` twin of ts_resample_ffill, same hourly grid. The
+    * oracle replays bucket collapse → grid → neighbor windows → the
+    * IDENTICAL interpolation arithmetic (long subtraction, cast,
+    * divide, fused the same way), so every synthesized value is
+    * bit-equal per bucket (verified directly). The per-user summary
+    * sums exact integer MILLI-units (`floor(value*1000)` per bucket,
+    * then a long sum): a double `round(sum(value), 2)` flips at
+    * midpoints because the low-entropy event decimals make sums land
+    * within sum-order drift of x.xx5 (measured: 5 of ~150 users) —
+    * floor of a bit-identical double is order-free and
+    * midpoint-free. */
+  def tsInterpolate(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Resample.interpolateLinear(
+        Tables.events(spark, sfDir).select("user_id", "ts", "value"),
+        "user_id", "ts", "value", stepSeconds = 3600L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("observed").cast("long")).as("n_observed"),
+        sum(floor(col("value") * 1000).cast("long")).as("total_milli"))
+      .orderBy("user_id")
+  val tsInterpolateSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events),
+      |eb AS (
+      |  SELECT user_id,
+      |    CAST(floor(us / 3600000000) AS BIGINT) * 3600 AS bucket,
+      |    us, value FROM e),
+      |obs AS (
+      |  SELECT user_id, bucket, value FROM (
+      |    SELECT user_id, bucket, value,
+      |      row_number() OVER (PARTITION BY user_id, bucket
+      |        ORDER BY us DESC, value DESC) AS r
+      |    FROM eb) t WHERE r = 1),
+      |bounds AS (
+      |  SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      |  FROM obs GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(b0, b1, 3600)) AS bucket
+      |  FROM bounds),
+      |g AS (
+      |  SELECT g.user_id, g.bucket, o.value AS ov
+      |  FROM grid g LEFT JOIN obs o
+      |    ON o.user_id = g.user_id AND o.bucket = g.bucket),
+      |f AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN ov IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY bucket
+      |        ROWS UNBOUNDED PRECEDING) AS pb,
+      |    last_value(ov IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS pv,
+      |    first_value(CASE WHEN ov IS NOT NULL THEN bucket END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY bucket
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb,
+      |    first_value(ov IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY bucket
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      |  FROM g),
+      |vals AS (
+      |  SELECT user_id, bucket, ov,
+      |    CASE WHEN ov IS NOT NULL THEN ov
+      |      ELSE pv + (nv - pv)
+      |        * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+      |    END AS value
+      |  FROM f)
+      |SELECT user_id, count(*) AS n_buckets,
+      |  CAST(sum(CASE WHEN ov IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_observed,
+      |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+      |    AS total_milli
+      |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** BAG semantics (EXCEPT ALL / INTERSECT ALL): multiplicities
     * survive — an order with three 'O' lineitems minus one 'F'
     * occurrence keeps two copies, where set-EXCEPT would keep zero or
@@ -512,6 +585,7 @@ object BonusQueries extends graft.QueryModule {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample_ffill" -> (tsResampleFfill _),
+    "ts_interpolate" -> (tsInterpolate _),
     "x_window_ranks" -> (xWindowRanks _),
     "x_anomaly_zscore" -> (xAnomalyZscore _),
     "x_funnel" -> (xFunnel _),
@@ -533,6 +607,7 @@ object BonusQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "ts_resample_ffill" -> tsResampleSql,
+    "ts_interpolate" -> tsInterpolateSql,
     "x_window_ranks" -> windowRanksSql,
     "x_anomaly_zscore" -> anomalySql,
     "x_funnel" -> funnelSql,

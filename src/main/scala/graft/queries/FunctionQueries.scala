@@ -243,8 +243,8 @@ object FunctionQueries extends graft.QueryModule {
         expr("cast(exists(t, x -> x = 'spark') as int)").as("has_spark"),
         expr("array_max(transform(t, x -> length(x)))")
           .cast("long").as("max_len"),
-        expr("size(filter(zip_with(slice(t, 1, size(t) - 1)," +
-          " slice(t, 2, size(t) - 1), (a, b) -> a = b), x -> x))")
+        expr("size(filter(zip_with(slice(t, 1, greatest(size(t) - 1, 0))," +
+          " slice(t, 2, greatest(size(t) - 1, 0)), (a, b) -> a = b), x -> x))")
           .cast("long").as("n_adjacent_repeats"))
       .orderBy("doc_id")
   val f27Sql: String =

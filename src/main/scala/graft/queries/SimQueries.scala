@@ -366,7 +366,7 @@ object SimQueries extends graft.QueryModule {
       |      round(list_sum(list_transform(generate_series(1, len(x.v)),
       |          i -> x.v[i] * q.qv[i]))
       |        / (sqrt(list_sum(list_transform(x.v, y -> y * y)))
-      |           * sqrt(list_sum(list_transform(q.qv, y -> y * y)))), 4)
+      |           * sqrt(list_sum(list_transform(q.qv, y -> y * y)))), 4) + 0.0
       |      DESC, x.vec_id) AS rank
       |    FROM e x, q WHERE x.vec_id <> 0) WHERE rank <= 10)
       |SELECT coalesce(a.id, b.id) AS id,
@@ -416,7 +416,7 @@ object SimQueries extends graft.QueryModule {
       |      round(list_sum(list_transform(generate_series(1, len(x.v)),
       |          i -> x.v[i] * q.qv[i]))
       |        / (sqrt(list_sum(list_transform(x.v, y -> y * y)))
-      |           * sqrt(list_sum(list_transform(q.qv, y -> y * y)))), 4)
+      |           * sqrt(list_sum(list_transform(q.qv, y -> y * y)))), 4) + 0.0
       |      DESC, x.vec_id ASC) AS rank
       |  FROM e x, q WHERE x.label <> q.qlabel) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
@@ -787,7 +787,142 @@ object SimQueries extends graft.QueryModule {
       |FROM d JOIN nrm na ON d.a = na.doc_id JOIN nrm nb ON d.b = nb.doc_id
       |ORDER BY cos DESC, d.a, d.b LIMIT 20""".stripMargin
 
+  /** ColBERT-style late-interaction retrieval (MaxSim): documents are
+    * MULTI-vector — here 8 consecutive embedding rows per pseudo-doc
+    * (`vec_id div 8`) — and score(q, d) = Σ over query tokens of the
+    * max cosine against any doc token. The scale shape is the one a
+    * token-level index needs: the (small) query token set broadcasts,
+    * candidate tokens stream through ONE pass (cross join against the
+    * broadcast, never a candidate-side shuffle), and both reductions
+    * (max per query-token × doc, then sum per doc) are partial-agg
+    * keyed shuffles on doc ids. Per-token cosines round to 6dp before
+    * the max (max of rounded = rounded max only when ties resolve the
+    * same — rounding FIRST pins that), the summed score to 4dp; both
+    * via scoreRound (±0.0 normalization) and mirrored in the oracle. */
+  def simMaxsimMultivector(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.embeddings(spark, sfDir)
+      .select(expr("vec_id div 8").as("doc"), col("vec_id"), col("embedding"))
+    val q = toks.where(col("doc") < 2)
+      .select(col("doc").as("query_id"), col("vec_id").as("qtok"),
+        col("embedding").as("qv"))
+    val c = toks.where(col("doc") >= 2)
+      .select(col("doc").as("neighbor_id"), col("vec_id").as("ctok"),
+        col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("qtok"), col("neighbor_id"),
+        graft.functions.ScoreFns.scoreRound(
+          Similarity.cosine(col("qv"), col("cv")), 6).as("cos"))
+      .groupBy("query_id", "neighbor_id", "qtok").agg(max("cos").as("m"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(graft.functions.ScoreFns.scoreRound(sum("m"), 4).as("cos"))
+    Similarity.rankTopK(scored, 5)
+      .select(col("query_id").as("query_doc"), col("rank"),
+        col("neighbor_id").as("neighbor_doc"), col("cos").as("maxsim"))
+      .orderBy("query_doc", "rank")
+  }
+  val maxsimSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, vec_id // 8 AS doc,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT doc AS qdoc, vec_id AS qtok, v AS qv FROM e WHERE doc < 2),
+      |c AS (SELECT doc AS cdoc, vec_id AS ctok, v AS cv FROM e WHERE doc >= 2),
+      |pair AS (
+      |  SELECT qdoc, qtok, cdoc,
+      |    round(list_sum(list_transform(generate_series(1, len(cv)),
+      |        i -> cv[i] * qv[i]))
+      |      / (sqrt(list_sum(list_transform(cv, y -> y * y)))
+      |         * sqrt(list_sum(list_transform(qv, y -> y * y)))), 6) + 0.0 AS cos
+      |  FROM c, q),
+      |mx AS (SELECT qdoc, cdoc, qtok, max(cos) AS m FROM pair GROUP BY 1, 2, 3),
+      |sc AS (SELECT qdoc, cdoc, round(sum(m), 4) + 0.0 AS maxsim
+      |       FROM mx GROUP BY 1, 2),
+      |r AS (SELECT qdoc, cdoc, maxsim, row_number() OVER (
+      |    PARTITION BY qdoc ORDER BY maxsim DESC, cdoc) AS rank FROM sc)
+      |SELECT qdoc AS query_doc, rank, cdoc AS neighbor_doc, maxsim
+      |FROM r WHERE rank <= 5 ORDER BY query_doc, rank""".stripMargin
+
+  /** Retrieval-quality evaluation: nDCG@10 of brute-force cosine
+    * retrieval against the label ground truth (relevant = same
+    * label). The eval harness every embedding-pipeline change is
+    * judged by; computing it IN the engine means no collect of the
+    * ranked lists. DCG uses binary gain 1/log2(rank+1); IDCG caps the
+    * ideal list at min(10, total relevant in the candidate set), so
+    * the metric is exact even for rare labels. Transcendental sums
+    * are ≤10 terms → 6dp rounding absorbs libm ulp drift. */
+  def simNdcgEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val c = emb.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("label").as("clabel"))
+    val scored = c.crossJoin(broadcast(q.select("query_id", "qv")))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.ScoreFns.scoreRound(
+          Similarity.cosine(col("qv"), col("cv")), 4).as("cos"))
+    val top = Similarity.rankTopK(scored, 10)
+    val dcg = top
+      .join(c.select("neighbor_id", "clabel"), "neighbor_id")
+      .join(broadcast(q.select("query_id", "qlabel")), "query_id")
+      .withColumn("rel", when(col("clabel") === col("qlabel"), 1.0).otherwise(0.0))
+      .groupBy("query_id")
+      .agg(sum(col("rel")).cast("long").as("n_rel_at_10"),
+        sum(col("rel") * log(lit(2.0)) / log(col("rank") + 1)).as("dcg"))
+    // total relevant per query = candidate label histogram joined on
+    // the query's label (keyed agg + tiny join, no per-query scan)
+    val nrel = q.join(
+      c.groupBy(col("clabel").as("qlabel")).agg(count(lit(1)).as("nr")),
+      "qlabel")
+    val idcg = nrel.select(col("query_id"), expr(
+      "aggregate(sequence(1, int(least(nr, 10L))), cast(0.0 as double)," +
+        " (acc, i) -> acc + ln(2.0) / ln(i + 1))").as("idcg"))
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"), col("n_rel_at_10"),
+        graft.functions.ScoreFns.scoreRound(col("dcg") / col("idcg"), 6)
+          .as("ndcg"))
+      .orderBy("query_id")
+  }
+  val ndcgSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      |      FROM e WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, label AS clabel, v AS cv
+      |      FROM e WHERE vec_id >= 10),
+      |sc AS (
+      |  SELECT query_id, qlabel, neighbor_id, clabel,
+      |    round(list_sum(list_transform(generate_series(1, len(cv)),
+      |        i -> cv[i] * qv[i]))
+      |      / (sqrt(list_sum(list_transform(cv, y -> y * y)))
+      |         * sqrt(list_sum(list_transform(qv, y -> y * y)))), 4) + 0.0 AS cos
+      |  FROM c, q),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos DESC, neighbor_id) AS rank FROM sc),
+      |top AS (SELECT * FROM r WHERE rank <= 10),
+      |dcg AS (
+      |  SELECT query_id,
+      |    CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_rel_at_10,
+      |    sum(CASE WHEN clabel = qlabel
+      |      THEN ln(2.0) / ln(rank + 1) ELSE 0 END) AS dcg
+      |  FROM top GROUP BY 1),
+      |nrel AS (SELECT q.query_id, count(*) AS nr
+      |         FROM q JOIN c ON c.clabel = q.qlabel GROUP BY 1),
+      |idcg AS (SELECT query_id, list_sum(list_transform(
+      |    generate_series(1, CAST(least(nr, 10) AS INT)),
+      |    i -> ln(2.0) / ln(i + 1))) AS idcg FROM nrel)
+      |SELECT d.query_id, d.n_rel_at_10,
+      |  round(d.dcg / i.idcg, 6) + 0.0 AS ndcg
+      |FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+      |ORDER BY d.query_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_maxsim_multivector" -> (simMaxsimMultivector _),
+    "sim_ndcg_eval" -> (simNdcgEval _),
     "sim_sparse_cosine" -> (simSparseCosine _),
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -805,6 +940,8 @@ object SimQueries extends graft.QueryModule {
     "dedup_semantic_capped" -> (dedupSemanticCapped _))
 
   def oracles: Map[String, String] = Map(
+    "sim_maxsim_multivector" -> maxsimSql,
+    "sim_ndcg_eval" -> ndcgSql,
     "sim_sparse_cosine" -> sparseCosineSql,
     "sim_bruteforce_topk" -> bruteSql,
     "sim_ivf_topk" -> ivfSql,

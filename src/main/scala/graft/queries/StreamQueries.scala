@@ -427,7 +427,75 @@ object StreamQueries extends graft.QueryModule {
       |  2 AS n_versions, 0 AS n_quarantined, 1 AS n_replayed
       |FROM ev""".stripMargin
 
+  /** Streaming sessionization with EXPLICIT keyed state
+    * (Sessionize.streamingSessions, flatMapGroupsWithState): the one
+    * genuinely custom-state operator in the repo, gated against the
+    * batch ground truth. The feed lands in two time-ordered halves
+    * (per-user event order must hold ACROSS micro-batches — state
+    * only tracks the current session, so an out-of-order half would
+    * diverge by design); after both drains the emitted set is every
+    * session except each user's final still-open one. The oracle
+    * replays the close rule at the same precision the state code
+    * uses: integer-division seconds (`us // 1_000_000`), strict
+    * `> gap`, then drops each user's max session id (the open
+    * tail). */
+  def t13StreamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.Sessionize
+    val tag = synchronized { cdcCtr += 1; s"ssess$cdcCtr" }
+    val base = GraftSession.scratch(tag)
+    val feed = s"$base/feed"; val out = s"$base/out"; val ck = s"$base/ck"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts_us", LongType)))
+    val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z
+    GraftSession.stateScoped(spark, 8) { s2 =>
+      import s2.implicits._
+      def drain(): Unit = {
+        val src = s2.readStream.schema(schema).parquet(feed)
+          .as[Sessionize.SessionEvent]
+        val q = Sessionize.streamingSessions(src, gapSeconds = 1800)
+          .writeStream.option("checkpointLocation", ck)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      ev.where(col("ts_us") < cutUs).write.parquet(feed)
+      drain()
+      ev.where(col("ts_us") >= cutUs).write.mode("append").parquet(feed)
+      drain()
+      s2.read.parquet(out)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .orderBy("user_id", "session_start_us")
+    }
+  }
+  val t13Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |      OR (us // 1000000) - (lag(us) OVER w // 1000000) > 1800
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, sid, min(us) AS session_start_us,
+      |    max(us) AS session_end_us, count(*) AS n_events
+      |  FROM sess GROUP BY 1, 2),
+      |mx AS (SELECT user_id, max(sid) AS m FROM agg GROUP BY 1)
+      |SELECT a.user_id, a.session_start_us, a.session_end_us, a.n_events
+      |FROM agg a JOIN mx ON a.user_id = mx.user_id
+      |WHERE a.sid < mx.m
+      |ORDER BY a.user_id, a.session_start_us""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_stream_sessions" -> (t13StreamSessions _),
     "t11_stream_static_join" -> (t11StreamStaticJoin _),
     "t12_stream_mv" -> (t12StreamMv _),
     "t10_quarantine_replay" -> (t10QuarantineReplay _),
@@ -439,6 +507,7 @@ object StreamQueries extends graft.QueryModule {
     "t8_cdc_pipeline" -> (t8CdcPipeline _))
 
   def oracles: Map[String, String] = Map(
+    "t13_stream_sessions" -> t13Sql,
     "t11_stream_static_join" -> t11Sql,
     "t12_stream_mv" -> t12Sql,
     "t10_quarantine_replay" -> t10Sql,

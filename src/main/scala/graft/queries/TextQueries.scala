@@ -1005,20 +1005,21 @@ object TextQueries extends graft.QueryModule {
 
   /** Corpus Zipf fit: slope of ln(frequency) on ln(rank) over the
     * frequency-ranked vocabulary (natural text ≈ −1; a synthetic or
-    * template-dominated corpus drifts toward 0). The rank window runs
-    * over the VOCABULARY (the keyness precedent — vocab ≪ corpus and
-    * the token stream itself never sorts); tie-break (freq DESC,
-    * token ASC) is pinned identically on both sides because rank
-    * feeds the regression. */
+    * template-dominated corpus drifts toward 0). The rank is a
+    * range-partitioned sort + consecutive ids (the A8 primitive), NOT
+    * a row_number over an empty window: vocab ≪ corpus, but a
+    * web-scale vocabulary is still 10⁸+ distinct tokens, and an
+    * unpartitioned WindowExec would push all of them through one
+    * task. Tie-break (freq DESC, token ASC) is pinned identically on
+    * both sides because rank feeds the regression. */
   def textZipfFit(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freq = Tables.documents(spark, sfDir)
       .select(explode(expr(
         "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"))
         .as("token"))
       .groupBy("token").agg(count(lit(1)).as("f"))
-    freq.withColumn("r",
-        row_number().over(Window.orderBy(col("f").desc, col("token"))))
+    graft.ops.IdOps
+      .generateConsecutiveIds(freq.sort(col("f").desc, col("token")), "r", 1L)
       .agg(count(lit(1)).as("vocab_size"),
         sum("f").as("total_tokens"),
         graft.functions.ScoreFns.scoreRound(
@@ -1036,6 +1037,68 @@ object TextQueries extends graft.QueryModule {
       |SELECT count(*) AS vocab_size, CAST(sum(f) AS BIGINT) AS total_tokens,
       |  round(regr_slope(ln(f), ln(r)), 6) + 0.0 AS zipf_slope
       |FROM ranked""".stripMargin
+
+  /** Corpus drift via Jensen-Shannon divergence between the unigram
+    * distributions of two corpus slices (here: even vs odd doc_id —
+    * in production, yesterday's crawl vs today's). THE distribution-
+    * shift monitor for a continuously-ingested training corpus: JSD
+    * is symmetric, bounded [0, ln 2], and zero-frequency-safe (a term
+    * in one slice only contributes p·ln 2 — no smoothing constant to
+    * tune or replay). Shape: ONE token aggregation with the parity
+    * split folded into conditional sums (no second scan, no join of
+    * two frequency tables), totals as a broadcast 1-row frame (the
+    * Collocations idiom), then a vocabulary-sized sum — everything
+    * partial-aggregable. */
+  def textJsdDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"))
+        .as("token"))
+    val cnt = toks.groupBy("token").agg(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = cnt.agg(sum("ca").cast("double").as("ta"),
+      sum("cb").cast("double").as("tb"))
+    val terms = cnt.crossJoin(broadcast(tot))
+      .select(col("ca"), col("cb"),
+        (col("ca").cast("double") / col("ta")).as("p"),
+        (col("cb").cast("double") / col("tb")).as("q"))
+      .select(col("ca"), col("cb"),
+        when(col("ca") > 0,
+          col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+          .otherwise(0.0).as("pa"),
+        when(col("cb") > 0,
+          col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+          .otherwise(0.0).as("pb"))
+    terms.agg(count(lit(1)).as("vocab_size"),
+      sum("ca").as("n_tokens_a"), sum("cb").as("n_tokens_b"),
+      graft.functions.ScoreFns.scoreRound(
+        lit(0.5) * sum("pa") + lit(0.5) * sum("pb"), 6).as("jsd"))
+  }
+  val jsdDriftSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS ta,
+      |               CAST(sum(cb) AS DOUBLE) AS tb FROM cnt),
+      |terms AS (
+      |  SELECT ca, cb,
+      |    CASE WHEN ca > 0 THEN (ca / ta)
+      |      * ln(2.0 * (ca / ta) / ((ca / ta) + (cb / tb))) ELSE 0 END AS pa,
+      |    CASE WHEN cb > 0 THEN (cb / tb)
+      |      * ln(2.0 * (cb / tb) / ((ca / ta) + (cb / tb))) ELSE 0 END AS pb
+      |  FROM cnt, tot)
+      |SELECT count(*) AS vocab_size,
+      |  CAST(sum(ca) AS BIGINT) AS n_tokens_a,
+      |  CAST(sum(cb) AS BIGINT) AS n_tokens_b,
+      |  round(0.5 * sum(pa) + 0.5 * sum(pb), 6) + 0.0 AS jsd
+      |FROM terms""".stripMargin
 
   /** N-gram novelty profile: per document, the fraction of its
     * DISTINCT trigram shingles that first appear in THIS document
@@ -1137,6 +1200,7 @@ object TextQueries extends graft.QueryModule {
     "text_bigram_lm" -> (textBigramLm _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_entropy" -> (textEntropy _),
+    "text_jsd_drift" -> (textJsdDrift _),
     "text_zipf_fit" -> (textZipfFit _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
@@ -1179,6 +1243,7 @@ object TextQueries extends graft.QueryModule {
     "text_bigram_lm" -> bigramLmSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "text_entropy" -> entropySql,
+    "text_jsd_drift" -> jsdDriftSql,
     "text_zipf_fit" -> zipfFitSql,
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,

@@ -44,7 +44,6 @@ object SparseCosine {
     * (a, b, cos) ordered by (cos DESC, a, b). */
   def topPairs(docs: DataFrame, idCol: String, textCol: String,
                k: Int, maxDf: Int = 100, n: Int = 3): DataFrame = {
-    val nDocs = docs.count()
     val tf = docs
       .select(col(idCol).as("id"),
         expr(s"filter(split(trim(lower($textCol)), '\\\\s+')," +
@@ -56,9 +55,14 @@ object SparseCosine {
       .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
+    // corpus size as a broadcast 1-row frame (the Collocations totals
+    // idiom) — a docs.count() here would be a second driver action and
+    // a second scan; this keeps the whole statistic one lazy plan
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
       .select(col("id"), col("term"),
-        (col("cnt") * round(log(lit(nDocs.toDouble) / col("df")), 6)).as("w"))
+        (col("cnt") * round(log(col("n_docs") / col("df")), 6)).as("w"))
     val nrm = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dot = w.select(col("term"), col("id").as("a"), col("w").as("wa"))
       .join(w.select(col("term"), col("id").as("b"), col("w").as("wb")),

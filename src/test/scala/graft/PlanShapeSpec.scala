@@ -41,8 +41,17 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("sim_sparse_cosine pairs via the shingle inverted-index equi-join, never all-pairs") {
     val p = planOf("sim_sparse_cosine")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"sparse cosine degenerated to all-pairs:\n$p")
+    // nested-loop joins are expected ONLY as the 1-row corpus-count
+    // broadcast folded into the idf weights (the Collocations totals
+    // idiom — it replaced a docs.count() driver action). The weighted
+    // frame is referenced four times (wa, wb, na, nb), so the plan
+    // TEXT re-expands that cross up to four times; at runtime the
+    // identical BroadcastExchange is reused. The pair join itself
+    // must stay the hash equi-join on the term.
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 4, s"$nlj nested-loop joins (only the re-expanded 1-row totals cross is allowed):\n$p")
   }
 
   test("dedup_containment pairs via the shingle inverted-index equi-join, never all-pairs") {

@@ -51,7 +51,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 242, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 242) // every query oracle-gated
+    assert(SparkEntry.queries.size == 247, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 247) // every query oracle-gated
   }
 }

@@ -40,6 +40,35 @@ class ResampleSpec extends SparkSpecBase {
     assert(got == Map(1L -> 7.0, 2L -> 2.0))
   }
 
+  test("linear interpolation draws the straight line across a gap") {
+    val s = spark
+    import s.implicits._
+    // readings 1.0 @00 and 4.0 @03 → hours 01/02 interpolate to 2.0/3.0
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 03:00:00"), 4.0)).toDF("k", "t", "v")
+    val got = Resample.interpolateLinear(df, "k", "t", "v", 3600L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(got.map(_._3).toSeq == Seq(true, false, false, true))
+  }
+
+  test("interpolation keeps observed buckets exact and fills per key") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 02:00:00"), 0.0),
+      (2L, ts("2024-01-01 01:00:00"), 5.0)).toDF("k", "t", "v")
+    val rows = Resample.interpolateLinear(df, "k", "t", "v", 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b0 = rows.filter(_._1 == 1L).map(_._2).min
+    assert(rows.map(r => (r._1, r._2 - b0, r._3)).toSet ==
+      Set((1L, 0L, 10.0), (1L, 3600L, 5.0), (1L, 7200L, 0.0),
+        (2L, 3600L, 5.0)))
+  }
+
   test("keys fill independently — no bleed across partitions") {
     val s = spark
     import s.implicits._

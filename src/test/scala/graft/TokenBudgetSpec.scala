@@ -58,4 +58,31 @@ class TokenBudgetSpec extends SparkSpecBase {
     val rows = (1L to 20L).map(id => (id, 0.7, 3))
     assert(run(rows, 10L, 8) == Set(1L, 2L, 3L, 4L))
   }
+
+  test("ties-heavy skew: whole corpus in one bucket stays correct " +
+    "across many partitions") {
+    // every row ties on quality → the histogram collapses into ONE
+    // boundary bucket holding the entire corpus; the prefix sum must
+    // still match the naive spec while running range-partitioned (the
+    // unpartitioned-WindowExec cliff this path used to have)
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 5000L).map(id => (id, 0.25, 1 + rnd.nextInt(9)))
+    val df = rows.toDF("id", "q", "nt").repartition(16)
+    val total = rows.map(_._3.toLong).sum
+    for (budget <- Seq(17L, total / 2, total - 1)) {
+      val got = Sampling.tokenBudget(df, "id", "q", "nt", budget, 1024)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == naive(rows, budget), s"budget=$budget")
+    }
+  }
+
+  test("IdOps.runningTotal is the exclusive prefix sum in sort order") {
+    val rows = (1L to 200L).map(id => (id, (id * 7) % 13))
+    val df = rows.toDF("id", "v").repartition(8).sort("id")
+    val got = graft.ops.IdOps.runningTotal(df, "v", "rt")
+      .select("id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.map(_._2).scanLeft(0L)(_ + _).zip(rows.map(_._1))
+      .map { case (s, id) => id -> s }.toMap
+    assert(got == want)
+  }
 }
