@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.CurateQueries,
     graft.queries.SketchQueries,
     graft.queries.SqlSurfaceQueries,
-    graft.queries.GraphQueries)
+    graft.queries.GraphQueries,
+    graft.queries.AnalyticsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -792,6 +792,57 @@ object VersionedTable {
     } finally survivors.unpersist(blocking = false)
   }
 
+  /** SCD2 MERGE (the type-2 slowly-changing-dimension maintenance
+    * pattern, Kimball ch.5 / Delta's canonical MERGE example): the
+    * table holds version rows `keyCols ++ attrCols ++ (valid_from,
+    * valid_to, is_current)` with row identity `keyCols :+ valid_from`;
+    * `batch` carries one observation per key (`keyCols ++ attrCols ++
+    * ordCol`, epoch-micros long, deduped upstream — same single-row
+    * contract as commitUpsert). Per key:
+    *  - no live current row → INSERT a new current version,
+    *  - attrs unchanged → no-op (a re-observation never spawns a
+    *    version),
+    *  - attrs changed AND ord strictly after the current row's
+    *    valid_from → CLOSE the current row (valid_to = ord,
+    *    is_current = false) and INSERT the new current version —
+    *    both in ONE atomic commit, so readers never see a key with
+    *    zero or two current rows.
+    * Cost shape: one batch-sized join against the current slice; the
+    * closed row is superseded via the normal newest-commit-wins merge
+    * (no table rewrite). Persisted once so the emptiness check and
+    * the commit see the same set (the commitUpsertIfNewer lesson).
+    * Returns the committed version, or the head when the batch
+    * changed nothing. */
+  def commitScd2(spark: SparkSession, root: String, batch: DataFrame,
+                 keyCols: Seq[String], attrCols: Seq[String],
+                 ordCol: String): Long = {
+    val live = readLatest(spark, root, keyCols :+ "valid_from")
+      .where(col("is_current"))
+      .select(keyCols.map(col) ++ attrCols.map(a => col(a).as(s"__live_$a"))
+        :+ col("valid_from").as("__live_from"): _*)
+    val attrChanged = attrCols.map(a =>
+      !(col(a) <=> col(s"__live_$a"))).reduceLeft(_ || _)
+    val joined = batch.join(live, keyCols, "left_outer")
+    val isNewKey = col("__live_from").isNull
+    val isChange = !isNewKey && attrChanged && col(ordCol) > col("__live_from")
+    val opens = joined.where(isNewKey || isChange)
+      .select(keyCols.map(col) ++ attrCols.map(col)
+        :+ col(ordCol).as("valid_from")
+        :+ lit(null).cast("long").as("valid_to")
+        :+ lit(true).as("is_current"): _*)
+    val closes = joined.where(isChange)
+      .select(keyCols.map(col) ++ attrCols.map(a => col(s"__live_$a").as(a))
+        :+ col("__live_from").as("valid_from")
+        :+ col(ordCol).as("valid_to")
+        :+ lit(false).as("is_current"): _*)
+    val delta = opens.unionByName(closes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (delta.isEmpty) versions(spark, root).last
+      else commitUpsert(spark, root, delta)
+    } finally delta.unpersist(blocking = false)
+  }
+
   /** Append a delete commit: `keys` holds the key columns only; payload
     * columns are null-filled to keep one schema per table. */
   def commitDelete(spark: SparkSession, root: String, keys: DataFrame): Long = {

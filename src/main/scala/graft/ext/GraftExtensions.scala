@@ -95,6 +95,12 @@ object GraftExtensions {
       { args =>
         require(args.length == 1, "strip_accents takes 1 argument")
         graft.plans.StripAccents(args.head)
+      }),
+    (FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (threshold 0.7, prefix<=4, p=0.1)"),
+      { args =>
+        require(args.length == 2, "jaro_winkler takes 2 arguments")
+        new graft.plans.JaroWinkler(args.head, args(1))
       }))
 
   /** Runtime registration into an existing session (idempotent —

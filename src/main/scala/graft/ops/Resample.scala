@@ -70,14 +70,20 @@ object Resample {
       .select(col(keyCol),
         explode(sequence(col("b0"), col("b1"), lit(stepSeconds)))
           .as("bucket"))
-    val w = Window.partitionBy(keyCol).orderBy("bucket")
-    val prevW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nextW = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevW = Window.partitionBy(keyCol).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the FORWARD neighbor runs as a reversed-order RUNNING frame, not
+    // a (currentRow, unboundedFollowing) frame: Spark evaluates
+    // shrinking frames by recomputing the aggregate per row — O(n²)
+    // per key partition (measured 152 s vs the ffill twin's 6 s at
+    // sf1); last() over the DESC order is the same value in O(n)
+    val nextW = Window.partitionBy(keyCol).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq(keyCol, "bucket"), "left")
       .withColumn("__o", when(col("obs_v").isNotNull,
         struct(col("bucket").as("b"), col("obs_v").as("v"))))
       .withColumn("__p", last(col("__o"), ignoreNulls = true).over(prevW))
-      .withColumn("__n", first(col("__o"), ignoreNulls = true).over(nextW))
+      .withColumn("__n", last(col("__o"), ignoreNulls = true).over(nextW))
       .select(col(keyCol), col("bucket"),
         when(col("obs_v").isNotNull, col("obs_v"))
           .otherwise(col("__p.v") + (col("__n.v") - col("__p.v")) *

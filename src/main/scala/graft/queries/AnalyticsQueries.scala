@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Round-10 analytics surface: the event-history operators a warehouse
+  * team reaches for next once the BonusQueries window family exists —
+  * interval coverage (gaps-and-islands), exponential smoothing,
+  * market-basket association, next-event transition models, and SCD2
+  * dimension-history construction. Every operator is a single-shuffle
+  * keyed plan (one hash exchange on the entity key serves its windows)
+  * and every oracle replays the identical arithmetic, per the
+  * cross-engine pitfalls in .claude/skills/verify/SKILL.md. */
+object AnalyticsQueries extends graft.QueryModule {
+
+  /** Merge overlapping activity intervals per user (gaps-and-islands):
+    * each event opens a 30-minute presence interval; touching/
+    * overlapping intervals coalesce into islands via the classic
+    * running-max-of-end window (strictly-before frame), then one
+    * grouped reduction per island. All interval arithmetic is integral
+    * epoch-micros so both engines bound islands on the same integers.
+    * Scale shape: one exchange on user_id, ROWS-bounded running
+    * windows, island count ≤ event count. */
+  def tsMergeIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val span = 1800000000L // 30 min in µs
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val prevMax = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("e", col("us") + span)
+    ev.withColumn("new_island",
+        when(prevMax.isNull || col("us") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min("us").as("s"), max("e").as("t"), count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        // integral `div`, not `/`: Column./ is DOUBLE division and the
+        // oracle's `//` is integer — the classic cross-engine mismatch
+        sum(col("t") - col("s")).as("covered_us"),
+        max(col("t") - col("s")).as("max_span_us"),
+        max("n_events").as("max_events_per_interval"))
+      .select(col("user_id"), col("n_intervals"),
+        expr("covered_us div 1000000").as("covered_seconds"),
+        col("max_span_us"), col("max_events_per_interval"))
+      .orderBy("user_id")
+  }
+  val mergeIntervalsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM e),
+      |isl AS (
+      |  SELECT *, CAST(sum(CASE WHEN pm IS NULL OR us > pm THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      |  FROM m),
+      |iv AS (
+      |  SELECT user_id, island, min(us) AS s, max(e) AS t,
+      |    count(*) AS n_events
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_intervals,
+      |  CAST(sum(t - s) AS BIGINT) // 1000000 AS covered_seconds,
+      |  CAST(max(t - s) AS BIGINT) AS max_span_us,
+      |  max(n_events) AS max_events_per_interval
+      |FROM iv GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Exponentially weighted moving average per user series, the
+    * smoothing primitive of monitoring/forecast features. EWMA is
+    * inherently recursive; the scale-safe relational form truncates at
+    * K=8 lags (2⁻⁸ residual weight < 0.4%) so it becomes ONE window
+    * pass with ROWS-bounded frames — no recursion, no state. Weights
+    * are exact powers of two, so every product is an exponent shift
+    * and the left-to-right sums are bit-identical across engines (no
+    * rounding slack needed; 6dp rounding kept only to normalize the
+    * printed width). Emitted per user at the LAST event (the live
+    * smoothed reading). */
+  def tsEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val lags = (0 to 8).map(j => lag(col("value"), j).over(w))
+    val num = lags.zipWithIndex.map { case (l, j) =>
+      coalesce(l, lit(0.0)) * lit(math.pow(2.0, -j)) }.reduceLeft(_ + _)
+    val den = lags.zipWithIndex.map { case (l, j) =>
+      when(l.isNotNull, lit(math.pow(2.0, -j))).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    val rn = row_number().over(
+      Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ewma", round(num / den, 6))
+      .withColumn("rn", rn)
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ewma"))
+      .orderBy("user_id")
+  }
+  val ewmaSql: String = {
+    val num = (0 to 8).map(j =>
+      s"coalesce(lag(value, $j) OVER w, 0.0) * ${math.pow(2.0, -j)}")
+      .mkString(" + ")
+    val den = (0 to 8).map(j =>
+      s"CASE WHEN lag(value, $j) OVER w IS NOT NULL" +
+        s" THEN ${math.pow(2.0, -j)} ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH sm AS (
+       |  SELECT user_id, event_id, round(($num) / ($den), 6) AS ewma,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY CAST(ts AS TIMESTAMP), event_id))
+       |SELECT user_id, event_id AS last_event_id, ewma
+       |FROM sm WHERE rn = 1 ORDER BY user_id""".stripMargin
+  }
+
+  /** Market-basket association: brand co-purchase lift over orders.
+    * The itemset universe is collapsed to the 25 part BRANDS before
+    * pairing, so the per-order pair expansion is ≤ C(25,2) regardless
+    * of order width — the cap that keeps the classic self-join shape
+    * linear in orders at any scale. The self-join is key-equal on
+    * l_orderkey (co-partitioned, no cartesian); `part` rides in as a
+    * broadcast dim. lift = P(ab) / (P(a)P(b)) computed from exact
+    * integer counts; both engines divide the same integers so 6dp
+    * rounding is deterministic. */
+  def xMarketBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    val ob = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        "l_partkey")
+      .select(col("okey"), col("p_brand")).distinct()
+    val n = ob.agg(countDistinct("okey").cast("double").as("n_orders"))
+    val singles = ob.groupBy("p_brand").agg(count(lit(1)).as("c"))
+    val pairs = ob.as("a").join(ob.as("b"), "okey")
+      .where(col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(singles).select(col("p_brand").as("brand_a"),
+        col("c").as("c_a")), "brand_a")
+      .join(broadcast(singles).select(col("p_brand").as("brand_b"),
+        col("c").as("c_b")), "brand_b")
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("c_ab"),
+        round(col("c_ab") * col("n_orders") /
+          (col("c_a") * col("c_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(25)
+  }
+  val marketBasketSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |n AS (SELECT CAST(count(DISTINCT okey) AS DOUBLE) AS n_orders FROM ob),
+      |s AS (SELECT p_brand, count(*) AS c FROM ob GROUP BY 1),
+      |pr AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |    count(*) AS c_ab
+      |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, CAST(c_ab AS BIGINT) AS c_ab,
+      |  round(c_ab * n.n_orders / (sa.c * sb.c), 6) AS lift
+      |FROM pr
+      |JOIN s sa ON pr.brand_a = sa.p_brand
+      |JOIN s sb ON pr.brand_b = sb.p_brand
+      |CROSS JOIN n
+      |ORDER BY lift DESC, brand_a, brand_b LIMIT 25""".stripMargin
+
+  /** First-order next-event transition model (the clickstream Markov
+    * chain): P(next event type | current) from each user's ordered
+    * stream. One lead() window on the same user exchange, then a
+    * 9-cell aggregation — the transition matrix of a 3-state journey.
+    * Probabilities are exact-integer ratios rounded at 6dp. */
+  def xNextEventMarkov(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy("from_type")
+    t.withColumn("p", round(col("n") / sum("n").over(totals), 6))
+      .orderBy("from_type", "to_type")
+  }
+  val nextEventMarkovSql: String =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** SCD2 dimension-history build from a change stream: each user's
+    * event_type treated as the tracked attribute; consecutive
+    * duplicates collapse (lag inequality), each surviving change opens
+    * a version row with [valid_from, valid_to) epoch-micros bounds and
+    * the open tail marked current — the gaps-and-islands construction
+    * every warehouse uses to turn a mutation log into a temporal
+    * dimension. Single exchange on user_id serves both windows.
+    * Summarized per (user, attribute): version count and total dwell
+    * time, plus which attribute holds the open tail — pinning both the
+    * compression rule and the boundary hand-off. */
+  def scd2Build(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val versions = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_from", col("us"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))))
+    versions
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNotNull,
+          col("valid_to") - col("valid_from")).otherwise(0L))
+          .as("closed_dwell_us"),
+        max(col("valid_to").isNull.cast("long")).as("holds_open_tail"))
+      .select(col("user_id"), col("event_type"), col("n_versions"),
+        expr("closed_dwell_us div 1000000").as("closed_dwell_seconds"),
+        col("holds_open_tail"))
+      .orderBy("user_id", "event_type")
+  }
+  val scd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, event_id, us AS valid_from, event_type
+      |  FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
+      |v AS (
+      |  SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from, event_id) AS valid_to
+      |  FROM ch)
+      |SELECT user_id, event_type, count(*) AS n_versions,
+      |  CAST(sum(CASE WHEN valid_to IS NOT NULL
+      |    THEN valid_to - valid_from ELSE 0 END) AS BIGINT) // 1000000
+      |    AS closed_dwell_seconds,
+      |  CAST(max(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS holds_open_tail
+      |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_merge_intervals" -> (tsMergeIntervals _),
+    "ts_ewma" -> (tsEwma _),
+    "x_market_basket" -> (xMarketBasket _),
+    "x_next_event_markov" -> (xNextEventMarkov _),
+    "scd2_build" -> (scd2Build _))
+
+  def oracles: Map[String, String] = Map(
+    "ts_merge_intervals" -> mergeIntervalsSql,
+    "ts_ewma" -> ewmaSql,
+    "x_market_basket" -> marketBasketSql,
+    "x_next_event_markov" -> nextEventMarkovSql,
+    "scd2_build" -> scd2Sql)
+}

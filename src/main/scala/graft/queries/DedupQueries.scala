@@ -733,7 +733,40 @@ object DedupQueries extends graft.QueryModule {
       |  round(CAST((SELECT count(*) FROM blocked) AS DOUBLE)
       |    / (SELECT count(*) FROM truth), 4) AS recall""".stripMargin
 
+  /** Native Jaro-Winkler scoring (plans.JaroWinkler): adjacent-key
+    * part-name pairs plus each name against its own reversal — scores
+    * span the whole [0,1] range so the match window, transposition
+    * count, 0.7 boost threshold AND the ≤4 prefix cap all influence
+    * some row. The oracle is DuckDB's independent
+    * `jaro_winkler_similarity` implementation (same Winkler constants,
+    * probed), so this gate cross-checks the ALGORITHM, not a replay.
+    * Plan shape: one broadcastable self-join on adjacent keys; the
+    * scoring itself is a codegen'd scan expression. */
+  def erJaroWinkler(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_name")
+    val a = p.where(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey").as("k"), col("p_name").as("name_a"))
+    val b = p.select((col("p_partkey") - 1).as("k"),
+      col("p_name").as("name_b"))
+    a.join(b, "k")
+      .select(col("k"),
+        round(graft.plans.JaroWinkler(col("name_a"), col("name_b")), 6)
+          .as("jw_next"),
+        round(graft.plans.JaroWinkler(col("name_a"), reverse(col("name_a"))), 6)
+          .as("jw_rev"))
+      .orderBy("k")
+  }
+  val erJaroWinklerSql: String =
+    """SELECT a.p_partkey AS k,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_next,
+      |  round(jaro_winkler_similarity(a.p_name, reverse(a.p_name)), 6)
+      |    AS jw_rev
+      |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+      |WHERE a.p_partkey % 7 = 0
+      |ORDER BY k""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_jaro_winkler" -> (erJaroWinkler _),
     "dedup_url" -> (dedupUrl _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "dedup_spans" -> (dedupSpans _),
@@ -755,6 +788,7 @@ object DedupQueries extends graft.QueryModule {
     "er_blocking_recall" -> (erBlockingRecall _))
 
   def oracles: Map[String, String] = Map(
+    "er_jaro_winkler" -> erJaroWinklerSql,
     "dedup_url" -> dedupUrlSql,
     "dedup_incremental_minhash" -> dedupIncMinhashSql,
     "dedup_spans" -> dedupSpansSql,

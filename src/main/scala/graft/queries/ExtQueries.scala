@@ -159,6 +159,53 @@ object ExtQueries extends graft.QueryModule {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Nearest-direction as-of join (AsOfJoin.asofNearest): each
+    * purchase matched to the user's nearest click within 2 hours,
+    * either direction, exact ties preferring the earlier click. The
+    * oracle composes DuckDB's native backward (`>=`) and forward
+    * (`<`) ASOF joins and replays the identical tolerance/tie rule at
+    * microsecond precision. */
+  def asofNearestJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    graft.ops.AsOfJoin.asofNearest(purchases, clicks,
+        "user_id", "ts", "click_id", "matched_click",
+        toleranceUs = 7200L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("matched_click"))
+      .orderBy("event_id")
+  }
+  val asofNearestSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+      |b AS (
+      |  SELECT p.event_id, c.click_id, c.us AS cus
+      |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+      |f AS (
+      |  SELECT p.event_id, c.click_id, c.us AS cus
+      |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts < c.ts)
+      |SELECT p.event_id, p.user_id,
+      |  CASE
+      |    WHEN b.click_id IS NOT NULL AND (p.us - b.cus) <= 7200000000
+      |      AND (f.click_id IS NULL OR (f.cus - p.us) > 7200000000
+      |           OR (p.us - b.cus) <= (f.cus - p.us))
+      |    THEN b.click_id
+      |    WHEN f.click_id IS NOT NULL AND (f.cus - p.us) <= 7200000000
+      |    THEN f.click_id
+      |  END AS matched_click
+      |FROM p
+      |LEFT JOIN b ON p.event_id = b.event_id
+      |LEFT JOIN f ON p.event_id = f.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   /** Capstone: the full training-data curation pipeline (language +
     * quality filters, exact dedup, minhash near-dup removal, stats) —
     * the oracle replays every stage exactly, with ground-truth
@@ -642,6 +689,103 @@ object ExtQueries extends graft.QueryModule {
       |  2 AS n_versions
       |FROM ev""".stripMargin
 
+  /** SCD2 MERGE lifecycle (VersionedTable.commitScd2): a user-state
+    * dimension seeded from each user's first event, then two merge
+    * batches — the last observation before the corpus midpoint, then
+    * the final observation — each batch atomically closing changed
+    * current rows and opening their successors. The oracle replays
+    * the three-observation version algebra per user (new-key /
+    * unchanged / close-and-open with the strict ord guard) straight
+    * from the events table, so the MERGE semantics are value-checked
+    * without replaying the commit protocol. Output: version rows
+    * grouped by (attribute, currency) with closed dwell time. */
+  def vtScd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtscd2") + "/tbl"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    def obs(src: DataFrame, newest: Boolean): DataFrame = {
+      val s = struct(col("us"), col("event_id"), col("event_type"))
+      src.groupBy("user_id")
+        .agg((if (newest) max(s) else min(s)).as("o"))
+        .select(col("user_id"), col("o.event_type").as("event_type"),
+          col("o.us").as("us"))
+    }
+    val dim = obs(ev, newest = false)
+      .select(col("user_id"), col("event_type"),
+        col("us").as("valid_from"),
+        lit(null).cast("long").as("valid_to"), lit(true).as("is_current"))
+    VersionedTable.init(spark, root, dim)                              // v0
+    val mm = ev.agg(min("us").as("mn"), max("us").as("mx")).head()
+    val tmid = (mm.getLong(0) + mm.getLong(1)) / 2
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitScd2(spark, root,
+        obs(ev.where(col("us") <= tmid), newest = true),
+        Seq("user_id"), Seq("event_type"), "us")                       // v1
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitScd2(spark, root, obs(ev, newest = true),
+        Seq("user_id"), Seq("event_type"), "us")                       // v2
+    }
+    VersionedTable.readLatest(spark, root, Seq("user_id", "valid_from"))
+      .groupBy(col("event_type"), col("is_current").cast("long").as("current"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("valid_to") - col("valid_from"), lit(0L)))
+          .as("dwell_us"))
+      .select(col("event_type"), col("current"), col("n_rows"),
+        expr("dwell_us div 1000000").as("dwell_seconds"))
+      .orderBy("event_type", "current")
+  }
+  val vtScd2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_type
+      |  FROM events),
+      |t AS (SELECT (min(us) + max(us)) // 2 AS tmid FROM e),
+      |f AS (SELECT user_id, us, event_type FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS r FROM e) WHERE r = 1),
+      |m AS (SELECT user_id, us, event_type FROM (
+      |  SELECT e.*, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS r
+      |  FROM e, t WHERE e.us <= t.tmid) WHERE r = 1),
+      |l AS (SELECT user_id, us, event_type FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS r FROM e) WHERE r = 1),
+      |j AS (
+      |  SELECT f.user_id, f.us AS f_us, f.event_type AS f_et,
+      |    m.us AS m_us, m.event_type AS m_et,
+      |    l.us AS l_us, l.event_type AS l_et
+      |  FROM f LEFT JOIN m ON f.user_id = m.user_id
+      |  JOIN l ON f.user_id = l.user_id),
+      |s AS (
+      |  SELECT *,
+      |    (m_us IS NOT NULL AND m_et <> f_et AND m_us > f_us) AS has_v2
+      |  FROM j),
+      |s2 AS (
+      |  SELECT *,
+      |    CASE WHEN has_v2 THEN m_et ELSE f_et END AS cur_et,
+      |    CASE WHEN has_v2 THEN m_us ELSE f_us END AS cur_us
+      |  FROM s),
+      |s3 AS (SELECT *, (l_et <> cur_et AND l_us > cur_us) AS has_v3 FROM s2),
+      |rws AS (
+      |  SELECT user_id, f_et AS et, f_us AS vf,
+      |    CASE WHEN has_v2 THEN m_us WHEN has_v3 THEN l_us END AS vt,
+      |    (NOT has_v2 AND NOT has_v3) AS cur
+      |  FROM s3
+      |  UNION ALL
+      |  SELECT user_id, m_et, m_us,
+      |    CASE WHEN has_v3 THEN l_us END, NOT has_v3
+      |  FROM s3 WHERE has_v2
+      |  UNION ALL
+      |  SELECT user_id, l_et, l_us, NULL, true FROM s3 WHERE has_v3)
+      |SELECT et AS event_type, CAST(cur AS BIGINT) AS current,
+      |  count(*) AS n_rows,
+      |  CAST(sum(coalesce(vt - vf, 0)) AS BIGINT) // 1000000
+      |    AS dwell_seconds
+      |FROM rws GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Auto-compaction policy: six upsert batches with
     * `compactIfNeeded(maxChain=3)` after each — the chain-length
     * budget triggers compactions at exactly v4 and v8 (init snapshot
@@ -1073,11 +1217,13 @@ object ExtQueries extends graft.QueryModule {
     "vt_auto_compact" -> (vtAutoCompact _),
     "vt_merge_full_sync" -> (vtMergeFullSync _),
     "vt_merge_conditional" -> (vtMergeConditional _),
+    "vt_scd2_merge" -> (vtScd2Merge _),
     "vt_projected_read" -> (vtProjectedRead _),
     "etl_incremental_mv" -> (etlIncrementalMv _),
     "range_join" -> (rangeJoin _),
     "pipeline_training_data" -> (pipelineTrainingData _),
     "asof_join" -> (asofJoin _),
+    "asof_nearest" -> (asofNearestJoin _),
     "cat_index_docs" -> (catIndexDocs _),
     "upsert_merge" -> (upsertMerge _),
     "o5_sessionize" -> (o5Sessionize _),
@@ -1102,11 +1248,13 @@ object ExtQueries extends graft.QueryModule {
     "vt_auto_compact" -> vtAutoCompactSql,
     "vt_merge_full_sync" -> vtMergeFullSyncSql,
     "vt_merge_conditional" -> vtMergeConditionalSql,
+    "vt_scd2_merge" -> vtScd2Sql,
     "vt_projected_read" -> vtProjectedReadSql,
     "etl_incremental_mv" -> etlIncrementalMvSql,
     "range_join" -> rangeJoinSql,
     "pipeline_training_data" -> pipelineSql,
     "asof_join" -> asofSql,
+    "asof_nearest" -> asofNearestSql,
     "cat_index_docs" -> catIndexSql,
     "upsert_merge" -> upsertSql,
     "o5_sessionize" -> sessionizeSql,

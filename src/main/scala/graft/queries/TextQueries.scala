@@ -511,6 +511,54 @@ object TextQueries extends graft.QueryModule {
       |WHERE bc.cab >= 5
       |ORDER BY bc.a, bc.b""".stripMargin
 
+  /** TextRank keywords (text.TextRank): PageRank over the adjacent-
+    * word co-occurrence graph, top-20 by rank — the unsupervised
+    * keyword extractor. The oracle unrolls the identical 5 damping
+    * rounds over the identically-built symmetric edge list (the
+    * graph_pagerank oracle pattern), so the tokenization, the
+    * undirected edge construction AND the rank algebra are all
+    * value-checked. Ranked on 4dp-rounded values with a word
+    * tie-break so the top-20 cut is deterministic cross-engine. */
+  def textTextrank(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.TextRank.ranks(
+        Tables.documents(spark, sfDir), "text", iters = 5)
+      .select(col("word"), round(col("rank"), 4).as("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(20)
+  private def trRound(k: Int): String =
+    s"""r$k AS (
+       |  SELECT n.node, 0.15 + 0.85 * coalesce(s.inflow, 0) AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, sum(r${k - 1}.rank * e.p) AS inflow
+       |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+       |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+  val textrankSql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> regexp_matches(x, '^[a-z]+$')) AS t
+      |  FROM documents),
+      |pr AS (
+      |  SELECT t[i] AS a, t[i + 1] AS b
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      |  WHERE len(t) >= 2),
+      |pd AS (SELECT a, b FROM pr WHERE a <> b),
+      |el AS (
+      |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+      |    SELECT a AS src, b AS dst FROM pd
+      |    UNION ALL SELECT b, a FROM pd)
+      |  GROUP BY 1, 2),
+      |outw AS (SELECT src, sum(w) AS tw FROM el GROUP BY 1),
+      |e AS (SELECT el.src, el.dst, el.w / o.tw AS p
+      |      FROM el JOIN outw o ON el.src = o.src),
+      |nodes AS (SELECT src AS node FROM el UNION SELECT dst FROM el),
+      |r0 AS (SELECT node, 1.0 AS rank FROM nodes),
+      |""".stripMargin +
+      (1 to 5).map(trRound).mkString(",\n") +
+      """
+        |SELECT node AS word, round(rank, 4) AS rank FROM r5
+        |ORDER BY round(rank, 4) DESC, node LIMIT 20""".stripMargin
+
   /** BPE pair statistics: top-15 frequency-weighted adjacent character
     * pairs over the distinct-word table — the first-merge statistics
     * of tokenizer training, computed vocab-sized not corpus-sized. */
@@ -1038,6 +1086,79 @@ object TextQueries extends graft.QueryModule {
       |  round(regr_slope(ln(f), ln(r)), 6) + 0.0 AS zipf_slope
       |FROM ranked""".stripMargin
 
+  /** BPE tokenizer TRAINING in-engine (text.BpeTrainer): the first 10
+    * learned merge rules with their pair counts. The oracle unrolls
+    * the identical relational program per round — pair lead-window,
+    * argmax with the same (count DESC, left, right) tie-break, the
+    * gaps-and-islands odd-offset rule for self-pair runs, consumed-row
+    * lag filter, renumber — so any drift in the merge algebra breaks
+    * a value, not just a count. */
+  def textBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.BpeTrainer.train(
+        Tables.documents(spark, sfDir), "text", rounds = 10)
+      .orderBy("round")
+  private def bpeRound(k: Int): String =
+    s"""p$k AS (
+       |  SELECT v.*, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+       |  FROM v${k - 1} v),
+       |m$k AS (
+       |  SELECT tok AS x, nxt AS y, CAST(cnt AS BIGINT) AS cnt FROM (
+       |    SELECT tok, nxt, sum(f) AS cnt FROM p$k WHERE nxt IS NOT NULL
+       |    GROUP BY 1, 2 ORDER BY cnt DESC, tok, nxt LIMIT 1)),
+       |a$k AS (SELECT p.*, m.x, m.y FROM p$k p CROSS JOIN m$k m),
+       |b$k AS (
+       |  SELECT *, CASE WHEN tok = x THEN pos - row_number()
+       |    OVER (PARTITION BY w, (tok = x) ORDER BY pos) END AS runid
+       |  FROM a$k),
+       |c$k AS (
+       |  SELECT *, CASE WHEN runid IS NOT NULL THEN row_number()
+       |    OVER (PARTITION BY w, runid ORDER BY pos) END AS off
+       |  FROM b$k),
+       |d$k AS (
+       |  SELECT *, (tok = x AND nxt = y AND (x <> y OR off % 2 = 1)) AS m
+       |  FROM c$k),
+       |e$k AS (
+       |  SELECT *, coalesce(lag(m) OVER (PARTITION BY w ORDER BY pos),
+       |    false) AS lm
+       |  FROM d$k),
+       |v$k AS (
+       |  SELECT w, f, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+       |    CASE WHEN m THEN tok || nxt ELSE tok END AS tok
+       |  FROM e$k WHERE NOT lm)""".stripMargin
+  private val bpeChainSql: String =
+    """WITH words AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(list_filter(
+      |      string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS w
+      |    FROM documents) t
+      |  WHERE regexp_matches(w, '^[a-z]+$')
+      |  GROUP BY 1),
+      |v0p AS (
+      |  SELECT w, f,
+      |    unnest(generate_series(1, CAST(length(w) AS BIGINT))) AS pos
+      |  FROM words),
+      |v0 AS (SELECT w, f, pos, substr(w, pos, 1) AS tok FROM v0p),
+      |""".stripMargin +
+      (1 to 10).map(bpeRound).mkString(",\n") + "\n"
+  val bpeTrainSql: String = bpeChainSql +
+      (1 to 10).map(k =>
+        s"SELECT $k AS round, (SELECT x || y FROM m$k) AS merged," +
+          s" (SELECT cnt FROM m$k) AS pair_count")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY round")
+
+  /** Segmentation statistics after applying the 10 learned merges —
+    * the apply half of the tokenizer lifecycle (train → segment). The
+    * oracle reuses the identical unrolled chain and aggregates the
+    * final symbol table; all-integer output. */
+  def textBpeApply(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.BpeTrainer.applyStats(
+      Tables.documents(spark, sfDir), "text", rounds = 10)
+  val bpeApplySql: String = bpeChainSql +
+    """SELECT count(DISTINCT tok) AS vocab_units,
+      |  CAST(sum(f) AS BIGINT) AS total_subwords,
+      |  count(DISTINCT w) AS n_word_types
+      |FROM v10""".stripMargin
+
   /** Corpus drift via Jensen-Shannon divergence between the unigram
     * distributions of two corpus slices (here: even vs odd doc_id —
     * in production, yesterday's crawl vs today's). THE distribution-
@@ -1201,6 +1322,9 @@ object TextQueries extends graft.QueryModule {
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_entropy" -> (textEntropy _),
     "text_jsd_drift" -> (textJsdDrift _),
+    "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_apply" -> (textBpeApply _),
+    "text_textrank" -> (textTextrank _),
     "text_zipf_fit" -> (textZipfFit _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
@@ -1244,6 +1368,9 @@ object TextQueries extends graft.QueryModule {
     "text_ngram_novelty" -> ngramNoveltySql,
     "text_entropy" -> entropySql,
     "text_jsd_drift" -> jsdDriftSql,
+    "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_apply" -> bpeApplySql,
+    "text_textrank" -> textrankSql,
     "text_zipf_fit" -> zipfFitSql,
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,

@@ -53,16 +53,19 @@ object SparseCosine {
         s"transform(sequence(1, size(t) - ${n - 1})," +
           s" i -> array_join(slice(t, i, $n), ' '))")).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= maxDf)
     // corpus size as a broadcast 1-row frame (the Collocations totals
     // idiom) — a docs.count() here would be a second driver action and
-    // a second scan; this keeps the whole statistic one lazy plan
+    // a second scan. The cross lands on the VOCABULARY-sized df frame
+    // (folded straight into the idf weight), not the posting pipeline:
+    // a nested-loop join mid-pipeline would split the tf codegen span
+    // in each of the four places the weighted frame is re-expanded.
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val w = tf.join(df, "term")
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
       .crossJoin(broadcast(nDocs))
-      .select(col("id"), col("term"),
-        (col("cnt") * round(log(col("n_docs") / col("df")), 6)).as("w"))
+      .select(col("term"), round(log(col("n_docs") / col("df")), 6).as("idf"))
+    val w = tf.join(df, "term")
+      .select(col("id"), col("term"), (col("cnt") * col("idf")).as("w"))
     val nrm = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dot = w.select(col("term"), col("id").as("a"), col("w").as("wa"))
       .join(w.select(col("term"), col("id").as("b"), col("w").as("wb")),

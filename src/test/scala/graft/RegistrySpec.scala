@@ -23,7 +23,8 @@ class RegistrySpec extends AnyFunSuite {
     "CurateQueries" -> queries.CurateQueries,
     "SketchQueries" -> queries.SketchQueries,
     "SqlSurfaceQueries" -> queries.SqlSurfaceQueries,
-    "GraphQueries" -> queries.GraphQueries)
+    "GraphQueries" -> queries.GraphQueries,
+    "AnalyticsQueries" -> queries.AnalyticsQueries)
 
   test("query names are globally unique (no silent map overwrite)") {
     val all = modules.flatMap { case (m, q) => q.defs.keys.map(_ -> m) }
@@ -51,7 +52,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 247, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 247) // every query oracle-gated
+    assert(SparkEntry.queries.size == 258, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 258) // every query oracle-gated
   }
 }

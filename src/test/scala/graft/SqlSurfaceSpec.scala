@@ -44,7 +44,7 @@ class SqlSurfaceSpec extends SparkSpecBase {
     // accept the injector; function behavior itself is covered above
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("bounded_top_k", "dot_product", "min_k_distinct", "minhash_sig",
-        "nfc_normalize", "simhash_sig", "strip_accents"))
+      Seq("bounded_top_k", "dot_product", "jaro_winkler", "min_k_distinct",
+        "minhash_sig", "nfc_normalize", "simhash_sig", "strip_accents"))
   }
 }
