@@ -920,7 +920,102 @@ object SimQueries extends graft.QueryModule {
       |FROM dcg d JOIN idcg i ON d.query_id = i.query_id
       |ORDER BY d.query_id""".stripMargin
 
+  /** Product quantization ADC search (sim.Pq): 4 subspaces × 16
+    * centroids trained by the same deterministic Lloyd trainer,
+    * corpus stored as 4 codes per vector, queries answered from the
+    * code table + a broadcast lookup table alone — the IVF-PQ
+    * compression path. The oracle replays all FOUR subspace k-means
+    * trainings (2 unrolled Lloyd iterations each, float-quantized
+    * means, rounded-cosine argmax with lowest-id tie-break), the
+    * encoding, the per-query LUT and the ADC reconstruction
+    * dot(q,x̂)/(‖q‖·‖x̂‖) — so a drifted codebook, a wrong slice
+    * boundary, or a reconstruction-norm bug all break values. */
+  def simPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = graft.sim.Pq.train(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 16, iterations = 2)
+    val codes = graft.sim.Pq.encode(emb, cb, "vec_id", "embedding",
+      m = 4, subDim = 16)
+    graft.sim.Pq.searchAdc(codes, cb,
+        emb.where(col("vec_id") >= 100 && col("vec_id") < 110),
+        "vec_id", "embedding", m = 4, subDim = 16, k = 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+  /** One Lloyd iteration over subspace `s` (CTE-suffix `_s`), the
+    * kmIterSql shape with per-subspace names and the 16-wide dimsq
+    * table. */
+  private def pqIterSql(s: Int, n: Int): String = {
+    val (prev, src) = (s"c${n - 1}_$s", s"e_$s")
+    s"""a${n}_$s AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
+       |    FROM $src x CROSS JOIN $prev c) t WHERE r = 1),
+       |m${n}_$s AS (
+       |  SELECT a${n}_$s.bucket AS cid, dm.i AS dim,
+       |    CAST(CAST(avg($src.v[dm.i]) AS REAL) AS DOUBLE) AS m
+       |  FROM a${n}_$s JOIN $src ON a${n}_$s.vec_id = $src.vec_id
+       |  CROSS JOIN dimsq dm
+       |  GROUP BY a${n}_$s.bucket, dm.i),
+       |c${n}_$s AS (
+       |  SELECT p.cid, COALESCE(mm.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cid, list(m ORDER BY dim) AS cv FROM m${n}_$s GROUP BY cid) mm
+       |    ON p.cid = mm.cid)""".stripMargin
+  }
+  private def pqSubSql(s: Int): String = {
+    val (lo, hi) = (s * 16 + 1, s * 16 + 16)
+    s"""e_$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+       |c0_$s AS (SELECT vec_id AS cid, v AS cv FROM e_$s WHERE vec_id < 16),
+       |${pqIterSql(s, 1)},
+       |${pqIterSql(s, 2)},
+       |af_$s AS (
+       |  SELECT vec_id, bucket AS code FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
+       |    FROM e_$s x CROSS JOIN c2_$s c) t WHERE r = 1)""".stripMargin
+  }
+  val pqAdcSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dimsq AS (SELECT unnest(generate_series(1, 16)) AS i),
+       |${(0 to 3).map(pqSubSql).mkString(",\n")},
+       |codes AS (
+       |${(0 to 3).map(s => s"  SELECT vec_id, $s AS sub, code FROM af_$s")
+            .mkString("\n  UNION ALL\n")}),
+       |cb AS (
+       |${(0 to 3).map(s =>
+            s"  SELECT $s AS sub, cid AS code, cv," +
+              s" list_sum(list_transform(cv, y -> y * y)) AS cn2 FROM c2_$s")
+            .mkString("\n  UNION ALL\n")}),
+       |q AS (
+       |  SELECT vec_id AS query_id, v,
+       |    sqrt(list_sum(list_transform(v, y -> y * y))) AS qn
+       |  FROM e WHERE vec_id >= 100 AND vec_id < 110),
+       |lut AS (
+       |  SELECT q.query_id, cb.sub, cb.code, q.qn, cb.cn2,
+       |    list_sum(list_transform(generate_series(1, 16),
+       |      i -> q.v[cb.sub * 16 + i] * cb.cv[i])) AS d
+       |  FROM q CROSS JOIN cb),
+       |sc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    round(sum(l.d) / (min(l.qn) * sqrt(sum(l.cn2))), 4) + 0.0 AS cos
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM sc) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_adc" -> (simPqAdc _),
     "sim_maxsim_multivector" -> (simMaxsimMultivector _),
     "sim_ndcg_eval" -> (simNdcgEval _),
     "sim_sparse_cosine" -> (simSparseCosine _),
@@ -940,6 +1035,7 @@ object SimQueries extends graft.QueryModule {
     "dedup_semantic_capped" -> (dedupSemanticCapped _))
 
   def oracles: Map[String, String] = Map(
+    "sim_pq_adc" -> pqAdcSql,
     "sim_maxsim_multivector" -> maxsimSql,
     "sim_ndcg_eval" -> ndcgSql,
     "sim_sparse_cosine" -> sparseCosineSql,
