@@ -1093,10 +1093,25 @@ object TextQueries extends graft.QueryModule {
     * gaps-and-islands odd-offset rule for self-pair runs, consumed-row
     * lag filter, renumber — so any drift in the merge algebra breaks
     * a value, not just a count. */
+  /** Shared BPE artifact fixture: one 10-round training per sf dir,
+    * materialized to scratch parquet and read by BOTH bpe gates (the
+    * graph-edge-fixture pattern — train once, segment from the saved
+    * artifact, which is also the production tokenizer lifecycle). */
+  private val bpePaths =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+  private def bpeArtifacts(spark: SparkSession,
+                           sfDir: String): (String, String) =
+    synchronized {
+      bpePaths.getOrElseUpdate(sfDir, {
+        val mp = graft.core.GraftSession.scratch("bpe_merges")
+        val vp = graft.core.GraftSession.scratch("bpe_symbols")
+        graft.text.BpeTrainer.trainArtifacts(
+          Tables.documents(spark, sfDir), "text", rounds = 10, mp, vp)
+        (mp, vp)
+      })
+    }
   def textBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
-    graft.text.BpeTrainer.train(
-        Tables.documents(spark, sfDir), "text", rounds = 10)
-      .orderBy("round")
+    spark.read.parquet(bpeArtifacts(spark, sfDir)._1).orderBy("round")
   private def bpeRound(k: Int): String =
     s"""p$k AS (
        |  SELECT v.*, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
@@ -1151,8 +1166,10 @@ object TextQueries extends graft.QueryModule {
     * oracle reuses the identical unrolled chain and aggregates the
     * final symbol table; all-integer output. */
   def textBpeApply(spark: SparkSession, sfDir: String): DataFrame =
-    graft.text.BpeTrainer.applyStats(
-      Tables.documents(spark, sfDir), "text", rounds = 10)
+    spark.read.parquet(bpeArtifacts(spark, sfDir)._2)
+      .agg(countDistinct(col("tok")).as("vocab_units"),
+        sum(col("f")).as("total_subwords"),
+        countDistinct(col("w")).as("n_word_types"))
   val bpeApplySql: String = bpeChainSql +
     """SELECT count(DISTINCT tok) AS vocab_units,
       |  CAST(sum(f) AS BIGINT) AS total_subwords,

@@ -46,6 +46,22 @@ object BpeTrainer {
     merges
   }
 
+  /** Train ONCE and materialize both artifacts — the merge table to
+    * `mergesPath`, the final symbol table to `vPath` — releasing every
+    * cached round frame. The train/apply gate pair previously each
+    * re-ran the full 10-round loop (2× ~6 s at sf0.1); sharing the
+    * materialized artifacts the way the graph gates share their edge
+    * fixture halves that (training a tokenizer and then segmenting
+    * with it IS one pipeline — the artifact handoff is the production
+    * shape too). */
+  def trainArtifacts(docs: DataFrame, textCol: String, rounds: Int,
+                     mergesPath: String, vPath: String): Unit = {
+    val (merges, finalV, cached) = run(docs, textCol, rounds)
+    merges.write.mode("overwrite").parquet(mergesPath)
+    finalV.write.mode("overwrite").parquet(vPath)
+    cached.foreach(_.unpersist(blocking = false))
+  }
+
   /** Post-training segmentation statistics: the corpus re-expressed in
     * the learned symbol vocabulary after `rounds` merges. All-integer
     * output (no float drift): distinct symbol count, corpus-weighted
