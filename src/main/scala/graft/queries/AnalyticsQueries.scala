@@ -261,7 +261,85 @@ object AnalyticsQueries extends graft.QueryModule {
       |    AS holds_open_tail
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Per-entity trend extraction: ordinary least squares of value
+    * against hours-since-first-event, one regression PER USER in a
+    * single grouped aggregation pass (regr_slope/regr_intercept are
+    * partial-aggregable moment sketches — no per-group sorting, no
+    * driver loop; the 100 TB form of "fit a line to every entity").
+    * The time origin is each user's own first event so the regressors
+    * are small exact doubles; slope/intercept carry the ±0.0
+    * normalization every hashed regression statistic needs. */
+  def xPerGroupRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("h",
+        (col("us") - min("us").over(w)).cast("double") / 3600000000.0)
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ScoreFns.scoreRound(
+          expr("regr_slope(value, h)"), 6).as("slope"),
+        graft.functions.ScoreFns.scoreRound(
+          expr("regr_intercept(value, h)"), 6).as("intercept"))
+      .where(col("n") >= 2)
+      .orderBy("user_id")
+  }
+  val perGroupRegressionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events),
+      |h AS (
+      |  SELECT user_id, value,
+      |    CAST(us - min(us) OVER (PARTITION BY user_id) AS DOUBLE)
+      |      / 3600000000.0 AS h
+      |  FROM e)
+      |SELECT user_id, count(*) AS n,
+      |  round(regr_slope(value, h), 6) + 0.0 AS slope,
+      |  round(regr_intercept(value, h), 6) + 0.0 AS intercept
+      |FROM h GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
+
+  /** Longest same-value run per entity (consecutive event_type
+    * streak): the gaps-and-islands change-flag cumsum, island length
+    * reduction, then a per-user max — engagement-streak analytics.
+    * One exchange on user_id serves both windows and the reduction. */
+  def xLongestStreak(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"), count(lit(1)).as("n_runs"))
+      .orderBy("user_id")
+  }
+  val longestStreakSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS island
+      |  FROM e),
+      |runs AS (
+      |  SELECT user_id, island, count(*) AS len
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, max(len) AS longest_streak, count(*) AS n_runs
+      |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_per_group_regression" -> (xPerGroupRegression _),
+    "x_longest_streak" -> (xLongestStreak _),
     "ts_merge_intervals" -> (tsMergeIntervals _),
     "ts_ewma" -> (tsEwma _),
     "x_market_basket" -> (xMarketBasket _),
@@ -269,6 +347,8 @@ object AnalyticsQueries extends graft.QueryModule {
     "scd2_build" -> (scd2Build _))
 
   def oracles: Map[String, String] = Map(
+    "x_per_group_regression" -> perGroupRegressionSql,
+    "x_longest_streak" -> longestStreakSql,
     "ts_merge_intervals" -> mergeIntervalsSql,
     "ts_ewma" -> ewmaSql,
     "x_market_basket" -> marketBasketSql,

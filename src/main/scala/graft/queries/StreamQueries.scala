@@ -100,6 +100,62 @@ object StreamQueries extends graft.QueryModule {
       |  event_type, count(*) AS n, round(sum(value), 2) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Windowed STREAMING cardinality sketch: per 6-hour event-time
+    * window, the distinct-user estimate from the O(k)-state KMV
+    * aggregate (plans.BoundedMinK) running INSIDE the streaming
+    * aggregation — the state store holds k longs per window instead
+    * of a distinct-user set, which is the only form a
+    * count(DISTINCT) over an unbounded stream survives at scale
+    * (streaming distinct aggregation is unsupported by Spark for
+    * exactly this reason). The oracle replays the portable md5-based
+    * hash, the k-min set and the floor estimate per window over the
+    * batch table — exact-below-k windows check the small-cardinality
+    * path, the rest the estimator. */
+  private var kmvCtr = 0
+  def t14StreamKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = synchronized { kmvCtr += 1; s"graft_stream_kmv_$kmvCtr" }
+    GraftSession.stateScoped(spark, 8) { s =>
+      val stream = eventsStream(s, sfDir)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.sketch.Sketches.kmvState(
+            col("user_id").cast("string"), 16).as("__st"))
+        .select(col("window"), col("n_events"),
+          graft.sketch.Sketches.kmvEstimate(col("__st"), 16)
+            .as("kmv_users"))
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window.start").as("win_start"), col("n_events"),
+          col("kmv_users"))
+        .orderBy("win_start")
+    }
+  }
+  val t14Sql: String =
+    """WITH h AS (
+      |  SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP))
+      |      AS win_start,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS hv
+      |  FROM events),
+      |d AS (SELECT DISTINCT win_start, hv FROM h),
+      |mk AS (
+      |  SELECT win_start, list_sort(list(hv))[1:16] AS mins,
+      |    count(*) AS nd
+      |  FROM d GROUP BY 1),
+      |n AS (SELECT win_start, count(*) AS n_events FROM h GROUP BY 1)
+      |SELECT n.win_start, n.n_events,
+      |  CASE WHEN mk.nd < 16 THEN mk.nd
+      |       ELSE CAST(floor(15.0 * 1152921504606846976.0
+      |                       / greatest(mins[16], 1)) AS BIGINT)
+      |  END AS kmv_users
+      |FROM n JOIN mk USING (win_start) ORDER BY win_start""".stripMargin
+
   /** T3 re-expressed: at-least-once delivery (every event arrives
     * twice via a self-union) collapsed to exactly-once by
     * watermark-scoped streaming dedup; output = per-type totals, which
@@ -496,6 +552,7 @@ object StreamQueries extends graft.QueryModule {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_stream_sessions" -> (t13StreamSessions _),
+    "t14_stream_kmv" -> (t14StreamKmv _),
     "t11_stream_static_join" -> (t11StreamStaticJoin _),
     "t12_stream_mv" -> (t12StreamMv _),
     "t10_quarantine_replay" -> (t10QuarantineReplay _),
@@ -508,6 +565,7 @@ object StreamQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "t13_stream_sessions" -> t13Sql,
+    "t14_stream_kmv" -> t14Sql,
     "t11_stream_static_join" -> t11Sql,
     "t12_stream_mv" -> t12Sql,
     "t10_quarantine_replay" -> t10Sql,
