@@ -279,4 +279,45 @@ class PlanShapeSpec extends SparkSpecBase {
       l.contains("FileScan orc") && l.contains("PushedFilters")).getOrElse("")
     assert(scan.contains("GreaterThan(l_quantity"), s"filter not pushed: $scan")
   }
+
+  test("asof_nearest stays a keyed union-window plan (no join at all)") {
+    val p = planOf("asof_nearest")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"asof_nearest grew an all-pairs join:\n$p")
+    // both carry frames must be ROWS-RUNNING windows — a shrinking
+    // (currentRow, unboundedFollowing) frame is re-aggregated per row
+    // by Spark (the measured O(n²) Resample pitfall)
+    assert(!p.contains("unboundedfollowing"),
+      s"asof_nearest uses a shrinking forward frame:\n$p")
+  }
+
+  test("x_market_basket pairs via the orderkey equi-join; only the 1-row totals cross is nested-loop") {
+    val p = planOf("x_market_basket")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1, s"$nlj nested-loop joins (only the 1-row n_orders cross allowed):\n$p")
+  }
+
+  test("sim_pq_adc answers from the code table + broadcast LUT (no cartesian)") {
+    val p = planOf("sim_pq_adc")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the ADC scoring join must be the broadcast hash equi-join on
+    // (sub, code) — a plain SortMergeJoin there would shuffle the
+    // corpus-sized code table against a 640-row LUT
+    assert(p.contains("BroadcastHashJoin"), s"LUT join lost its broadcast:\n$p")
+  }
+
+  test("event-history windows are all entity-partitioned (no single-task window)") {
+    for (name <- Seq("ts_merge_intervals", "scd2_build", "x_longest_streak",
+        "ts_ewma", "x_next_event_markov")) {
+      val p = planOf(name)
+      val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.nonEmpty, s"$name lost its window operators:\n$p")
+      windows.foreach { w =>
+        assert(w.contains("user_id") || w.contains("from_type"),
+          s"$name has an unpartitioned window (100 TB single-task funnel):\n$w")
+      }
+    }
+  }
 }
