@@ -352,6 +352,72 @@ object DedupQueries extends graft.QueryModule {
        |SELECT src AS id, least(src, min(dst)) AS cluster
        |FROM reach GROUP BY src ORDER BY id""".stripMargin
 
+  /** SOFT dedup: instead of dropping near-duplicates, each document
+    * is down-weighted by 1/|its cluster| so every duplicate family
+    * contributes ONE document's worth of training mass (the
+    * repetition-aware weighting alternative to hard removal — keeps
+    * coverage, kills memorization pressure). Output is the integer
+    * cluster-size histogram with the micro-scaled per-doc weight
+    * (floor(1e6/size)) — all-integer, so the gate pins the weighting
+    * rule without float-sum order hazards. Same pair generation as
+    * dedup_clusters (MinHash LSH candidates, exact verify); cost
+    * beyond it is two vocabulary-sized aggregations and an anti-join
+    * for the singleton count. */
+  def dedupSoftWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val pairs = MinHashLSH.nearDuplicatePairs(
+      docs, "doc_id", "text", ShingleN, numPerms = 64, bands = 16,
+      threshold = Tau)
+    val comp = graft.dedup.Clusters.connectedComponents(
+      pairs.select("a", "b"))
+    val hist = comp.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val singles = docs
+      .join(comp.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    hist.unionByName(singles)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        expr("1000000 div cluster_size").as("per_doc_weight_micro"))
+      .orderBy("cluster_size")
+  }
+  val dedupSoftWeightsSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |s AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM d WHERE len(t) >= 3),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= $Tau),
+       |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+       |reach AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |hist AS (
+       |  SELECT cluster_size, count(*) AS n_clusters FROM (
+       |    SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY 1)
+       |  GROUP BY 1),
+       |singles AS (
+       |  SELECT CAST(1 AS BIGINT) AS cluster_size, count(*) AS n_clusters
+       |  FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)),
+       |all_rows AS (
+       |  SELECT * FROM hist UNION ALL SELECT * FROM singles)
+       |SELECT cluster_size, n_clusters,
+       |  cluster_size * n_clusters AS n_docs,
+       |  1000000 // cluster_size AS per_doc_weight_micro
+       |FROM all_rows ORDER BY cluster_size""".stripMargin
+
   /** Corpus-wide line dedup (RefinedWeb/CCNet pass). The corpus has no
     * newlines, so lines are derived deterministically: 8-token chunks.
     * Repeated boilerplate chunks across docs survive only at their
@@ -772,6 +838,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_spans" -> (dedupSpans _),
     "dedup_span_pairs" -> (dedupSpanPairs _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_soft_weights" -> (dedupSoftWeights _),
     "dedup_exact" -> (dedupExact _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -799,6 +866,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_ngram_jaccard" -> sampledExactPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_soft_weights" -> dedupSoftWeightsSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_embedding_prod" -> dedupEmbeddingProdSql,
     "dedup_lines" -> dedupLinesSql,

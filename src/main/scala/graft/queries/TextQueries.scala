@@ -511,6 +511,48 @@ object TextQueries extends graft.QueryModule {
       |WHERE bc.cab >= 5
       |ORDER BY bc.a, bc.b""".stripMargin
 
+  /** Moving-average type-token ratio (MATTR, Covington & McFall 2010):
+    * the lexical-diversity quality signal that, unlike plain TTR, does
+    * not collapse with document length — the distinct-token ratio
+    * averaged over every 25-token sliding window (whole-doc TTR below
+    * the window width). A pure per-row array program: tokens never
+    * leave their document, zero shuffle beyond the gate sort, and the
+    * window loop is a codegen'd transform/aggregate pair. The oracle
+    * replays the identical window algebra with DuckDB list lambdas
+    * (both engines sum the per-window ratios left-to-right, so the
+    * double is bit-identical before the 6dp round). */
+  def textMattr(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 25
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("t"))
+      .withColumn("n", size(col("t")))
+      .where(col("n") >= 1)
+      .withColumn("mattr",
+        when(col("n") < W,
+          size(array_distinct(col("t"))).cast("double") / col("n"))
+          .otherwise(expr(
+            s"aggregate(transform(sequence(1, n - ${W - 1})," +
+              s" i -> size(array_distinct(slice(t, i, $W))) / $W.0)," +
+              " 0D, (acc, v) -> acc + v)") / (col("n") - lit(W - 1))))
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        round(col("mattr"), 6).as("mattr"))
+      .orderBy("doc_id")
+  }
+  val mattrSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> x <> '') AS t
+      |  FROM documents),
+      |s AS (SELECT doc_id, len(t) AS n, t FROM d WHERE len(t) >= 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  round(CASE WHEN n < 25
+      |      THEN CAST(len(list_distinct(t)) AS DOUBLE) / n
+      |      ELSE list_sum(list_transform(generate_series(1, n - 24),
+      |        i -> len(list_distinct(t[i:i+24])) / 25.0)) / (n - 24)
+      |    END, 6) AS mattr
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** TextRank keywords (text.TextRank): PageRank over the adjacent-
     * word co-occurrence graph, top-20 by rank — the unsupervised
     * keyword extractor. The oracle unrolls the identical 5 damping
@@ -1342,6 +1384,7 @@ object TextQueries extends graft.QueryModule {
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_apply" -> (textBpeApply _),
     "text_textrank" -> (textTextrank _),
+    "text_mattr" -> (textMattr _),
     "text_zipf_fit" -> (textZipfFit _),
     "text_repetition" -> (textRepetition _),
     "text_redact" -> (textRedact _),
@@ -1388,6 +1431,7 @@ object TextQueries extends graft.QueryModule {
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_apply" -> bpeApplySql,
     "text_textrank" -> textrankSql,
+    "text_mattr" -> mattrSql,
     "text_zipf_fit" -> zipfFitSql,
     "text_repetition" -> repetitionSql,
     "text_redact" -> redactSql,
