@@ -337,7 +337,230 @@ object AnalyticsQueries extends graft.QueryModule {
       |SELECT user_id, max(len) AS longest_streak, count(*) AS n_runs
       |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Kaplan–Meier survival over customer order lifetimes: duration =
+    * days between a customer's first and last order; the event
+    * ("churned") is observed when the last order predates the global
+    * max order date by > 90 days, else the lifetime is right-censored.
+    * Classic KM: at each duration t, risk set n_t = customers with
+    * duration ≥ t, d_t = events at t, Ŝ(t) = Π_{s≤t} (n_s−d_s)/n_s.
+    *
+    * Shape: one groupBy(customer), one groupBy(duration), then windows
+    * over the DISTINCT-duration table — bounded by the calendar span
+    * (≤ ~2,500 rows at any sf; same bounded-window rationale as the
+    * ≤2000-row rank lists in SimQueries), so the unpartitioned window
+    * is safe. The product is exp∘sum∘ln over the ordered window (both
+    * engines sum the same doubles in the same order); censored-only
+    * durations contribute ln(1) = 0 exactly, so the product can run
+    * over all rows and the d_t>0 filter applies after. scoreRound +
+    * the 1e-300 floor guard the ±0.0 / ln(0) edges. */
+  def xSurvivalKm(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val life = orders.groupBy("o_custkey")
+      .agg(min("o_orderdate").as("fd"), max("o_orderdate").as("ld"))
+      .crossJoin(broadcast(orders.agg(max("o_orderdate").as("maxd"))))
+      .select(
+        datediff(to_date(col("ld")), to_date(col("fd"))).cast("long")
+          .as("dur"),
+        (col("ld") < col("maxd") - expr("INTERVAL 90 DAYS")).cast("long")
+          .as("ev"))
+    val byDur = life.groupBy("dur")
+      .agg(count(lit(1)).as("c"), sum("ev").as("d"))
+    val atRisk = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val sofar = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk", sum("c").over(atRisk))
+      .withColumn("km", exp(sum(log(greatest(
+        (col("n_risk") - col("d")) / col("n_risk"), lit(1e-300))))
+        .over(sofar)))
+      .where(col("d") > 0)
+      .select(col("dur"), col("n_risk"), col("d").as("n_events"),
+        graft.functions.ScoreFns.scoreRound(col("km"), 6).as("km"))
+      .orderBy("dur")
+  }
+  val survivalKmSql: String =
+    """WITH l AS (
+      |  SELECT o_custkey, min(o_orderdate) AS fd, max(o_orderdate) AS ld
+      |  FROM orders GROUP BY 1),
+      |m AS (SELECT max(o_orderdate) AS maxd FROM orders),
+      |life AS (
+      |  SELECT CAST(date_diff('day', CAST(fd AS DATE), CAST(ld AS DATE))
+      |      AS BIGINT) AS dur,
+      |    CASE WHEN ld < maxd - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
+      |  FROM l, m),
+      |bd AS (
+      |  SELECT dur, count(*) AS c, CAST(sum(ev) AS BIGINT) AS d
+      |  FROM life GROUP BY 1),
+      |rk AS (
+      |  SELECT dur, c, d, CAST(sum(c) OVER (ORDER BY dur
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |    AS n_risk
+      |  FROM bd),
+      |km AS (
+      |  SELECT dur, d, n_risk,
+      |    exp(sum(ln(greatest((n_risk - d) / n_risk, 1e-300)))
+      |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)) AS km
+      |  FROM rk)
+      |SELECT dur, n_risk, d AS n_events, round(km, 6) + 0.0 AS km
+      |FROM km WHERE d > 0 ORDER BY dur""".stripMargin
+
+  /** Robust per-entity outlier detection by median/MAD — the
+    * heavy-tail-safe sibling of x_anomaly_zscore (a single 1000×
+    * spend inflates a user's mean AND stddev enough to hide itself
+    * from a z-score; the median and MAD barely move). Flags events
+    * with |value − median| > 3.5 · 1.4826 · MAD (the 1.4826 factor
+    * scales MAD to σ under normality; 3.5 is Iglewicz–Hoban's cut).
+    *
+    * Two keyed median aggregations (Spark's native `median`) joined
+    * back on the SAME user_id key stream — the per-user stats tables
+    * are left un-hinted (unlike x_anomaly_zscore's broadcast) because
+    * a per-entity table grows with the corpus; AQE picks broadcast
+    * when it fits. Every comparison is exact IEEE arithmetic on
+    * identical doubles (medians average the two middle values the
+    * same way in both engines), so no rounding is needed anywhere. */
+  def tsMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select("user_id", "value")
+    val med = ev.groupBy("user_id").agg(median(col("value")).as("med"))
+    val mad = ev.join(med, "user_id")
+      .groupBy("user_id")
+      .agg(median(abs(col("value") - col("med"))).as("mad"))
+    ev.join(med, "user_id").join(mad, "user_id")
+      .where(col("mad") > 0)
+      .withColumn("z",
+        abs(col("value") - col("med")) / (lit(1.4826) * col("mad")))
+      .groupBy("user_id")
+      .agg(sum((col("z") > 3.5).cast("long")).as("n_outliers"),
+        round(max("z"), 4).as("max_z"))
+      .where(col("n_outliers") > 0)
+      .orderBy("user_id")
+  }
+  val madOutliersSql: String =
+    """WITH med AS (
+      |  SELECT user_id, median(value) AS med FROM events GROUP BY 1),
+      |mad AS (
+      |  SELECT e.user_id, median(abs(e.value - m.med)) AS mad
+      |  FROM events e JOIN med m USING (user_id) GROUP BY 1),
+      |z AS (
+      |  SELECT e.user_id,
+      |    abs(e.value - m.med) / (1.4826 * d.mad) AS z
+      |  FROM events e JOIN med m USING (user_id)
+      |  JOIN mad d USING (user_id)
+      |  WHERE d.mad > 0)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN z > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  round(max(z), 4) AS max_z
+      |FROM z GROUP BY 1
+      |HAVING sum(CASE WHEN z > 3.5 THEN 1 ELSE 0 END) > 0
+      |ORDER BY 1""".stripMargin
+
+  /** Last-touch marketing attribution: each purchase is credited to
+    * the user's most recent click/view within the preceding 7 days,
+    * else to 'direct'. One pass, one exchange on user_id: the "most
+    * recent touch" is two `last(..., ignoreNulls)` calls over the
+    * same ROWS-bounded window (both CASE inputs are null on exactly
+    * the same rows, so the ts and the channel always come from the
+    * SAME touch row — no join back, no per-purchase range scan). The
+    * attribution window check is exact µs timestamp arithmetic. */
+  def xAttributionLastTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"), col("ts"))
+    val touchType =
+      when(col("event_type").isin("click", "view"), col("event_type"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("touch_ts", last(touch, ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(touchType, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(when(col("touch_ts").isNotNull &&
+          col("touch_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+          col("touch_type")).otherwise(lit("direct")).as("channel"),
+        col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("channel")
+  }
+  val attributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_type, value
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_type, ts, value,
+      |    last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+      |        IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch_ts,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |        THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch_type
+      |  FROM e)
+      |SELECT CASE WHEN touch_ts IS NOT NULL
+      |    AND touch_ts >= ts - INTERVAL 7 DAY
+      |    THEN touch_type ELSE 'direct' END AS channel,
+      |  count(*) AS n_purchases, round(sum(value), 2) AS total_value
+      |FROM w WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-nation Gini coefficient of customer spend concentration —
+    * the inequality statistic quota/mix curation reads before
+    * rebalancing a corpus (here: does one customer dominate a
+    * nation's revenue?). Rank-sum form over ASCENDING (spend, key)
+    * order: G = 2·Σ r·s / (n·Σs) − (n+1)/n. All windows are
+    * PARTITIONED BY nation (bounded peer groups — never the global
+    * rank the curriculum-binning rationale warns about); the division
+    * is a ratio of like-magnitude sums, so 6dp rounding is stable. */
+  def xGiniSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val spend = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_custkey"))
+      .agg(sum("o_totalprice").as("s"))
+    val byNation = Window.partitionBy("nation")
+    val rk = Window.partitionBy("nation").orderBy(col("s"), col("c_custkey"))
+    spend
+      .withColumn("r", row_number().over(rk))
+      .withColumn("n", count(lit(1)).over(byNation))
+      .withColumn("tot", sum("s").over(byNation))
+      .groupBy("nation")
+      .agg(max("n").as("n_customers"),
+        graft.functions.ScoreFns.scoreRound(
+          lit(2.0) * sum(col("r") * col("s")) / (max("n") * max("tot"))
+            - (max("n") + lit(1.0)) / max("n"), 6).as("gini"))
+      .orderBy("nation")
+  }
+  val giniSql: String =
+    """WITH spend AS (
+      |  SELECT n.n_name AS nation, c.c_custkey, sum(o.o_totalprice) AS s
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT nation, s,
+      |    row_number() OVER (PARTITION BY nation ORDER BY s, c_custkey)
+      |      AS r,
+      |    count(*) OVER (PARTITION BY nation) AS n,
+      |    sum(s) OVER (PARTITION BY nation) AS tot
+      |  FROM spend)
+      |SELECT nation, CAST(max(n) AS BIGINT) AS n_customers,
+      |  round(2.0 * sum(r * s) / (max(n) * max(tot))
+      |    - (max(n) + 1.0) / max(n), 6) + 0.0 AS gini
+      |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_attribution_last_touch" -> (xAttributionLastTouch _),
+    "x_gini_spend" -> (xGiniSpend _),
+    "x_survival_km" -> (xSurvivalKm _),
+    "ts_mad_outliers" -> (tsMadOutliers _),
     "x_per_group_regression" -> (xPerGroupRegression _),
     "x_longest_streak" -> (xLongestStreak _),
     "ts_merge_intervals" -> (tsMergeIntervals _),
@@ -347,6 +570,10 @@ object AnalyticsQueries extends graft.QueryModule {
     "scd2_build" -> (scd2Build _))
 
   def oracles: Map[String, String] = Map(
+    "x_attribution_last_touch" -> attributionSql,
+    "x_gini_spend" -> giniSql,
+    "x_survival_km" -> survivalKmSql,
+    "ts_mad_outliers" -> madOutliersSql,
     "x_per_group_regression" -> perGroupRegressionSql,
     "x_longest_streak" -> longestStreakSql,
     "ts_merge_intervals" -> mergeIntervalsSql,

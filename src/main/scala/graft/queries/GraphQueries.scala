@@ -208,15 +208,167 @@ object GraphQueries extends graft.QueryModule {
         |SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)
         |ORDER BY round""".stripMargin
 
+  /** Synchronous label propagation (graph.LabelProp, 3 rounds) over
+    * the co-purchase graph: community sizes after the fixed rounds.
+    * The oracle unrolls the identical tally → argmax → relabel per
+    * round with the same (weight DESC, label ASC) total tie order —
+    * the synchronous+tie-ordered variant is the only deterministic
+    * (and therefore oracle-able) LPA; the classic asynchronous one is
+    * visit-order-dependent. Communities are summarized (label, size)
+    * so the gate checks the full partition without V output rows. */
+  def graphLabelProp(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.LabelProp.run(coEdges(spark, sfDir), iters = 3)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("min_node"))
+      .orderBy("community")
+  private def lpRound(n: Int): String =
+    s"""l$n AS (
+       |  SELECT node, label FROM (
+       |    SELECT node, label,
+       |      row_number() OVER (PARTITION BY node
+       |        ORDER BY tw DESC, label) AS rn
+       |    FROM (
+       |      SELECT e.dst AS node, l.label, sum(e.w) AS tw
+       |      FROM el e JOIN l${n - 1} l ON e.src = l.node
+       |      GROUP BY e.dst, l.label))
+       |  WHERE rn = 1)""".stripMargin
+  val graphLabelPropSql: String =
+    """WITH el AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |l0 AS (SELECT DISTINCT src AS node, src AS label FROM el),
+      |""".stripMargin +
+      (1 to 3).map(lpRound).mkString(",\n") + "\n" +
+      """SELECT label AS community, count(*) AS n_nodes,
+        |  min(node) AS min_node
+        |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-edge neighborhood Jaccard (embeddedness) — the local graph
+    * sparsification score (Satuluri et al., SIGMOD'11): for each
+    * undirected edge (a,b), jac = t / (deg(a) + deg(b) - 2 - t) where
+    * t = triangles through the edge = |N(a) ∩ N(b)|. Scale shape: t
+    * comes from the SAME degree-ordered wedge-closure join as
+    * graph_triangles (each closed wedge emits its three edges
+    * map-side), so candidate volume stays O(E^1.5) under hub skew —
+    * never the unbounded all-pairs-by-shared-neighbor shuffle, which
+    * the measured degree profile (Σd² ≈ 3.0e8 at sf0.1) rules out.
+    * Output is the integer percent-bucket histogram of the scores
+    * ((100·t) div union — exact integer arithmetic, immune to
+    * cross-engine round-half drift), which checks every edge's score
+    * without E output rows. */
+  def graphEdgeJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = coEdges(spark, sfDir)
+      .where(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // degree-ordered orientation: u -> v iff (deg, id) of u < of v
+    val o = und
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("db"))
+          .otherwise(col("da")).as("dv"))
+    val o1 = o.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val o2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = o1.join(o2, "u")
+      .where(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select("u", "x", "y")
+    val closed = wedges.join(
+      o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    // each triangle (u,x,y) credits all three of its edges (a<b keys)
+    val perEdge = closed.select(
+        array(struct(least(col("u"), col("x")).as("a"),
+            greatest(col("u"), col("x")).as("b")),
+          struct(least(col("u"), col("y")).as("a"),
+            greatest(col("u"), col("y")).as("b")),
+          struct(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))).as("es"))
+      .select(explode(col("es")).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("t"))
+    und
+      .join(perEdge, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("t"))
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "db"), "b")
+      // integer-exact percent bucket ((100·t) div union) — no
+      // cross-engine round-half hazard, no 0/0 (empty shared
+      // neighborhoods on a degree-1–degree-1 edge ⇒ jaccard 1)
+      .select(when(col("da") + col("db") - 2 - col("t") === 0, lit(100L))
+        .otherwise(expr("(100 * t) div (da + db - 2 - t)"))
+        .as("jac_pct"))
+      .groupBy("jac_pct")
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("jac_pct")
+  }
+  val graphEdgeJaccardSql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+      |    greatest(x.l_partkey, y.l_partkey) AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey <> y.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS d FROM (
+      |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY id),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN u.a ELSE u.b END AS u,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN u.b ELSE u.a END AS v,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN db.d ELSE da.d END AS dv
+      |  FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id),
+      |wedge AS (
+      |  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+      |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+      |tri AS (
+      |  SELECT w.u, w.x, w.y FROM wedge w
+      |  JOIN o ON o.u = w.x AND o.v = w.y),
+      |pere AS (
+      |  SELECT a, b, count(*) AS t FROM (
+      |    SELECT least(u, x) AS a, greatest(u, x) AS b FROM tri
+      |    UNION ALL SELECT least(u, y), greatest(u, y) FROM tri
+      |    UNION ALL SELECT least(x, y), greatest(x, y) FROM tri)
+      |  GROUP BY 1, 2)
+      |SELECT CASE WHEN da.d + db.d - 2 - coalesce(p.t, 0) = 0 THEN 100
+      |    ELSE (100 * coalesce(p.t, 0))
+      |      // (da.d + db.d - 2 - coalesce(p.t, 0)) END AS jac_pct,
+      |  count(*) AS n_edges
+      |FROM und u
+      |LEFT JOIN pere p ON u.a = p.a AND u.b = p.b
+      |JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_kcore" -> (graphKcore _),
+    "graph_label_prop" -> (graphLabelProp _),
+    "graph_edge_jaccard" -> (graphEdgeJaccard _),
     "graph_triangles" -> (graphTriangles _))
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank" -> graphPagerankSql,
     "graph_degree_stats" -> graphDegreeStatsSql,
     "graph_kcore" -> graphKcoreSql,
+    "graph_label_prop" -> graphLabelPropSql,
+    "graph_edge_jaccard" -> graphEdgeJaccardSql,
     "graph_triangles" -> graphTrianglesSql)
 }
