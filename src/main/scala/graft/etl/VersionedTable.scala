@@ -880,6 +880,41 @@ object VersionedTable {
       snapshot = false)
   }
 
+  /** Predicate-scoped atomic overwrite (Delta's `INSERT OVERWRITE ...
+    * replaceWhere`, the canonical partition-backfill MERGE): ONE delta
+    * commit after which the live rows with `column` BETWEEN lo AND hi
+    * equal `replacement` exactly — matching keys updated, range keys
+    * absent from the replacement tombstoned — while every row outside
+    * the range survives untouched. Like Delta, a replacement row that
+    * VIOLATES the predicate is rejected up front (batch-sized check)
+    * rather than silently smuggled past the range contract.
+    *
+    * Cost shape at scale: the current in-range slice comes from
+    * [[readAsOfRange]], so the base snapshot opens only the files
+    * whose footer stats intersect [lo, hi] — on a range-clustered
+    * 100 TB table a one-day backfill reads the day's files, not the
+    * table — and the written delta is bounded by |replacement| +
+    * |dropped keys|. The table itself is never rewritten. */
+  def commitReplaceWhere(spark: SparkSession, root: String,
+                         keyCols: Seq[String], column: String,
+                         lo: Any, hi: Any, replacement: DataFrame): Long = {
+    require(replacement
+      .where(!col(column).between(lit(lo), lit(hi))).isEmpty,
+      s"replacement rows fall outside $column in [$lo, $hi]")
+    val affected = readAsOfRange(spark, root, keyCols,
+      versions(spark, root).last, column, lo, hi)
+    val gone = affected.select(keyCols.map(col): _*)
+      .join(replacement.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val tomb = replacement.schema.fields.foldLeft(gone) { (df, f) =>
+        if (keyCols.contains(f.name)) df
+        else df.withColumn(f.name, lit(null).cast(f.dataType))
+      }.select(replacement.schema.fieldNames.map(col): _*)
+      .withColumn(Deleted, lit(true))
+    write(spark, root,
+      replacement.withColumn(Deleted, lit(false)).unionByName(tomb),
+      snapshot = false)
+  }
+
   /** Snapshot state as of version `asOf` (newest-per-key wins,
     * tombstones drop). Only versions in (last snapshot ≤ asOf, asOf]
     * are resolved or read. */

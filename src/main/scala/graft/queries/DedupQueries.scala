@@ -752,6 +752,89 @@ object DedupQueries extends graft.QueryModule {
       |  max(size) AS max_size, round(avg(size), 4) AS avg_size
       |FROM sizes""".stripMargin
 
+  /** ER survivorship: the GOLDEN RECORD per resolved entity — the
+    * master-data step after er_cluster_entities (clusters alone are
+    * just groupings; downstream joins need ONE canonical row each).
+    * Deterministic survivorship rules over each multi-variant
+    * cluster's member parts: canonical name = MIN variant, brand =
+    * MODE with (count DESC, brand ASC) tie order, price = rounded
+    * mean, size = MAX — every rule a keyed aggregate or a
+    * cluster-partitioned (bounded: cluster size ≤ name-variant
+    * fan-out) argmax window, nothing driver-side. The oracle replays
+    * blocking → transitive closure (recursive CTE) → the identical
+    * survivorship algebra, so a lost member or a tie-order drift
+    * breaks value equality. */
+  def erGoldenRecord(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+    val pairs = graft.dedup.FuzzyJoin.selfMatch(
+        part, "p_name",
+        n => regexp_extract(n, "([^ ]+)$", 1), maxDist = 4)
+      .select(col("left_name").as("a"), col("right_name").as("b"))
+    // multi-variant entities only: CC nodes are exactly the matched
+    // names (a singleton needs no merging and survives as itself)
+    val comp = graft.dedup.Clusters.connectedComponents(pairs)
+    val members = part.join(comp, part("p_name") === comp("id"))
+    val agg = members.groupBy("cluster").agg(
+      min("p_name").as("canonical_name"),
+      countDistinct("p_name").as("n_variants"),
+      count(lit(1)).as("n_parts"),
+      round(avg("p_retailprice"), 2).as("avg_price"),
+      max("p_size").as("max_size"))
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("cnt").desc, col("p_brand"))
+    val topBrand = members.groupBy("cluster", "p_brand")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byCluster))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("p_brand").as("top_brand"))
+    agg.join(topBrand, "cluster")
+      .select("canonical_name", "n_variants", "n_parts", "avg_price",
+        "max_size", "top_brand")
+      .orderBy("canonical_name")
+  }
+  val erGoldenRecordSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+      |blk AS (
+      |  SELECT name, regexp_extract(name, '([^ ]+)$', 1) AS blk FROM names),
+      |p AS (
+      |  SELECT a.name AS l, c.name AS r
+      |  FROM blk a JOIN blk c ON a.blk = c.blk AND a.name < c.name
+      |  WHERE levenshtein(a.name, c.name) BETWEEN 1 AND 4),
+      |e AS (SELECT l AS a, r AS b FROM p UNION SELECT r, l FROM p),
+      |n AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+      |rr(src, dst) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT rr.src, e.b FROM rr JOIN e ON rr.dst = e.a
+      |    WHERE e.b <> rr.src),
+      |comp AS (
+      |  SELECT n.node, least(n.node, min(r.dst)) AS cluster
+      |  FROM n LEFT JOIN rr r ON r.src = n.node
+      |  GROUP BY n.node),
+      |members AS (
+      |  SELECT c.cluster, pt.p_name, pt.p_brand, pt.p_retailprice,
+      |    pt.p_size
+      |  FROM part pt JOIN comp c ON pt.p_name = c.node),
+      |agg AS (
+      |  SELECT cluster, min(p_name) AS canonical_name,
+      |    count(DISTINCT p_name) AS n_variants, count(*) AS n_parts,
+      |    round(avg(p_retailprice), 2) AS avg_price,
+      |    max(p_size) AS max_size
+      |  FROM members GROUP BY 1),
+      |tb AS (
+      |  SELECT cluster, p_brand AS top_brand FROM (
+      |    SELECT cluster, p_brand, count(*) AS cnt,
+      |      row_number() OVER (PARTITION BY cluster
+      |        ORDER BY count(*) DESC, p_brand) AS rn
+      |    FROM members GROUP BY cluster, p_brand)
+      |  WHERE rn = 1)
+      |SELECT canonical_name, n_variants, n_parts, avg_price, max_size,
+      |  top_brand
+      |FROM agg JOIN tb USING (cluster)
+      |ORDER BY canonical_name""".stripMargin
+
   /** Blocking-recall audit for the fuzzy ER join: the blocked match
     * vs the all-pairs ground truth at the same distance bound, over
     * the (dictionary-sized) distinct-name set. Reports found/true/
@@ -852,6 +935,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_containment" -> (dedupContainment _),
     "er_fuzzy_match" -> (erFuzzyMatch _),
     "er_cluster_entities" -> (erClusterEntities _),
+    "er_golden_record" -> (erGoldenRecord _),
     "er_blocking_recall" -> (erBlockingRecall _))
 
   def oracles: Map[String, String] = Map(
@@ -875,5 +959,6 @@ object DedupQueries extends graft.QueryModule {
     "dedup_containment" -> dedupContainmentSql,
     "er_fuzzy_match" -> erFuzzyMatchSql,
     "er_cluster_entities" -> erClusterEntitiesSql,
+    "er_golden_record" -> erGoldenRecordSql,
     "er_blocking_recall" -> erBlockingRecallSql)
 }

@@ -610,6 +610,56 @@ object ExtQueries extends graft.QueryModule {
       |  WHERE event_id >= 2000000 OR event_id % 5 <> 0)
       |SELECT count(*) AS n, round(sum(value), 2) AS total FROM v2rows""".stripMargin
 
+  /** Predicate-scoped overwrite (VersionedTable.commitReplaceWhere —
+    * Delta's `replaceWhere`, the canonical partition backfill): the
+    * table is seeded from orders, then ONE atomic commit replaces the
+    * 1996 slice with a corrected batch holding only the even keys
+    * (price doubled) — odd 1996 keys must vanish via the anti-join
+    * tombstones, every non-1996 row must survive untouched, and the
+    * history must show exactly one replace version. The base read of
+    * the affected slice is stats-pruned (readAsOfRange), so on a
+    * date-clustered table the backfill reads the year's files, not
+    * the table. */
+  def vtReplaceWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtrepl") + "/tbl"
+    val od = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    VersionedTable.init(spark, root, od)                               // v0
+    val lo = java.time.Instant.parse("1996-01-01T00:00:00Z")
+    val hi = java.time.Instant.parse("1996-12-31T23:59:59.999999Z")
+    val repl = od
+      .where(col("o_orderdate").between(lit(lo), lit(hi)) &&
+        col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)             // exact
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitReplaceWhere(spark, root, Seq("o_orderkey"),
+        "o_orderdate", lo, hi, repl)                                   // v1
+    }
+    VersionedTable.readLatest(spark, root, Seq("o_orderkey"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(col("n"), col("total"),
+        lit(VersionedTable.versions(spark, root).size.toLong)
+          .as("n_versions"))
+  }
+  val vtReplaceWhereSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders),
+      |inr AS (SELECT * FROM o WHERE o_orderdate
+      |  BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |  AND TIMESTAMP '1996-12-31 23:59:59.999999')
+      |SELECT
+      |  (SELECT count(*) FROM o WHERE o_orderdate
+      |     NOT BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |     AND TIMESTAMP '1996-12-31 23:59:59.999999')
+      |   + (SELECT count(*) FROM inr WHERE o_orderkey % 2 = 0) AS n,
+      |  round((SELECT sum(o_totalprice) FROM o WHERE o_orderdate
+      |     NOT BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |     AND TIMESTAMP '1996-12-31 23:59:59.999999')
+      |   + (SELECT sum(o_totalprice * 2) FROM inr
+      |      WHERE o_orderkey % 2 = 0), 2) AS total,
+      |  2 AS n_versions""".stripMargin
+
   /** Full-sync MERGE: the table is initialized from events, then
     * synced to a source holding only every-third key (doubled) plus
     * 100 fresh keys — one atomic delta commit that updates the
@@ -1215,6 +1265,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_tags" -> (vtTags _),
     "vt_stats_view" -> (vtStatsView _),
     "vt_auto_compact" -> (vtAutoCompact _),
+    "vt_replace_where" -> (vtReplaceWhere _),
     "vt_merge_full_sync" -> (vtMergeFullSync _),
     "vt_merge_conditional" -> (vtMergeConditional _),
     "vt_scd2_merge" -> (vtScd2Merge _),
@@ -1246,6 +1297,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_tags" -> vtTagsSql,
     "vt_stats_view" -> vtStatsViewSql,
     "vt_auto_compact" -> vtAutoCompactSql,
+    "vt_replace_where" -> vtReplaceWhereSql,
     "vt_merge_full_sync" -> vtMergeFullSyncSql,
     "vt_merge_conditional" -> vtMergeConditionalSql,
     "vt_scd2_merge" -> vtScd2Sql,

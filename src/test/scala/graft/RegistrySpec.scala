@@ -52,7 +52,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 270, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 270) // every query oracle-gated
+    assert(SparkEntry.queries.size == 272, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 272) // every query oracle-gated
   }
 }

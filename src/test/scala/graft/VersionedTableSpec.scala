@@ -30,6 +30,28 @@ class VersionedTableSpec extends SparkSpecBase {
     assert(VersionedTable.versions(spark, root) == Seq(0L, 1L, 2L))
   }
 
+  test("replaceWhere: one atomic version — range replaced, outside rows untouched") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    VersionedTable.init(spark, root,
+      Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, 18.0)).toDF("k", "v"))
+    // replace v ∈ [10, 20]: key 2 updated, key 4 dropped, key 9 new
+    VersionedTable.commitReplaceWhere(spark, root, Seq("k"), "v",
+      10.0, 20.0, Seq((2L, 11.0), (9L, 19.0)).toDF("k", "v"))
+    assert(state(root, 1L) ==
+      Map(1L -> 5.0, 2L -> 11.0, 3L -> 25.0, 9L -> 19.0))
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L),
+      "replace must land as exactly one version")
+    // Delta's constraint: replacement rows must satisfy the predicate
+    intercept[IllegalArgumentException] {
+      VersionedTable.commitReplaceWhere(spark, root, Seq("k"), "v",
+        10.0, 20.0, Seq((7L, 99.0)).toDF("k", "v"))
+    }
+    assert(VersionedTable.versions(spark, root) == Seq(0L, 1L),
+      "a rejected replacement must not create a version")
+  }
+
   test("manifests are cached once published; invalidateCache forces re-resolution") {
     val s = spark
     import s.implicits._
