@@ -501,7 +501,51 @@ object CurateQueries extends graft.QueryModule {
       |FROM documents d JOIN q USING (lang)
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Temperature-scaled mix PLAN (T = 2): the weights-and-epochs
+    * report a pipeline reads before materializing a mix — per source,
+    * natural share p = chars_s / Σchars (token-proxy weighting, not
+    * curate_mix's doc counts), sampling weight q ∝ p^(1/T), and
+    * oversampling factor epochs = q / p (passes a small source gets
+    * at temperature T). Complements `curate_mix`, which SAMPLES
+    * memberships; this is the planning table (what would each source
+    * weigh, how many epochs) that decides T before any sampling.
+    * T = 2 makes the exponent a SQRT — bit-exact IEEE in both
+    * engines, so the only cross-engine freedom is the Σ√p
+    * accumulation order (scoreRound-ed). Shape: one keyed aggregation
+    * + two broadcast 1-row totals folded into the plan (the
+    * Collocations idiom) — one job, no driver math. */
+  def curateTemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+    val tot = bySrc.agg(sum("chars").as("tot"))
+    val withP = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p", col("chars") / col("tot"))
+    val z = withP.agg(sum(sqrt(col("p"))).as("z"))
+    withP.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        graft.functions.ScoreFns.scoreRound(col("p"), 6).as("p"),
+        graft.functions.ScoreFns.scoreRound(sqrt(col("p")) / col("z"), 6)
+          .as("q"),
+        graft.functions.ScoreFns.scoreRound(
+          sqrt(col("p")) / col("z") / col("p"), 4).as("epochs"))
+      .orderBy("source")
+  }
+  val temperatureMixSql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS DOUBLE) AS chars
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT sum(chars) AS tot FROM s),
+      |p AS (SELECT source, n_docs, chars / t.tot AS p FROM s, t),
+      |z AS (SELECT sum(sqrt(p)) AS z FROM p)
+      |SELECT source, n_docs, round(p, 6) + 0.0 AS p,
+      |  round(sqrt(p) / z.z, 6) + 0.0 AS q,
+      |  round(sqrt(p) / z.z / p, 4) + 0.0 AS epochs
+      |FROM p, z ORDER BY source""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_temperature_mix" -> (curateTemperatureMix _),
     "curate_winsorize" -> (curateWinsorize _),
     "curate_split_leakage" -> (curateSplitLeakage _),
     "export_jsonl_shards" -> (exportJsonlShards _),
@@ -519,6 +563,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_pack" -> (curatePack _))
 
   def oracles: Map[String, String] = Map(
+    "curate_temperature_mix" -> temperatureMixSql,
     "curate_winsorize" -> winsorizeSql,
     "curate_split_leakage" -> splitLeakageSql,
     "export_jsonl_shards" -> exportJsonlSql,

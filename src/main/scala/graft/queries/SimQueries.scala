@@ -297,6 +297,64 @@ object SimQueries extends graft.QueryModule {
        |  WHERE x.vec_id <> p.query_id AND x.label = 7) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Index DELETE lifecycle (AnnIndex.delete): build, tombstone every
+    * vec_id ≡ 0 (mod 7), search — the retired vectors must be absent
+    * from every result list while ranks close up over the survivors.
+    * Tombstones are merge-on-read (an anti-join whose build side is
+    * the delete set — no bucket rewrite, no retrain), so the gate
+    * proves the post-delete view is served without touching the
+    * persisted index files. The oracle replays the full build (same
+    * k-means CTEs as the other ANN gates) and applies the delete
+    * predicate to the CANDIDATE side only — queries may still be
+    * deleted ids (a query vector is external input, not an index
+    * row). */
+  def simAnnDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = graft.core.GraftSession.scratch("anndel")
+    graft.sim.AnnIndex.build(emb, "vec_id", "embedding",
+      k = 16, iterations = 2, path)
+    graft.sim.AnnIndex.delete(spark, path,
+      emb.where(col("vec_id") % 7 === 0), "vec_id")
+    graft.sim.AnnIndex.search(spark, path,
+        emb.where(col("vec_id") >= 100 && col("vec_id") < 110),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+  val annDeleteSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |${kmIterSql("c0", 1)},
+       |${kmIterSql("c1", 2)},
+       |af AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
+       |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, bucket FROM (
+       |    SELECT q.vec_id AS query_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
+       |    FROM e q CROSS JOIN c2 c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT p.query_id, x.vec_id AS neighbor_id,
+       |    round(${kmCos("q.v", "x.v")}, 4) + 0.0 AS cos,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY round(${kmCos("q.v", "x.v")}, 4) + 0.0 DESC, x.vec_id ASC) AS rank
+       |  FROM probes p
+       |  JOIN af a ON a.bucket = p.bucket
+       |  JOIN e x ON x.vec_id = a.vec_id
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  WHERE x.vec_id <> p.query_id AND a.vec_id % 7 <> 0) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Hybrid retrieval (BM25 ⊕ ANN via Reciprocal Rank Fusion): the
     * lexical top-10 for a fixed term query and the vector top-10
     * around an exemplar embedding, fused by rrf = Σ 1/(60+rank) —
@@ -1025,6 +1083,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ann_persisted" -> (simAnnPersisted _),
     "sim_ann_append" -> (simAnnAppend _),
     "sim_ann_filtered" -> (simAnnFiltered _),
+    "sim_ann_delete" -> (simAnnDelete _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
@@ -1045,6 +1104,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ann_persisted" -> kmeansIvfSql,
     "sim_ann_append" -> annAppendSql,
     "sim_ann_filtered" -> annFilteredSql,
+    "sim_ann_delete" -> annDeleteSql,
     "sim_hybrid_rrf" -> hybridRrfSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_quantized_topk" -> quantizedSql,

@@ -45,7 +45,27 @@ object AnnIndex {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     assigned.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/assignment")
+    // a retrain is a fresh index: clear any tombstones from the
+    // previous generation (they referred to the old assignment)
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val f = del.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+    if (f.exists(del)) f.delete(del, true)
   }
+
+  /** Logical DELETE from a built index — merge-on-read tombstones,
+    * the way production ANN serving retires vectors (FAISS remove_ids
+    * marks; Vespa/Lucene tombstone): the ids are APPENDED to
+    * `path/deletes` and every read through [[assignment]] (and so
+    * every search variant) anti-joins them out. Cost ∝ the delete
+    * batch — no bucket rewrite, no retrain; the anti-join's build
+    * side is the (small) tombstone set, which AQE broadcasts. The
+    * tombstones compact away at the next [[build]] (a retrain is a
+    * fresh generation). Deleting an id not in the index is a no-op,
+    * matching DELETE semantics. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             idCol: String): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$path/deletes")
 
   /** Carry metadata columns into the assignment rows so FILTERED
     * search (metadata predicate + vector search) pushes the predicate
@@ -96,9 +116,20 @@ object AnnIndex {
     spark.read.parquet(s"$path/centroids")
 
   /** Loaded assignment table; `bucket` comes back as the partition
-    * column, so bucket-selective reads prune directories. */
-  def assignment(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/assignment")
+    * column, so bucket-selective reads prune directories. Tombstoned
+    * ids (see [[delete]]) are anti-joined out, so every search
+    * variant serves the post-delete view; when no delete was ever
+    * issued the read is the bare scan (no join in the plan). */
+  def assignment(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/assignment")
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val f = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(del)) base
+    else {
+      val tomb = spark.read.parquet(del.toString)
+      base.join(tomb, tomb.columns.toSeq, "left_anti")
+    }
+  }
 
   /** Top-`k` neighbors per query row from the SAVED index — identical
     * results to `Similarity.Ivf.search` over a freshly built one. */

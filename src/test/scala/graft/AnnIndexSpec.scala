@@ -32,6 +32,44 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(f.nonEmpty)
   }
 
+  test("delete tombstones retire vectors from every search; rebuild clears them") {
+    // own path: the shared `path` must stay tombstone-free for the
+    // other tests
+    val p = GraftSession.scratch("annidx-del-spec")
+    AnnIndex.build(emb, "vec_id", "embedding", k = 16, iterations = 2, p)
+    val before = AnnIndex.search(spark, p, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val victims = before.take(3)
+    AnnIndex.delete(spark, p,
+      victims.toSeq.toDF_(spark, "vec_id"), "vec_id")
+    val after = AnnIndex.search(spark, p, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !after.contains(v)),
+      s"deleted ids still served: ${victims.intersect(after)}")
+    assert(after.nonEmpty, "delete must not empty unrelated results")
+    // deleting an unknown id is a no-op
+    AnnIndex.delete(spark, p, Seq(-1L).toDF_(spark, "vec_id"), "vec_id")
+    assert(AnnIndex.search(spark, p, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet == after)
+    // a retrain is a fresh generation: tombstones are cleared
+    AnnIndex.build(emb, "vec_id", "embedding", k = 16, iterations = 2, p)
+    val rebuilt = AnnIndex.search(spark, p, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(rebuilt == before, "rebuild must serve the full corpus again")
+  }
+
+  private implicit class SeqToDf(s: Seq[Long]) {
+    def toDF_(spark: org.apache.spark.sql.SparkSession,
+              name: String): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      s.toDF(name)
+    }
+  }
+
   test("assignment is partitioned by bucket and the probe read prunes directories") {
     // layout: one directory per centroid bucket
     val dirs = new java.io.File(s"$path/assignment").listFiles()
