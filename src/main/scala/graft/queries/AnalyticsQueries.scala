@@ -556,8 +556,47 @@ object AnalyticsQueries extends graft.QueryModule {
       |    - (max(n) + 1.0) / max(n), 6) + 0.0 AS gini
       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Chi-squared goodness-of-fit of order volume against a uniform
+    * weekday distribution, per priority class — the seasonality sanity
+    * check (is FRIDAY really heavier, or is the pipeline's partition
+    * clock skewed?). χ² = Σ_dow (o − e)² / e with e = n/7 — entirely
+    * rational double arithmetic on exact counts, no transcendentals;
+    * the only cross-engine trap is the WEEKDAY NUMBERING (Spark
+    * 1=Sunday..7, DuckDB 0=Sunday..6), which both sides normalize to
+    * 0-based before grouping. One keyed aggregation, one 7-row-per-key
+    * reduction. */
+  def xChisqDow(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDow = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow"))
+      .agg(count(lit(1)).as("o"))
+      .withColumn("n", sum("o").over(Window.partitionBy("priority")))
+    // absent weekdays contribute (0−e)²/e = e each: add (7−present)·e
+    // so the statistic is over all 7 cells even when a cell is empty
+    val dev = col("o") - col("n") / 7.0 // e = n/7, a per-row constant
+    byDow.groupBy("priority")
+      .agg(max("n").as("n"),
+        graft.functions.ScoreFns.scoreRound(
+          sum(dev * dev / (col("n") / 7.0))
+            + (lit(7) - count(lit(1))) * (max("n") / 7.0), 4)
+          .as("chi2"))
+      .orderBy("priority")
+  }
+  val chisqDowSql: String =
+    """WITH bd AS (
+      |  SELECT o_orderpriority AS priority,
+      |    dayofweek(o_orderdate) AS dow, count(*) AS o
+      |  FROM orders GROUP BY 1, 2),
+      |wn AS (
+      |  SELECT *, sum(o) OVER (PARTITION BY priority) AS n FROM bd)
+      |SELECT priority, CAST(max(n) AS BIGINT) AS n,
+      |  round(sum((o - n / 7.0) * (o - n / 7.0) / (n / 7.0))
+      |    + (7 - count(*)) * (max(n) / 7.0), 4) + 0.0 AS chi2
+      |FROM wn GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
+    "x_chisq_dow" -> (xChisqDow _),
     "x_gini_spend" -> (xGiniSpend _),
     "x_survival_km" -> (xSurvivalKm _),
     "ts_mad_outliers" -> (tsMadOutliers _),
@@ -571,6 +610,7 @@ object AnalyticsQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "x_attribution_last_touch" -> attributionSql,
+    "x_chisq_dow" -> chisqDowSql,
     "x_gini_spend" -> giniSql,
     "x_survival_km" -> survivalKmSql,
     "ts_mad_outliers" -> madOutliersSql,

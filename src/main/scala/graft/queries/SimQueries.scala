@@ -297,6 +297,101 @@ object SimQueries extends graft.QueryModule {
        |  WHERE x.vec_id <> p.query_id AND x.label = 7) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** MMR result diversification (Carbonell & Goldstein '98): re-rank
+    * each query's brute-force top-20 by Maximal Marginal Relevance —
+    * greedily pick 5 results maximizing λ·rel(q,d) − (1−λ)·max_{s∈S}
+    * sim(d,s) with λ=0.7 — the standard redundancy-suppression step
+    * between retrieval and a context window (near-identical chunks
+    * waste prompt slots). Greedy selection is inherently sequential in
+    * RANK but embarrassingly parallel in QUERIES: each of the 4
+    * selection rounds is one bounded join (≤20 candidates × ≤4
+    * selected per query) — never anything corpus-sized; the oracle
+    * unrolls the same 5 picks as chained CTEs. All comparisons run on
+    * 4dp-rounded cosines; the fused score is emitted at 5dp because
+    * 0.7·c − 0.3·p over 4dp inputs terminates at exactly five
+    * decimals (a 4dp emit would sit ON the round-half midpoint — the
+    * cross-engine divergence the verify checklist warns about). */
+  def simMmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val cand = Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") >= 100 && col("vec_id") < 105),
+        "vec_id", "embedding", k = 20)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), "neighbor_id")
+      .select("query_id", "neighbor_id", "cos", "nv")
+    val byQ = Window.partitionBy("query_id")
+      .orderBy(col("mmr").desc, col("neighbor_id"))
+    var sel = cand
+      .withColumn("mmr", lit(0.7) * col("cos"))
+      .withColumn("rn", row_number().over(byQ)).where(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("nv"), col("mmr"),
+        lit(1).as("mmr_rank"))
+    for (r <- 2 to 5) {
+      val rest = cand.join(sel.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val pen = rest
+        .join(sel.select(col("query_id"), col("nv").as("sv")), "query_id")
+        .groupBy("query_id", "neighbor_id")
+        .agg(max(graft.functions.ScoreFns.scoreRound(
+          Similarity.cosine(col("nv"), col("sv")), 4)).as("pen"))
+      val pick = rest.join(pen, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr", lit(0.7) * col("cos") - lit(0.3) * col("pen"))
+        .withColumn("rn", row_number().over(byQ)).where(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("nv"), col("mmr"),
+          lit(r).as("mmr_rank"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
+        graft.functions.ScoreFns.scoreRound(col("mmr"), 5).as("mmr"))
+      .orderBy("query_id", "mmr_rank")
+  }
+  val mmrDiversifySql: String = {
+    def selCte(k: Int): String =
+      if (k == 1) "sel1 AS (SELECT * FROM s1)"
+      else s"sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)"
+    def step(k: Int): String =
+      s"""s$k AS (
+         |  SELECT query_id, neighbor_id, 0.7 * cos - 0.3 * pen AS mmr,
+         |    $k AS mmr_rank FROM (
+         |    SELECT g.*, row_number() OVER (PARTITION BY g.query_id
+         |      ORDER BY 0.7 * g.cos - 0.3 * g.pen DESC, g.neighbor_id)
+         |      AS rn
+         |    FROM (
+         |      SELECT b.query_id, b.neighbor_id, b.cos,
+         |        max(round(${cosSql("nv", "sv")}, 4) + 0.0) AS pen
+         |      FROM bf b
+         |      JOIN sel${k - 1} s ON s.query_id = b.query_id
+         |      JOIN n nv ON nv.vec_id = b.neighbor_id
+         |      JOIN n sv ON sv.vec_id = s.neighbor_id
+         |      LEFT JOIN sel${k - 1} d ON d.query_id = b.query_id
+         |        AND d.neighbor_id = b.neighbor_id
+         |      WHERE d.neighbor_id IS NULL
+         |      GROUP BY 1, 2, 3) g) t WHERE rn = 1),
+         |${selCte(k)}""".stripMargin
+    vecCte +
+      """, bf AS (
+        |  SELECT query_id, neighbor_id, cos FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      round(""".stripMargin + cosSql("q", "c") +
+      """, 4) + 0.0 AS cos,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(""".stripMargin + cosSql("q", "c") +
+      """, 4) + 0.0 DESC, c.vec_id) AS rank
+        |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |    WHERE q.vec_id >= 100 AND q.vec_id < 105) t
+        |  WHERE rank <= 20),
+        |s1 AS (
+        |  SELECT query_id, neighbor_id, 0.7 * cos AS mmr, 1 AS mmr_rank
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS rn FROM bf) t WHERE rn = 1),
+        |""".stripMargin + selCte(1) + ",\n" +
+      (2 to 5).map(step).mkString(",\n") + "\n" +
+      """SELECT query_id, mmr_rank, neighbor_id,
+        |  round(mmr, 5) + 0.0 AS mmr
+        |FROM sel5 ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   /** Index DELETE lifecycle (AnnIndex.delete): build, tombstone every
     * vec_id ≡ 0 (mod 7), search — the retired vectors must be absent
     * from every result list while ranks close up over the survivors.
@@ -1084,6 +1179,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ann_append" -> (simAnnAppend _),
     "sim_ann_filtered" -> (simAnnFiltered _),
     "sim_ann_delete" -> (simAnnDelete _),
+    "sim_mmr_diversify" -> (simMmrDiversify _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_quantized_topk" -> (simQuantizedTopk _),
@@ -1105,6 +1201,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ann_append" -> annAppendSql,
     "sim_ann_filtered" -> annFilteredSql,
     "sim_ann_delete" -> annDeleteSql,
+    "sim_mmr_diversify" -> mmrDiversifySql,
     "sim_hybrid_rrf" -> hybridRrfSql,
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_quantized_topk" -> quantizedSql,
