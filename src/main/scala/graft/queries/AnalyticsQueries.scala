@@ -594,6 +594,143 @@ object AnalyticsQueries extends graft.QueryModule {
       |    + (7 - count(*)) * (max(n) / 7.0), 4) + 0.0 AS chi2
       |FROM wn GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Herfindahl–Hirschman concentration of supplier revenue within each
+    * nation — the standard market-concentration statistic. HHI needs no
+    * per-row share column: Σ(rev_i/T)² = Σrev_i²/T², so the whole
+    * statistic is a two-level keyed aggregation (supplier revenue, then
+    * per-nation moments) with NO window at all — one exchange on
+    * suppkey, one on nationkey, both broadcast-dimension joins. That is
+    * the shape that survives 100 TB: fact rows are touched once and
+    * only (nation, supplier) partials shuffle. Rounded at 4dp via
+    * scoreRound (double-summation order differs across engines at
+    * ~1e-12 relative). */
+  def xHhiConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      .groupBy("l_suppkey").agg(sum("r").as("rev"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+        "l_suppkey")
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        "s_nationkey")
+    rev.groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        graft.functions.ScoreFns.scoreRound(
+          lit(10000.0) * sum(col("rev") * col("rev")) /
+            (sum("rev") * sum("rev")), 4).as("hhi"))
+      .orderBy("n_name")
+  }
+  val hhiSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT n.n_name, rev.rev
+      |  FROM rev
+      |  JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+      |SELECT n_name, count(*) AS n_suppliers,
+      |  round(10000.0 * sum(rev * rev) / (sum(rev) * sum(rev)), 4) + 0.0
+      |    AS hhi
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shannon entropy (nats) of the order-priority mix within each
+    * market segment — the categorical-diversity statistic (used for
+    * e.g. source-mix monitoring in a training corpus). Uses the
+    * identity −Σp·ln p = ln N − (Σ c·ln c)/N so it is again a pure
+    * two-level groupBy with no windows and no per-row share column:
+    * cell counts shuffle once on (segment, priority), the 25-cell
+    * reduction finishes per segment. ln() is transcendental → 4dp
+    * scoreRound with the ±0.0 oracle mirror. */
+  def xCategoryEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+        "o_custkey")
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy("segment")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_categories"),
+        sum(col("c") * log(col("c"))).as("clnc"))
+      .select(col("segment"), col("n"), col("n_categories"),
+        graft.functions.ScoreFns.scoreRound(
+          log(col("n")) - col("clnc") / col("n"), 4).as("entropy"))
+      .orderBy("segment")
+  }
+  val categoryEntropySql: String =
+    """WITH cells AS (
+      |  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+      |    count(*) AS c
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT segment, CAST(sum(c) AS BIGINT) AS n,
+      |  count(*) AS n_categories,
+      |  round(ln(CAST(sum(c) AS DOUBLE))
+      |    - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 4) + 0.0 AS entropy
+      |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Cramér's V association between market segment and order priority
+    * — the normalized chi-squared over the full r×c contingency table.
+    * The observed cells come from one keyed aggregation; the FULL grid
+    * (including empty cells, which contribute their expectation e to
+    * χ²) is rebuilt by cross-joining the two broadcast margin
+    * dictionaries (r·c ≤ 25 rows) and left-joining the counts, so a
+    * missing cell can never silently drop out of the statistic. The
+    * grand total rides in as a broadcast 1-row aggregate (the
+    * Collocations idiom) — no unpartitioned window anywhere. Emits one
+    * row: dimensions, χ², and V = sqrt(χ²/(n·min(r−1,c−1))). */
+  def xCramersV(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+        "o_custkey")
+      .select(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+    val cells = joined.groupBy("seg", "prio").agg(count(lit(1)).as("o"))
+    val segTot = cells.groupBy("seg").agg(sum("o").as("rt"))
+    val prioTot = cells.groupBy("prio").agg(sum("o").as("ct"))
+    val n = cells.agg(sum("o").cast("double").as("n"))
+    val grid = broadcast(segTot).crossJoin(broadcast(prioTot))
+      .join(cells, Seq("seg", "prio"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+    grid.agg(
+        countDistinct("seg").as("r"), countDistinct("prio").as("c"),
+        max("n").cast("long").as("n"),
+        sum((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+          .as("chi2d"))
+      .select(col("r"), col("c"), col("n"),
+        graft.functions.ScoreFns.scoreRound(col("chi2d"), 4).as("chi2"),
+        graft.functions.ScoreFns.scoreRound(
+          sqrt(col("chi2d") / (col("n") *
+            least(col("r") - 1, col("c") - 1))), 4).as("v"))
+  }
+  val cramersVSql: String =
+    """WITH j AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |cells AS (SELECT seg, prio, count(*) AS o FROM j GROUP BY 1, 2),
+      |st AS (SELECT seg, sum(o) AS rt FROM cells GROUP BY 1),
+      |pt AS (SELECT prio, sum(o) AS ct FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),
+      |grid AS (
+      |  SELECT st.seg, pt.prio, st.rt, pt.ct, coalesce(cells.o, 0) AS o,
+      |    st.rt * pt.ct / n.n AS e, n.n
+      |  FROM st CROSS JOIN pt CROSS JOIN n
+      |  LEFT JOIN cells ON st.seg = cells.seg AND pt.prio = cells.prio),
+      |agg AS (
+      |  SELECT count(DISTINCT seg) AS r, count(DISTINCT prio) AS c,
+      |    CAST(max(n) AS BIGINT) AS n,
+      |    sum((o - e) * (o - e) / e) AS chi2d
+      |  FROM grid)
+      |SELECT r, c, n, round(chi2d, 4) + 0.0 AS chi2,
+      |  round(sqrt(chi2d / (n * least(r - 1, c - 1))), 4) + 0.0 AS v
+      |FROM agg""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
@@ -604,6 +741,9 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_longest_streak" -> (xLongestStreak _),
     "ts_merge_intervals" -> (tsMergeIntervals _),
     "ts_ewma" -> (tsEwma _),
+    "x_hhi_concentration" -> (xHhiConcentration _),
+    "x_category_entropy" -> (xCategoryEntropy _),
+    "x_cramers_v" -> (xCramersV _),
     "x_market_basket" -> (xMarketBasket _),
     "x_next_event_markov" -> (xNextEventMarkov _),
     "scd2_build" -> (scd2Build _))
@@ -618,6 +758,9 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_longest_streak" -> longestStreakSql,
     "ts_merge_intervals" -> mergeIntervalsSql,
     "ts_ewma" -> ewmaSql,
+    "x_hhi_concentration" -> hhiSql,
+    "x_category_entropy" -> categoryEntropySql,
+    "x_cramers_v" -> cramersVSql,
     "x_market_basket" -> marketBasketSql,
     "x_next_event_markov" -> nextEventMarkovSql,
     "scd2_build" -> scd2Sql)
