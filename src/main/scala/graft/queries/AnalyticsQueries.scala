@@ -731,6 +731,109 @@ object AnalyticsQueries extends graft.QueryModule {
       |  round(sqrt(chi2d / (n * least(r - 1, c - 1))), 4) + 0.0 AS v
       |FROM agg""".stripMargin
 
+  /** Binned AUC-ROC: how well order value separates finished ('F')
+    * from open orders, computed the way AUC is actually computed at
+    * scale (cf. Spark MLlib's own BinaryClassificationMetrics with
+    * numBins): scores land in FIXED-width histogram bins (width 1000,
+    * bounded by the price RANGE, not the row count), per-bin
+    * pos/neg counts reduce map-side, and the Mann–Whitney pairwise
+    * count collapses to a prefix sum over the ≤600-row bin table —
+    * the one window here runs over a range-bounded set, never the
+    * fact table. All products are exact integers-plus-halves (< 2^53)
+    * so the final division is bit-identical across engines. */
+  def xAucRoc(spark: SparkSession, sfDir: String): DataFrame = {
+    val bins = Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") / 1000.0).cast("long").as("bin"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("p"),
+        when(col("o_orderstatus") =!= "F", 1L).otherwise(0L).as("ng"))
+      .groupBy("bin").agg(sum("p").as("pos"), sum("ng").as("neg"))
+    val below = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .withColumn("cum_neg", coalesce(sum("neg").over(below), lit(0L)))
+      .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        count(lit(1)).as("n_bins"),
+        round(sum(col("pos") * (col("cum_neg") + lit(0.5) * col("neg"))) /
+          (sum("pos") * sum("neg").cast("double")), 6).as("auc"))
+  }
+  val aucRocSql: String =
+    """WITH b AS (
+      |  SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+      |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos,
+      |    sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS neg
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT *, coalesce(sum(neg) OVER (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+      |  FROM b)
+      |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+      |  CAST(sum(neg) AS BIGINT) AS n_neg, count(*) AS n_bins,
+      |  round(sum(pos * (cum_neg + 0.5 * neg))
+      |    / (sum(pos) * CAST(sum(neg) AS DOUBLE)), 6) AS auc
+      |FROM c""".stripMargin
+
+  /** RFM segmentation with FIXED band rules (the form that scales:
+    * quantile-banded RFM needs a global sort or sampled quantiles;
+    * rule-banded RFM is one keyed aggregation plus a broadcastable
+    * CASE — and in production the bands are frozen parameters anyway
+    * so segments stay comparable release-to-release). Recency is
+    * measured against a pinned reference date (reproducible runs, no
+    * wall clock). Output: per-segment customer count and averages. */
+  def xRfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ref = to_date(lit("2002-01-01"))
+    val rfm = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(datediff(ref, max(col("o_orderdate").cast("date")))
+          .as("recency_days"),
+        count(lit(1)).as("freq"), sum("o_totalprice").as("monetary"))
+      .withColumn("r", when(col("recency_days") <= 365, 3)
+        .when(col("recency_days") <= 730, 2).otherwise(1))
+      .withColumn("f", when(col("freq") >= 20, 3)
+        .when(col("freq") >= 10, 2).otherwise(1))
+      .withColumn("m", when(col("monetary") >= 150000.0, 3)
+        .when(col("monetary") >= 50000.0, 2).otherwise(1))
+      .withColumn("segment",
+        when(col("r") === 3 && col("f") === 3 && col("m") === 3,
+          "champion")
+        .when(col("r") === 3 && col("f") >= 2, "loyal")
+        .when(col("r") === 1 && col("m") >= 2, "at_risk_big")
+        .when(col("r") === 1, "lapsed")
+        .otherwise("regular"))
+    rfm.groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg("freq"), 4).as("avg_freq"),
+        round(avg("monetary"), 2).as("avg_monetary"))
+      .orderBy("segment")
+  }
+  val rfmSql: String =
+    """WITH rfm AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+      |      DATE '2002-01-01') AS recency_days,
+      |    count(*) AS freq, sum(o_totalprice) AS monetary
+      |  FROM orders GROUP BY 1),
+      |sc AS (
+      |  SELECT *,
+      |    CASE WHEN recency_days <= 365 THEN 3
+      |         WHEN recency_days <= 730 THEN 2 ELSE 1 END AS r,
+      |    CASE WHEN freq >= 20 THEN 3
+      |         WHEN freq >= 10 THEN 2 ELSE 1 END AS f,
+      |    CASE WHEN monetary >= 150000.0 THEN 3
+      |         WHEN monetary >= 50000.0 THEN 2 ELSE 1 END AS m
+      |  FROM rfm),
+      |seg AS (
+      |  SELECT *,
+      |    CASE WHEN r = 3 AND f = 3 AND m = 3 THEN 'champion'
+      |         WHEN r = 3 AND f >= 2 THEN 'loyal'
+      |         WHEN r = 1 AND m >= 2 THEN 'at_risk_big'
+      |         WHEN r = 1 THEN 'lapsed'
+      |         ELSE 'regular' END AS segment
+      |  FROM sc)
+      |SELECT segment, count(*) AS n_customers,
+      |  round(avg(freq), 4) AS avg_freq,
+      |  round(avg(monetary), 2) AS avg_monetary
+      |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
@@ -744,6 +847,8 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_hhi_concentration" -> (xHhiConcentration _),
     "x_category_entropy" -> (xCategoryEntropy _),
     "x_cramers_v" -> (xCramersV _),
+    "x_auc_roc" -> (xAucRoc _),
+    "x_rfm_segments" -> (xRfmSegments _),
     "x_market_basket" -> (xMarketBasket _),
     "x_next_event_markov" -> (xNextEventMarkov _),
     "scd2_build" -> (scd2Build _))
@@ -761,6 +866,8 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_hhi_concentration" -> hhiSql,
     "x_category_entropy" -> categoryEntropySql,
     "x_cramers_v" -> cramersVSql,
+    "x_auc_roc" -> aucRocSql,
+    "x_rfm_segments" -> rfmSql,
     "x_market_basket" -> marketBasketSql,
     "x_next_event_markov" -> nextEventMarkovSql,
     "scd2_build" -> scd2Sql)
