@@ -356,7 +356,154 @@ object GraphQueries extends graft.QueryModule {
       |JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Adamic–Adar link scores: for each edge, Σ over common neighbors u
+    * of 1/ln(deg(u)) — the classic link-prediction feature that
+    * down-weights promiscuous hubs. Reuses the degree-ordered wedge
+    * orientation of `graphTriangles`/`graphEdgeJaccard` (each triangle
+    * enumerated once, candidate volume bounded O(E^1.5) under hub
+    * skew); each closed triangle credits its three edges with
+    * 1/ln(degree of the OPPOSITE vertex). A common neighbor is by
+    * construction degree ≥ 2, so ln(d) ≥ ln 2 — no 0-division. Top-20
+    * by the ROUNDED score (both engines order the identical 4dp value;
+    * ties break on the edge key) keeps the gate output bounded. */
+  def graphAdamicAdar(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = coEdges(spark, sfDir)
+      .where(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = und
+      .join(deg.withColumnRenamed("id", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("id", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("da")).otherwise(col("db")).as("du"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    val o1 = o.select(col("u"), col("du"), col("v").as("x"), col("dv").as("dx"))
+    val o2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val closed = o1.join(o2, "u")
+      .where(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val credits = closed.select(explode(array(
+        struct(least(col("x"), col("y")).as("ea"),
+          greatest(col("x"), col("y")).as("eb"), col("du").as("dth")),
+        struct(least(col("u"), col("x")).as("ea"),
+          greatest(col("u"), col("x")).as("eb"), col("dy").as("dth")),
+        struct(least(col("u"), col("y")).as("ea"),
+          greatest(col("u"), col("y")).as("eb"), col("dx").as("dth"))))
+        .as("e"))
+      .groupBy(col("e.ea").as("a"), col("e.eb").as("b"))
+      .agg(count(lit(1)).as("n_common"),
+        graft.functions.ScoreFns.scoreRound(
+          sum(lit(1.0) / log(col("e.dth"))), 4).as("aa"))
+    credits.orderBy(col("aa").desc, col("a"), col("b")).limit(20)
+  }
+  val graphAdamicAdarSql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+      |    greatest(x.l_partkey, y.l_partkey) AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey <> y.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS d FROM (
+      |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY id),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN u.a ELSE u.b END AS u,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN u.b ELSE u.a END AS v,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN da.d ELSE db.d END AS du,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN db.d ELSE da.d END AS dv
+      |  FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id),
+      |tri AS (
+      |  SELECT e1.u AS u, e1.du AS du, e1.v AS x, e1.dv AS dx,
+      |    e2.v AS y, e2.dv AS dy
+      |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |  JOIN o oc ON oc.u = e1.v AND oc.v = e2.v
+      |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+      |credit AS (
+      |  SELECT ea AS a, eb AS b, count(*) AS n_common,
+      |    round(sum(1.0 / ln(dth)), 4) + 0.0 AS aa
+      |  FROM (
+      |    SELECT least(x, y) AS ea, greatest(x, y) AS eb, du AS dth FROM tri
+      |    UNION ALL SELECT least(u, x), greatest(u, x), dy FROM tri
+      |    UNION ALL SELECT least(u, y), greatest(u, y), dx FROM tri)
+      |  GROUP BY 1, 2)
+      |SELECT a, b, n_common, aa FROM credit
+      |ORDER BY aa DESC, a, b LIMIT 20""".stripMargin
+
+  /** Degree assortativity: Pearson correlation of endpoint degrees
+    * over the SYMMETRIC directed edge list (each undirected edge
+    * contributes both orientations, the standard Newman estimator, so
+    * the two marginals coincide and r reduces to
+    * (nΣxy − (Σx)²)/(nΣx² − (Σx)²)). Every moment is an exact integer
+    * sum (one keyed aggregation after two broadcastable degree joins);
+    * only the final three-term division happens in floating point, on
+    * identical operands in both engines. Negative r = hubs link to
+    * leaves (typical for co-purchase graphs). */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coEdges(spark, sfDir).select("src", "dst")
+    val und = e.where(col("src") < col("dst"))
+    val deg = und.select(col("src").as("id"))
+      .unionAll(und.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    e.join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "dx"),
+        "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dy"),
+        "dst")
+      .agg(count(lit(1)).as("n2"), sum("dx").as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), expr("n2 div 2").as("n_edges"),
+        graft.functions.ScoreFns.scoreRound(
+          (col("n2").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sx")) /
+          (col("n2").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")), 4)
+          .as("assortativity"))
+  }
+  val graphAssortativitySql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+      |    greatest(x.l_partkey, y.l_partkey) AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey <> y.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS d FROM (
+      |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY id),
+      |sym AS (
+      |  SELECT a AS src, b AS dst FROM und
+      |  UNION ALL SELECT b, a FROM und),
+      |m AS (
+      |  SELECT count(*) AS n2,
+      |    CAST(sum(da.d) AS DOUBLE) AS sx,
+      |    CAST(sum(da.d * da.d) AS DOUBLE) AS sxx,
+      |    CAST(sum(da.d * db.d) AS DOUBLE) AS sxy
+      |  FROM sym e JOIN deg da ON e.src = da.id
+      |  JOIN deg db ON e.dst = db.id),
+      |nn AS (SELECT count(*) AS n_nodes FROM deg)
+      |SELECT nn.n_nodes, CAST(m.n2 AS BIGINT) // 2 AS n_edges,
+      |  round((n2 * sxy - sx * sx) / (n2 * sxx - sx * sx), 4) + 0.0
+      |    AS assortativity
+      |FROM m CROSS JOIN nn""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_adamic_adar" -> (graphAdamicAdar _),
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_kcore" -> (graphKcore _),
@@ -365,6 +512,8 @@ object GraphQueries extends graft.QueryModule {
     "graph_triangles" -> (graphTriangles _))
 
   def oracles: Map[String, String] = Map(
+    "graph_adamic_adar" -> graphAdamicAdarSql,
+    "graph_assortativity" -> graphAssortativitySql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_degree_stats" -> graphDegreeStatsSql,
     "graph_kcore" -> graphKcoreSql,
