@@ -1374,7 +1374,81 @@ object TextQueries extends graft.QueryModule {
       |FROM b JOIN w USING (bucket)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Hapax-legomena profile per language: vocabulary size, number of
+    * corpus-frequency-1 tokens, and their ratio — the classic
+    * heavy-tail health check for a training corpus (a collapsing hapax
+    * ratio signals template/duplicated text). Same whitespace-lowercase
+    * tokenization as `text_vocab`. Shape: token counts combine
+    * map-side, the only exchange is vocabulary-sized on (lang, token),
+    * then a 5-row per-language reduction — no windows, no collects. */
+  def textHapaxRatio(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("f"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum("f").as("total_tokens"))
+      .select(col("lang"), col("vocab_size"), col("hapax"),
+        col("total_tokens"),
+        round(col("hapax") / col("vocab_size").cast("double"), 6)
+          .as("hapax_ratio"))
+      .orderBy("lang")
+  val hapaxRatioSql: String =
+    """WITH tf AS (
+      |  SELECT lang,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |c AS (SELECT lang, token, count(*) AS f FROM tf GROUP BY 1, 2)
+      |SELECT lang, count(*) AS vocab_size,
+      |  CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(sum(f) AS BIGINT) AS total_tokens,
+      |  round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+      |    / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Flesch-style readability per document from three codegen'd
+    * regexp counters: whitespace words, sentence-punctuation runs
+    * ([.!?]+), and vowel-group syllable proxies — the deterministic
+    * skeleton of the readability quality signal (real syllabification
+    * is dictionary work; the vowel-group proxy is the standard cheap
+    * stand-in and is pinned exactly by the oracle). Pure per-row map,
+    * no shuffle at all; every ratio divides exact integers. */
+  def textReadability(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("long").as("syllables"))
+      .select(col("doc_id"), col("words"), col("sentences"),
+        col("syllables"),
+        graft.functions.ScoreFns.scoreRound(
+          lit(206.835)
+            - lit(1.015) * col("words") / col("sentences")
+            - lit(84.6) * col("syllables") / greatest(col("words"), lit(1L)),
+          4).as("flesch"))
+      .orderBy("doc_id")
+  val readabilitySql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+      |      AS sentences,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      |  FROM documents)
+      |SELECT doc_id, CAST(words AS BIGINT) AS words,
+      |  CAST(sentences AS BIGINT) AS sentences,
+      |  CAST(syllables AS BIGINT) AS syllables,
+      |  round(206.835 - 1.015 * words / sentences
+      |    - 84.6 * syllables / greatest(words, 1), 4) + 0.0 AS flesch
+      |FROM m ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hapax_ratio" -> (textHapaxRatio _),
+    "text_readability" -> (textReadability _),
     "text_quality_classifier" -> (textQualityClassifier _),
     "text_lm_score" -> (textLmScore _),
     "text_bigram_lm" -> (textBigramLm _),
@@ -1431,6 +1505,8 @@ object TextQueries extends graft.QueryModule {
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_apply" -> bpeApplySql,
     "text_textrank" -> textrankSql,
+    "text_hapax_ratio" -> hapaxRatioSql,
+    "text_readability" -> readabilitySql,
     "text_mattr" -> mattrSql,
     "text_zipf_fit" -> zipfFitSql,
     "text_repetition" -> repetitionSql,
