@@ -1180,12 +1180,157 @@ object SimQueries extends graft.QueryModule {
        |  FROM sc) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-PQ composition — the full billion-scale serving shape (Jégou
+    * et al. 2011): a trained coarse quantizer prunes the corpus to
+    * nprobe buckets per query, and the survivors are scored by PQ
+    * asymmetric distance from the code table + broadcast LUT alone,
+    * never touching the raw corpus vectors. Composes the existing
+    * trained pieces (KMeans coarse, Ivf.probe, Pq codebooks): the only
+    * per-query work is |corpus|·nprobe/k candidate rows × m code
+    * lookups. The oracle replays the coarse k-means, all four subspace
+    * k-means, the probe, and the candidate-restricted ADC — end to
+    * end in SQL. */
+  def simIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+    val cents = graft.sim.KMeans.train(emb, "vec_id", "embedding",
+      k = 16, iterations = 2)
+    val assigned = Similarity.Ivf.assign(emb, cents, "vec_id", "embedding")
+    val cb = graft.sim.Pq.train(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 16, iterations = 2)
+    val codes = graft.sim.Pq.encode(emb, cb, "vec_id", "embedding",
+      m = 4, subDim = 16)
+    val probes = Similarity.Ivf.probe(cents, queries, "vec_id", "embedding",
+      nprobe = 4)
+    // candidate set: corpus rows whose coarse bucket was probed
+    val cand = assigned.select(col("vec_id"), col("bucket"))
+      .join(broadcast(probes.select("query_id", "bucket")), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    // ADC over candidates only: per-query LUT of subspace dot
+    // products, summed over the m codes of each candidate
+    val cbn = cb.select(col("sub"), col("centroid_id").as("code"),
+      col("cvec"), Similarity.dot(col("cvec"), col("cvec")).as("cn2"))
+    val qsubs = (0 until 4).map { s =>
+      queries.select(col("vec_id").as("query_id"), lit(s).as("sub"),
+        slice(col("embedding"), s * 16 + 1, 16).as("qv"),
+        Similarity.norm(col("embedding")).as("qn"))
+    }.reduce(_.unionByName(_))
+    val lut = qsubs.join(cbn, "sub")
+      .select(col("query_id"), col("sub"), col("code"), col("qn"),
+        Similarity.dot(col("qv"), col("cvec")).as("d"), col("cn2"))
+    val scored = codes.join(cand, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d")).as("adot"), sum(col("cn2")).as("xn2"),
+        first(col("qn")).as("qn"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.ScoreFns.scoreRound(
+          col("adot") / (col("qn") * sqrt(col("xn2"))), 4).as("cos"))
+    Similarity.rankTopK(scored, 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+  val ivfPqSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+       |dimsq AS (SELECT unnest(generate_series(1, 16)) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |${kmIterSql("c0", 1)},
+       |${kmIterSql("c1", 2)},
+       |af AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
+       |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, bucket FROM (
+       |    SELECT q.vec_id AS query_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
+       |    FROM e q CROSS JOIN c2 c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4),
+       |${(0 to 3).map(pqSubSql).mkString(",\n")},
+       |codes AS (
+       |${(0 to 3).map(s => s"  SELECT vec_id, $s AS sub, code FROM af_$s")
+            .mkString("\n  UNION ALL\n")}),
+       |cb AS (
+       |${(0 to 3).map(s =>
+            s"  SELECT $s AS sub, cid AS code, cv," +
+              s" list_sum(list_transform(cv, y -> y * y)) AS cn2 FROM c2_$s")
+            .mkString("\n  UNION ALL\n")}),
+       |q AS (
+       |  SELECT vec_id AS query_id, v,
+       |    sqrt(list_sum(list_transform(v, y -> y * y))) AS qn
+       |  FROM e WHERE vec_id >= 100 AND vec_id < 110),
+       |lut AS (
+       |  SELECT q.query_id, cb.sub, cb.code, q.qn, cb.cn2,
+       |    list_sum(list_transform(generate_series(1, 16),
+       |      i -> q.v[cb.sub * 16 + i] * cb.cv[i])) AS d
+       |  FROM q CROSS JOIN cb),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN af a ON a.bucket = p.bucket
+       |  WHERE a.vec_id <> p.query_id),
+       |sc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    round(sum(l.d) / (min(l.qn) * sqrt(sum(l.cn2))), 4) + 0.0 AS cos
+       |  FROM codes c
+       |  JOIN cand ON cand.vec_id = c.vec_id
+       |  JOIN lut l ON l.query_id = cand.query_id
+       |    AND l.sub = c.sub AND l.code = c.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM sc) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Radius (range) search: ALL corpus vectors within cosine ≥ τ of
+    * each query — the retrieval mode dedup and contamination sweeps
+    * need (top-k truncates; a radius query must not). Queries are a
+    * small broadcast side against one linear corpus scan, so the plan
+    * is embarrassingly parallel with no shuffle on the corpus at all;
+    * the threshold compares the ROUNDED score (both engines gate the
+    * identical 4dp value — no boundary-ulp flicker). τ = 0.25 sits at
+    * ~p99 of the background cosine mass (probed at sf0.01), so the
+    * result is the genuine near-neighbor tail, not a dump. */
+  def simRadiusSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        Similarity.norm(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), Similarity.norm(col("embedding")).as("cn"))
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.ScoreFns.scoreRound(
+          Similarity.dot(col("cv"), col("qv")) / (col("cn") * col("qn")),
+          4).as("cos"))
+      .where(col("cos") >= 0.25)
+      .orderBy("query_id", "neighbor_id")
+  }
+  val radiusSql: String = vecCte +
+    """SELECT query_id, neighbor_id, cos FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 AS cos
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id >= 100 AND q.vec_id < 110) t
+      |WHERE cos >= 0.25 ORDER BY query_id, neighbor_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_adc" -> (simPqAdc _),
     "sim_maxsim_multivector" -> (simMaxsimMultivector _),
     "sim_ndcg_eval" -> (simNdcgEval _),
     "sim_sparse_cosine" -> (simSparseCosine _),
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
+    "sim_ivf_pq" -> (simIvfPq _),
+    "sim_radius_search" -> (simRadiusSearch _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
     "sim_ann_persisted" -> (simAnnPersisted _),
@@ -1208,6 +1353,8 @@ object SimQueries extends graft.QueryModule {
     "sim_ndcg_eval" -> ndcgSql,
     "sim_sparse_cosine" -> sparseCosineSql,
     "sim_bruteforce_topk" -> bruteSql,
+    "sim_ivf_pq" -> ivfPqSql,
+    "sim_radius_search" -> radiusSql,
     "sim_ivf_topk" -> ivfSql,
     "sim_kmeans_ivf" -> kmeansIvfSql,
     "sim_ann_persisted" -> kmeansIvfSql,

@@ -99,18 +99,17 @@ object Similarity {
         .select(col(idCol), col(vecCol), (-col("m.nid")).as("bucket"))
     }
 
-    /** Probe: rank centroids per query, search only the top-nprobe
-      * buckets, then exact-rank within the probed subset. */
-    def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
-               idCol: String, vecCol: String, k: Int, nprobe: Int,
-               roundTo: Int = 4): DataFrame = {
+    /** Top-nprobe coarse buckets per query — (query_id, qv, qn,
+      * bucket), one row per probed bucket, through the same O(k) heap
+      * as rankTopK (qv/qn are group-constant, carried via first()).
+      * Shared by [[search]] and the IVF-PQ composition in SimQueries. */
+    def probe(centroids: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, nprobe: Int, roundTo: Int = 4): DataFrame = {
       val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         norm(col(vecCol)).as("qn"))
       val cents = centroids.select(col("centroid_id"), col("cvec"),
         norm(col("cvec")).as("cnrm"))
-      // top-nprobe buckets per query through the same O(k) heap as
-      // rankTopK (qv/qn are group-constant, carried via first())
-      val probes = q.crossJoin(broadcast(cents))
+      q.crossJoin(broadcast(cents))
         .withColumn("cscore", graft.functions.ScoreFns.scoreRound(
           dot(col("qv"), col("cvec")) / (col("qn") * col("cnrm")), roundTo))
         .groupBy("query_id")
@@ -121,6 +120,14 @@ object Similarity {
           explode(col("top")).as("e"))
         .select(col("query_id"), col("qv"), col("qn"),
           (-col("e.nid")).as("bucket"))
+    }
+
+    /** Probe: rank centroids per query, search only the top-nprobe
+      * buckets, then exact-rank within the probed subset. */
+    def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int, nprobe: Int,
+               roundTo: Int = 4): DataFrame = {
+      val probes = probe(centroids, queries, idCol, vecCol, nprobe, roundTo)
       val scored = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           norm(col(vecCol)).as("cn"), col("bucket"))
         .join(broadcast(probes), Seq("bucket"))
