@@ -759,6 +759,36 @@ object VersionedTable {
   def commitUpsert(spark: SparkSession, root: String, updates: DataFrame): Long =
     write(spark, root, updates.withColumn(Deleted, lit(false)), snapshot = false)
 
+  /** Per-constraint violation report for a batch: one pass over the
+    * batch (the named predicates expand map-side into an exploded
+    * (name, 0/1) pair per row and combine partially — no per-constraint
+    * rescan), one row per constraint. A row violates a constraint when
+    * its predicate evaluates FALSE or NULL — the strict write-side
+    * CHECK contract (a NULL invariant is not proof of validity). */
+  def constraintViolations(batch: DataFrame,
+      constraints: Seq[(String, String)]): DataFrame =
+    batch.select(explode(array(constraints.map { case (name, pred) =>
+        struct(lit(name).as("constraint_name"),
+          when(coalesce(expr(pred), lit(false)), 0L).otherwise(1L).as("v"))
+      }: _*)).as("c"))
+      .groupBy(col("c.constraint_name").as("constraint_name"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("c.v")).as("n_violations"))
+
+  /** CHECK-constrained upsert (the Delta-style table invariant):
+    * the batch commits only if EVERY constraint holds on EVERY row —
+    * enforcement is atomic, a single violation rejects the whole batch
+    * and no version is created. Returns Right(version) on commit,
+    * Left(per-constraint report rows) on rejection. The report
+    * collect is bounded by the number of constraints, not data. */
+  def commitUpsertChecked(spark: SparkSession, root: String,
+      updates: DataFrame, constraints: Seq[(String, String)])
+      : Either[Array[org.apache.spark.sql.Row], Long] = {
+    val report = constraintViolations(updates, constraints)
+      .orderBy("constraint_name").collect()
+    if (report.exists(_.getAs[Long]("n_violations") > 0L)) Left(report)
+    else Right(commitUpsert(spark, root, updates))
+  }
+
   /** Conditional MERGE for out-of-order feeds (`WHEN MATCHED AND
     * source.ord > target.ord THEN UPDATE / NOT MATCHED INSERT` — the
     * late-arriving-data guard): an incoming row lands only if its key

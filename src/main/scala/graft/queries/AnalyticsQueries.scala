@@ -834,6 +834,68 @@ object AnalyticsQueries extends graft.QueryModule {
       |  round(avg(monetary), 2) AS avg_monetary
       |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Point-in-time read over the SCD2 dimension (the feature-store
+    * "as-of" semantics scd2_build exists to serve): reconstruct the
+    * population's state distribution at three probe instants — the
+    * quartile points of the corpus time range, derived from a
+    * broadcast 1-row min/max aggregate in exact integer µs (never the
+    * wall clock). A version answers for probe t iff
+    * valid_from ≤ t < valid_to (open tail = +∞); per user the
+    * intervals partition time, so the count of matching version rows
+    * IS the user count in that state. The 3-row probe table rides
+    * broadcast against the version frame — no second shuffle after
+    * the user-keyed windows. */
+  def scd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val versions = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_from", col("us"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy("user_id")
+          .orderBy(col("valid_from"), col("event_id"))))
+    val probes = ev.agg(min("us").as("lo"), max("us").as("hi"))
+      .select(explode(sequence(lit(1), lit(3))).as("probe_idx"),
+        col("lo"), col("hi"))
+      .select(col("probe_idx").cast("long").as("probe_idx"),
+        expr("lo + probe_idx * ((hi - lo) div 4)").as("t"))
+    versions.crossJoin(broadcast(probes))
+      .where(col("valid_from") <= col("t") &&
+        (col("valid_to").isNull || col("t") < col("valid_to")))
+      .groupBy("probe_idx", "event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("probe_idx", "event_type")
+  }
+  val scd2PitSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, event_id, us AS valid_from, event_type
+      |  FROM e WHERE prev_type IS NULL OR prev_type <> event_type),
+      |v AS (
+      |  SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from, event_id) AS valid_to
+      |  FROM ch),
+      |b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+      |pt AS (
+      |  SELECT CAST(probe_idx AS BIGINT) AS probe_idx,
+      |    lo + probe_idx * ((hi - lo) // 4) AS t
+      |  FROM (SELECT unnest(generate_series(1, 3)) AS probe_idx)
+      |  CROSS JOIN b)
+      |SELECT pt.probe_idx, v.event_type, count(*) AS n_users
+      |FROM v CROSS JOIN pt
+      |WHERE v.valid_from <= pt.t
+      |  AND (v.valid_to IS NULL OR pt.t < v.valid_to)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
@@ -851,7 +913,8 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_rfm_segments" -> (xRfmSegments _),
     "x_market_basket" -> (xMarketBasket _),
     "x_next_event_markov" -> (xNextEventMarkov _),
-    "scd2_build" -> (scd2Build _))
+    "scd2_build" -> (scd2Build _),
+    "scd2_point_in_time" -> (scd2PointInTime _))
 
   def oracles: Map[String, String] = Map(
     "x_attribution_last_touch" -> attributionSql,
@@ -870,5 +933,6 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_rfm_segments" -> rfmSql,
     "x_market_basket" -> marketBasketSql,
     "x_next_event_markov" -> nextEventMarkovSql,
-    "scd2_build" -> scd2Sql)
+    "scd2_build" -> scd2Sql,
+    "scd2_point_in_time" -> scd2PitSql)
 }

@@ -698,6 +698,64 @@ object ExtQueries extends graft.QueryModule {
     * count are computed arithmetically by the oracle — a clobbered
     * stale row shows up as a ×100 value, a phantom version as
     * n_versions=3. */
+  /** CHECK-constraint enforcement (VersionedTable.commitUpsertChecked,
+    * the Delta-style table invariant): a batch with poisoned rows
+    * (negated prices on odd keys) must be rejected WHOLESALE — no
+    * version, no partial rows — while the clean twin batch commits
+    * normally. The gate emits the per-constraint violation report of
+    * the bad batch joined with the final table state, so a
+    * half-applied batch, a wrong violation count (FALSE vs NULL
+    * semantics), or a phantom version all break values. */
+  def vtConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch("vtck") + "/tbl"
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val base = o.where(col("o_orderkey") < 1000)
+    val good = o.where(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+    val bad = good.withColumn("o_totalprice",
+      when(col("o_orderkey") % 2 === 1, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")))
+    val cons = Seq(
+      "positive_price" -> "o_totalprice > 0",
+      "valid_status" -> "o_orderstatus IN ('F', 'O', 'P')")
+    VersionedTable.init(spark, root, base)                       // v0
+    val r1 = VersionedTable.commitUpsertChecked(spark, root, bad, cons)
+    val r2 = VersionedTable.commitUpsertChecked(spark, root, good, cons)
+    val finalN = VersionedTable.readLatest(spark, root, Seq("o_orderkey"))
+      .agg(count(lit(1)).as("n_final"))
+    VersionedTable.constraintViolations(bad, cons)
+      .crossJoin(broadcast(finalN))
+      .select(col("constraint_name"), col("n_rows"), col("n_violations"),
+        col("n_final"),
+        lit(if (r1.isLeft) 1L else 0L).as("bad_rejected"),
+        lit(if (r2.isRight) 1L else 0L).as("good_committed"),
+        lit(VersionedTable.versions(spark, root).size.toLong)
+          .as("n_versions"))
+      .orderBy("constraint_name")
+  }
+  val vtConstraintsSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey < 1000),
+      |b AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderkey >= 1000 AND o_orderkey < 2000),
+      |viol AS (
+      |  SELECT 'positive_price' AS constraint_name, count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_violations
+      |  FROM b
+      |  UNION ALL
+      |  SELECT 'valid_status', count(*), CAST(0 AS BIGINT) FROM b),
+      |f AS (
+      |  SELECT (SELECT count(*) FROM base) + (SELECT count(*) FROM b)
+      |    AS n_final)
+      |SELECT v.constraint_name, v.n_rows, v.n_violations, f.n_final,
+      |  CAST(1 AS BIGINT) AS bad_rejected,
+      |  CAST(1 AS BIGINT) AS good_committed,
+      |  CAST(2 AS BIGINT) AS n_versions
+      |FROM viol v CROSS JOIN f ORDER BY constraint_name""".stripMargin
+
   def vtMergeConditional(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.etl.VersionedTable
     val root = GraftSession.scratch("vtcond") + "/tbl"
@@ -1267,6 +1325,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_auto_compact" -> (vtAutoCompact _),
     "vt_replace_where" -> (vtReplaceWhere _),
     "vt_merge_full_sync" -> (vtMergeFullSync _),
+    "vt_constraints" -> (vtConstraints _),
     "vt_merge_conditional" -> (vtMergeConditional _),
     "vt_scd2_merge" -> (vtScd2Merge _),
     "vt_projected_read" -> (vtProjectedRead _),
@@ -1299,6 +1358,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_auto_compact" -> vtAutoCompactSql,
     "vt_replace_where" -> vtReplaceWhereSql,
     "vt_merge_full_sync" -> vtMergeFullSyncSql,
+    "vt_constraints" -> vtConstraintsSql,
     "vt_merge_conditional" -> vtMergeConditionalSql,
     "vt_scd2_merge" -> vtScd2Sql,
     "vt_projected_read" -> vtProjectedReadSql,
