@@ -896,6 +896,56 @@ object AnalyticsQueries extends graft.QueryModule {
       |  AND (v.valid_to IS NULL OR pt.t < v.valid_to)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Autocorrelation function of the daily order-arrival series at
+    * lags 1..7 — the seasonality probe run before any forecast model.
+    * The series is first reduced to one row per day (bounded by the
+    * CALENDAR, not the fact table), so the lag alignment is a tiny
+    * self-join on day+k (robust to calendar gaps, unlike a row-number
+    * window) and the global mean/denominator ride in as a broadcast
+    * 1-row aggregate. Uses the standard estimator
+    * r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² with x̄ over the full
+    * series. */
+  def tsAcf(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val stats = daily.agg(
+        (sum("x") / count(lit(1))).as("mu"),
+        (sum(col("x") * col("x")) -
+          sum("x") * sum("x") / count(lit(1))).as("den"))
+    val lags = spark.range(1, 8).select(col("id").as("k"))
+    val shifted = daily.crossJoin(broadcast(lags))
+      .select(col("k"), date_add(col("d"), col("k").cast("int")).as("d2"),
+        col("x").as("xa"))
+    shifted
+      .join(daily.select(col("d").as("d2"), col("x").as("xb")), "d2")
+      .crossJoin(broadcast(stats))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.ScoreFns.scoreRound(
+          sum((col("xa") - col("mu")) * (col("xb") - col("mu"))) /
+            first(col("den")), 4).as("acf"))
+      .orderBy("k")
+  }
+  val acfSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(count(*) AS DOUBLE) AS x
+      |  FROM orders GROUP BY 1),
+      |st AS (
+      |  SELECT sum(x) / count(*) AS mu,
+      |    sum(x * x) - sum(x) * sum(x) / count(*) AS den
+      |  FROM daily),
+      |lg AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS k),
+      |sh AS (
+      |  SELECT lg.k, daily.d + CAST(lg.k AS INTEGER) AS d2, daily.x AS xa
+      |  FROM daily CROSS JOIN lg)
+      |SELECT sh.k, count(*) AS n_pairs,
+      |  round(sum((sh.xa - st.mu) * (b.x - st.mu)) / max(st.den), 4) + 0.0
+      |    AS acf
+      |FROM sh JOIN daily b ON sh.d2 = b.d CROSS JOIN st
+      |GROUP BY sh.k ORDER BY sh.k""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
@@ -914,7 +964,8 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_market_basket" -> (xMarketBasket _),
     "x_next_event_markov" -> (xNextEventMarkov _),
     "scd2_build" -> (scd2Build _),
-    "scd2_point_in_time" -> (scd2PointInTime _))
+    "scd2_point_in_time" -> (scd2PointInTime _),
+    "ts_acf" -> (tsAcf _))
 
   def oracles: Map[String, String] = Map(
     "x_attribution_last_touch" -> attributionSql,
@@ -934,5 +985,6 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_market_basket" -> marketBasketSql,
     "x_next_event_markov" -> nextEventMarkovSql,
     "scd2_build" -> scd2Sql,
-    "scd2_point_in_time" -> scd2PitSql)
+    "scd2_point_in_time" -> scd2PitSql,
+    "ts_acf" -> acfSql)
 }

@@ -550,9 +550,67 @@ object StreamQueries extends graft.QueryModule {
       |WHERE a.sid < mx.m
       |ORDER BY a.user_id, a.session_start_us""".stripMargin
 
+  /** Streaming top-k maintenance: a leaderboard of the highest-value
+    * users kept current by MERGING per-batch partial aggregates into a
+    * keyed state table (VersionedTable), the foreachBatch shape every
+    * "top accounts" dashboard runs. Delta 1 (the even half) seeds the
+    * state as a static batch; delta 2 (the odd half) arrives as a
+    * stream and folds in through the same merge — state rows are
+    * summed, never replaced, so the final state must equal the
+    * single-pass batch aggregate over the full table (what the oracle
+    * computes). Per-batch work is batch-sized + state-sized keyed
+    * aggregation; the top-k extraction ranks the ROUNDED total (both
+    * engines order the identical 2dp value, user-id tie-break). */
+  private var topkCtr = 0
+  def t15StreamTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = GraftSession.scratch(
+      synchronized { topkCtr += 1; s"stream_topk_$topkCtr" }) + "/state"
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(sum("value").as("v"), count(lit(1)).as("n_events"))
+    def mergeInto(s: SparkSession, delta: DataFrame): Unit = {
+      val merged = VersionedTable.readLatest(s, root, Seq("user_id"))
+        .select("user_id", "v", "n_events")
+        .unionByName(partial(delta))
+        .groupBy("user_id")
+        .agg(sum("v").as("v"), sum("n_events").as("n_events"))
+      VersionedTable.commitUpsert(s, root, merged)
+    }
+    GraftSession.stateScoped(spark, 8) { s =>
+      val ev = Tables.events(s, sfDir)
+      VersionedTable.init(s, root,
+        partial(ev.where(col("event_id") % 2 === 0)))        // delta 1
+      val q = eventsStream(s, sfDir)
+        .where(col("event_id") % 2 === 1)                    // delta 2
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          mergeInto(batch.sparkSession, batch.toDF())
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation",
+          GraftSession.scratch(s"stream_topk_ckpt_$topkCtr"))
+        .start()
+      q.awaitTermination()
+      VersionedTable.readLatest(s, root, Seq("user_id"))
+        .select(col("user_id"), col("n_events"),
+          round(col("v"), 2).as("total_value"))
+        .orderBy(round(col("v"), 2).desc, col("user_id"))
+        .limit(10)
+    }
+  }
+  val t15Sql: String =
+    """SELECT user_id, n_events, total_value FROM (
+      |  SELECT user_id, count(*) AS n_events,
+      |    round(sum(value), 2) AS total_value
+      |  FROM events GROUP BY 1)
+      |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t13_stream_sessions" -> (t13StreamSessions _),
     "t14_stream_kmv" -> (t14StreamKmv _),
+    "t15_stream_topk" -> (t15StreamTopk _),
     "t11_stream_static_join" -> (t11StreamStaticJoin _),
     "t12_stream_mv" -> (t12StreamMv _),
     "t10_quarantine_replay" -> (t10QuarantineReplay _),
@@ -566,6 +624,7 @@ object StreamQueries extends graft.QueryModule {
   def oracles: Map[String, String] = Map(
     "t13_stream_sessions" -> t13Sql,
     "t14_stream_kmv" -> t14Sql,
+    "t15_stream_topk" -> t15Sql,
     "t11_stream_static_join" -> t11Sql,
     "t12_stream_mv" -> t12Sql,
     "t10_quarantine_replay" -> t10Sql,
