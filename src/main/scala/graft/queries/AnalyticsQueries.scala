@@ -946,6 +946,208 @@ object AnalyticsQueries extends graft.QueryModule {
       |FROM sh JOIN daily b ON sh.d2 = b.d CROSS JOIN st
       |GROUP BY sh.k ORDER BY sh.k""".stripMargin
 
+  /** Welch's unequal-variance t-test comparing mean order value
+    * between two market segments — the A/B-test primitive. Everything
+    * reduces to the five sufficient statistics (n, Σx, Σx²) per arm in
+    * ONE keyed aggregation pass; the t statistic and Welch–
+    * Satterthwaite degrees of freedom are scalar arithmetic on the
+    * broadcast 2-row result. No window, no sort, no second scan —
+    * the estimator commutes with partial aggregation, which is the
+    * whole reason this test (and not a rank test needing a global
+    * sort) is the scale default. */
+  def xWelchTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val two = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+        "o_custkey")
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice").as("x"))
+    val arms = two.groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("m", col("sx") / col("n"))
+      .withColumn("s2",
+        (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+      .withColumn("v", col("s2") / col("n"))
+    val one = arms.agg(
+      max(when(col("seg") === "BUILDING", col("n"))).as("n1"),
+      max(when(col("seg") === "BUILDING", col("m"))).as("m1"),
+      max(when(col("seg") === "BUILDING", col("v"))).as("v1"),
+      max(when(col("seg") === "MACHINERY", col("n"))).as("n2"),
+      max(when(col("seg") === "MACHINERY", col("m"))).as("m2"),
+      max(when(col("seg") === "MACHINERY", col("v"))).as("v2"))
+    one.select(col("n1"), col("n2"),
+      round(col("m1") - col("m2"), 2).as("mean_diff"),
+      graft.functions.ScoreFns.scoreRound(
+        (col("m1") - col("m2")) / sqrt(col("v1") + col("v2")), 4).as("t"),
+      graft.functions.ScoreFns.scoreRound(
+        ((col("v1") + col("v2")) * (col("v1") + col("v2"))) /
+          (col("v1") * col("v1") / (col("n1") - 1) +
+           col("v2") * col("v2") / (col("n2") - 1)), 2).as("df"))
+  }
+  val welchSql: String =
+    """WITH two AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |arms AS (
+      |  SELECT seg, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+      |  FROM two GROUP BY 1),
+      |st AS (
+      |  SELECT seg, n, sx / n AS m,
+      |    ((sxx - sx * sx / n) / (n - 1)) / n AS v
+      |  FROM arms),
+      |one AS (
+      |  SELECT
+      |    max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+      |    max(CASE WHEN seg = 'BUILDING' THEN m END) AS m1,
+      |    max(CASE WHEN seg = 'BUILDING' THEN v END) AS v1,
+      |    max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+      |    max(CASE WHEN seg = 'MACHINERY' THEN m END) AS m2,
+      |    max(CASE WHEN seg = 'MACHINERY' THEN v END) AS v2
+      |  FROM st)
+      |SELECT n1, n2, round(m1 - m2, 2) AS mean_diff,
+      |  round((m1 - m2) / sqrt(v1 + v2), 4) + 0.0 AS t,
+      |  round(((v1 + v2) * (v1 + v2))
+      |    / (v1 * v1 / (n1 - 1) + v2 * v2 / (n2 - 1)), 2) + 0.0 AS df
+      |FROM one""".stripMargin
+
+  /** Benford first-digit audit of order totals — the forensic
+    * data-quality screen (fabricated or truncated monetary data breaks
+    * the log-uniform leading-digit law). The digit is extracted by
+    * integer TRUNCATION + string head, never via log10 (a 1-ulp log
+    * difference at an exact power of ten would flip the digit across
+    * engines); expected shares are exact log10(1+1/d) literals. One
+    * 9-cell aggregation, total folded in as a broadcast 1-row
+    * aggregate; χ² over the 9 cells closes the audit. */
+  def xBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val digits = Tables.orders(spark, sfDir)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").cast("double").as("tot"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("expected_pct",
+        graft.functions.ScoreFns.scoreRound(
+          log(10.0, lit(1.0) + lit(1.0) / col("digit")), 4))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("tot"), 4).as("observed_pct"),
+        col("expected_pct"),
+        graft.functions.ScoreFns.scoreRound(
+          (col("n") - col("tot") * log(10.0,
+            lit(1.0) + lit(1.0) / col("digit"))) *
+          (col("n") - col("tot") * log(10.0,
+            lit(1.0) + lit(1.0) / col("digit"))) /
+          (col("tot") * log(10.0, lit(1.0) + lit(1.0) / col("digit"))),
+          4).as("chi2_term"))
+      .orderBy("digit")
+  }
+  val benfordSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  round(n / tot, 4) AS observed_pct,
+      |  round(log10(1.0 + 1.0 / digit), 4) + 0.0 AS expected_pct,
+      |  round((n - tot * log10(1.0 + 1.0 / digit))
+      |    * (n - tot * log10(1.0 + 1.0 / digit))
+      |    / (tot * log10(1.0 + 1.0 / digit)), 4) + 0.0 AS chi2_term
+      |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+
+  /** Conversion latency histogram: hours from each user's FIRST click
+    * to their FIRST purchase, for users who convert (purchase after
+    * click). One keyed aggregation computes both firsts as conditional
+    * mins (exact integer µs), the latency buckets integrally — no
+    * windows, no per-event state, and the histogram width is bounded
+    * by the corpus time span, not the user count. */
+  def xTimeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    val firsts = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "click", col("us"))).as("c"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p"))
+    firsts
+      .where(col("c").isNotNull && col("p").isNotNull && col("p") > col("c"))
+      .select(expr("(p - c) div 3600000000").as("hours_to_convert"))
+      .groupBy("hours_to_convert")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("hours_to_convert")
+  }
+  val timeToConvertSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'click'
+      |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c,
+      |    min(CASE WHEN event_type = 'purchase'
+      |      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+      |  FROM events GROUP BY 1)
+      |SELECT (p - c) // 3600000000 AS hours_to_convert,
+      |  count(*) AS n_users
+      |FROM f WHERE c IS NOT NULL AND p IS NOT NULL AND p > c
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Cross-correlation between the daily click and purchase series at
+    * lags −3..+3 — does engagement LEAD spending? Same calendar-
+    * bounded shape as [[tsAcf]]: both series reduce to one row per
+    * day, the lag alignment is a tiny self-join on day+k, and each
+    * series' mean/deviation energy rides in as a broadcast 1-row
+    * aggregate. r_k = Σ(a_t−ā)(b_{t+k}−b̄)/√(Σ(a−ā)²·Σ(b−b̄)²). */
+  def tsCrossCorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    def daily(t: String) = Tables.events(spark, sfDir)
+      .where(col("event_type") === t)
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val a = daily("click")
+    val b = daily("purchase")
+    val stats = a.agg((sum("x") / count(lit(1))).as("ma"),
+        (sum(col("x") * col("x")) -
+          sum("x") * sum("x") / count(lit(1))).as("da"))
+      .crossJoin(b.agg((sum("x") / count(lit(1))).as("mb"),
+        (sum(col("x") * col("x")) -
+          sum("x") * sum("x") / count(lit(1))).as("db")))
+    val lags = spark.range(-3, 4).select(col("id").as("k"))
+    a.crossJoin(broadcast(lags))
+      .select(col("k"), date_add(col("d"), col("k").cast("int")).as("d2"),
+        col("x").as("xa"))
+      .join(b.select(col("d").as("d2"), col("x").as("xb")), "d2")
+      .crossJoin(broadcast(stats))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.ScoreFns.scoreRound(
+          sum((col("xa") - col("ma")) * (col("xb") - col("mb"))) /
+            sqrt(first(col("da")) * first(col("db"))), 4).as("ccf"))
+      .orderBy("k")
+  }
+  val crossCorrSql: String =
+    """WITH a AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    CAST(count(*) AS DOUBLE) AS x
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    CAST(count(*) AS DOUBLE) AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |st AS (
+      |  SELECT sa.ma, sa.da, sb.mb, sb.db FROM
+      |    (SELECT sum(x) / count(*) AS ma,
+      |       sum(x * x) - sum(x) * sum(x) / count(*) AS da FROM a) sa
+      |  CROSS JOIN
+      |    (SELECT sum(x) / count(*) AS mb,
+      |       sum(x * x) - sum(x) * sum(x) / count(*) AS db FROM b) sb),
+      |lg AS (SELECT CAST(unnest(generate_series(-3, 3)) AS BIGINT) AS k),
+      |sh AS (
+      |  SELECT lg.k, a.d + CAST(lg.k AS INTEGER) AS d2, a.x AS xa
+      |  FROM a CROSS JOIN lg)
+      |SELECT sh.k, count(*) AS n_pairs,
+      |  round(sum((sh.xa - st.ma) * (b.x - st.mb))
+      |    / sqrt(max(st.da) * max(st.db)), 4) + 0.0 AS ccf
+      |FROM sh JOIN b ON sh.d2 = b.d CROSS JOIN st
+      |GROUP BY sh.k ORDER BY sh.k""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
@@ -965,7 +1167,11 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_next_event_markov" -> (xNextEventMarkov _),
     "scd2_build" -> (scd2Build _),
     "scd2_point_in_time" -> (scd2PointInTime _),
-    "ts_acf" -> (tsAcf _))
+    "ts_acf" -> (tsAcf _),
+    "x_welch_ttest" -> (xWelchTtest _),
+    "x_benford" -> (xBenford _),
+    "x_time_to_convert" -> (xTimeToConvert _),
+    "ts_cross_correlation" -> (tsCrossCorrelation _))
 
   def oracles: Map[String, String] = Map(
     "x_attribution_last_touch" -> attributionSql,
@@ -986,5 +1192,9 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_next_event_markov" -> nextEventMarkovSql,
     "scd2_build" -> scd2Sql,
     "scd2_point_in_time" -> scd2PitSql,
-    "ts_acf" -> acfSql)
+    "ts_acf" -> acfSql,
+    "x_welch_ttest" -> welchSql,
+    "x_benford" -> benfordSql,
+    "x_time_to_convert" -> timeToConvertSql,
+    "ts_cross_correlation" -> crossCorrSql)
 }

@@ -1446,7 +1446,54 @@ object TextQueries extends graft.QueryModule {
       |    - 84.6 * syllables / greatest(words, 1), 4) + 0.0 AS flesch
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Code-vs-prose detection by symbol statistics — the router every
+    * mixed web corpus needs before language-specific filters. Three
+    * codegen'd per-row counters (code-symbol characters via translate
+    * deletion, semicolon-suffixed lines, digit mass) vote through
+    * fixed thresholds; all ratios divide exact integers so the 6dp
+    * rounding is deterministic. Pure map, no shuffle except the final
+    * 2-row summary aggregation per verdict. */
+  def textCodeDetect(spark: SparkSession, sfDir: String): DataFrame = {
+    val sym = "{}();=<>[]#"
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        (length(col("text")) -
+          length(translate(col("text"), sym, ""))).cast("long").as("n_sym"),
+        regexp_count(col("text"), lit(";")).cast("long").as("n_semi"),
+        (length(col("text")) -
+          length(translate(col("text"), "0123456789", "")))
+          .cast("long").as("n_digit"))
+      .withColumn("sym_ratio",
+        round(col("n_sym") / greatest(col("len"), lit(1L)).cast("double"), 6))
+      .withColumn("is_code",
+        (col("sym_ratio") >= 0.02 && col("n_semi") >= 2).cast("long"))
+    t.select(col("doc_id"), col("len"), col("n_sym"), col("n_semi"),
+        col("n_digit"), col("sym_ratio"), col("is_code"))
+      .orderBy("doc_id")
+  }
+  val codeDetectSql: String =
+    """WITH m AS (
+      |  SELECT doc_id, length(text) AS len,
+      |    length(text) - length(translate(text, '{}();=<>[]#', ''))
+      |      AS n_sym,
+      |    length(text) - length(replace(text, ';', '')) AS n_semi,
+      |    length(text) - length(translate(text, '0123456789', ''))
+      |      AS n_digit
+      |  FROM documents),
+      |r AS (
+      |  SELECT *, round(n_sym / CAST(greatest(len, 1) AS DOUBLE), 6)
+      |    AS sym_ratio
+      |  FROM m)
+      |SELECT doc_id, CAST(len AS BIGINT) AS len,
+      |  CAST(n_sym AS BIGINT) AS n_sym, CAST(n_semi AS BIGINT) AS n_semi,
+      |  CAST(n_digit AS BIGINT) AS n_digit, sym_ratio,
+      |  CAST(CASE WHEN sym_ratio >= 0.02 AND n_semi >= 2
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_code
+      |FROM r ORDER BY doc_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_code_detect" -> (textCodeDetect _),
     "text_hapax_ratio" -> (textHapaxRatio _),
     "text_readability" -> (textReadability _),
     "text_quality_classifier" -> (textQualityClassifier _),
@@ -1505,6 +1552,7 @@ object TextQueries extends graft.QueryModule {
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_apply" -> bpeApplySql,
     "text_textrank" -> textrankSql,
+    "text_code_detect" -> codeDetectSql,
     "text_hapax_ratio" -> hapaxRatioSql,
     "text_readability" -> readabilitySql,
     "text_mattr" -> mattrSql,
