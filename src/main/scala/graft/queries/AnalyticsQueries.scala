@@ -1148,6 +1148,139 @@ object AnalyticsQueries extends graft.QueryModule {
       |FROM sh JOIN b ON sh.d2 = b.d CROSS JOIN st
       |GROUP BY sh.k ORDER BY sh.k""".stripMargin
 
+  /** Cohort lifetime-value triangle: customers grouped by first-order
+    * month, revenue tracked by month offset since that first order,
+    * with the cumulative LTV running sum. ONE exchange on the customer
+    * key serves both the first-order aggregate and the join back; the
+    * cumulative window is partitioned by cohort and ordered over the
+    * ≤ calendar-bounded offset axis. Month labels are exact integer
+    * yyyymm arithmetic (no months_between floats). */
+  def xCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+        col("o_totalprice"))
+    val first = o.groupBy("o_custkey").agg(min("od").as("fd"))
+    val ym = (d: org.apache.spark.sql.Column) =>
+      year(d) * 12 + (month(d) - 1)
+    val tri = o.join(first, "o_custkey")
+      .select((year(col("fd")) * 100 + month(col("fd"))).as("cohort"),
+        (ym(col("od")) - ym(col("fd"))).cast("long").as("offset_m"),
+        col("o_custkey"), col("o_totalprice"))
+      .groupBy("cohort", "offset_m")
+      .agg(countDistinct("o_custkey").as("n_active"),
+        sum("o_totalprice").as("rev"))
+    val w = Window.partitionBy("cohort").orderBy("offset_m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri.withColumn("cum_rev", sum("rev").over(w))
+      .select(col("cohort"), col("offset_m"), col("n_active"),
+        round(col("rev"), 2).as("rev"), round(col("cum_rev"), 2).as("cum_rev"))
+      .orderBy("cohort", "offset_m")
+  }
+  val cohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+      |  FROM orders),
+      |f AS (SELECT o_custkey, min(od) AS fd FROM o GROUP BY 1),
+      |tri AS (
+      |  SELECT year(f.fd) * 100 + month(f.fd) AS cohort,
+      |    CAST((year(o.od) * 12 + (month(o.od) - 1))
+      |      - (year(f.fd) * 12 + (month(f.fd) - 1)) AS BIGINT) AS offset_m,
+      |    count(DISTINCT o.o_custkey) AS n_active,
+      |    sum(o.o_totalprice) AS rev
+      |  FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT cohort, offset_m, n_active, round(rev, 2) AS rev,
+      |  round(sum(rev) OVER (PARTITION BY cohort ORDER BY offset_m
+      |    ROWS UNBOUNDED PRECEDING), 2) AS cum_rev
+      |FROM tri ORDER BY cohort, offset_m""".stripMargin
+
+  /** Order-width (basket size) distribution — the fact-table profile
+    * that sizes every downstream basket expansion (x_market_basket's
+    * quadratic-per-order bound reads straight off this histogram).
+    * Two keyed aggregations, total as a broadcast 1-row aggregate. */
+  def xBasketSizeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("basket_size"))
+      .groupBy("basket_size").agg(count(lit(1)).as("n_orders"))
+    sizes.crossJoin(broadcast(
+        sizes.agg(sum("n_orders").cast("double").as("tot"))))
+      .select(col("basket_size"), col("n_orders"),
+        round(col("n_orders") / col("tot"), 6).as("pct"))
+      .orderBy("basket_size")
+  }
+  val basketSizeSql: String =
+    """WITH s AS (
+      |  SELECT l_orderkey, count(*) AS basket_size
+      |  FROM lineitem GROUP BY 1),
+      |h AS (SELECT basket_size, count(*) AS n_orders FROM s GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_orders) AS DOUBLE) AS tot FROM h)
+      |SELECT basket_size, n_orders, round(n_orders / tot, 6) AS pct
+      |FROM h CROSS JOIN t ORDER BY basket_size""".stripMargin
+
+  /** Multiplicative weekly seasonal index of order arrivals: average
+    * daily volume per weekday over the grand daily average — the
+    * decomposition step before any deseasonalized forecast. Day keys
+    * are normalized to 0=Sunday (Spark's dayofweek is 1-based, DuckDB's
+    * 0-based — the cross-engine constant is adjusted per engine, never
+    * copied). Calendar-bounded series, broadcast grand mean. */
+  def tsSeasonalIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val grand = daily.agg((sum("n") / count(lit(1))).as("g"))
+    daily
+      .select((dayofweek(col("d")) - 1).as("dow"), col("n"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), (sum("n") / count(lit(1))).as("a"))
+      .crossJoin(broadcast(grand))
+      .select(col("dow"), col("n_days"), round(col("a"), 4).as("avg_orders"),
+        graft.functions.ScoreFns.scoreRound(col("a") / col("g"), 4)
+          .as("seasonal_index"))
+      .orderBy("dow")
+  }
+  val seasonalIndexSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS DOUBLE) AS n
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT sum(n) / count(*) AS g FROM daily)
+      |SELECT dayofweek(d) AS dow, count(*) AS n_days,
+      |  round(sum(n) / count(*), 4) AS avg_orders,
+      |  round((sum(n) / count(*)) / max(g.g), 4) + 0.0 AS seasonal_index
+      |FROM daily CROSS JOIN g
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** New-vs-returning monthly split: an order is "new" when it lands
+    * on its customer's first order DATE. The first-date aggregate and
+    * the join back share one customer-key exchange; the monthly
+    * reduction is integer yyyymm. The share divides exact integers. */
+  def xNewVsReturning(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"))
+    val first = o.groupBy("o_custkey").agg(min("od").as("fd"))
+    o.join(first, "o_custkey")
+      .select((year(col("od")) * 100 + month(col("od"))).as("ym"),
+        when(col("od") === col("fd"), 1L).otherwise(0L).as("is_new"))
+      .groupBy("ym")
+      .agg(sum("is_new").as("n_new"),
+        sum(lit(1L) - col("is_new")).as("n_returning"),
+        round(sum("is_new") / count(lit(1)).cast("double"), 6)
+          .as("new_share"))
+      .orderBy("ym")
+  }
+  val newVsReturningSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+      |f AS (SELECT o_custkey, min(od) AS fd FROM o GROUP BY 1)
+      |SELECT year(o.od) * 100 + month(o.od) AS ym,
+      |  CAST(sum(CASE WHEN o.od = f.fd THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(sum(CASE WHEN o.od = f.fd THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_returning,
+      |  round(sum(CASE WHEN o.od = f.fd THEN 1 ELSE 0 END)
+      |    / CAST(count(*) AS DOUBLE), 6) AS new_share
+      |FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
@@ -1171,7 +1304,11 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_welch_ttest" -> (xWelchTtest _),
     "x_benford" -> (xBenford _),
     "x_time_to_convert" -> (xTimeToConvert _),
-    "ts_cross_correlation" -> (tsCrossCorrelation _))
+    "ts_cross_correlation" -> (tsCrossCorrelation _),
+    "x_cohort_ltv" -> (xCohortLtv _),
+    "x_basket_size_dist" -> (xBasketSizeDist _),
+    "ts_seasonal_index" -> (tsSeasonalIndex _),
+    "x_new_vs_returning" -> (xNewVsReturning _))
 
   def oracles: Map[String, String] = Map(
     "x_attribution_last_touch" -> attributionSql,
@@ -1196,5 +1333,9 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_welch_ttest" -> welchSql,
     "x_benford" -> benfordSql,
     "x_time_to_convert" -> timeToConvertSql,
-    "ts_cross_correlation" -> crossCorrSql)
+    "ts_cross_correlation" -> crossCorrSql,
+    "x_cohort_ltv" -> cohortLtvSql,
+    "x_basket_size_dist" -> basketSizeSql,
+    "ts_seasonal_index" -> seasonalIndexSql,
+    "x_new_vs_returning" -> newVsReturningSql)
 }

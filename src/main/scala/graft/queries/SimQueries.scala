@@ -1323,6 +1323,44 @@ object SimQueries extends graft.QueryModule {
       |  WHERE q.vec_id >= 100 AND q.vec_id < 110) t
       |WHERE cos >= 0.25 ORDER BY query_id, neighbor_id""".stripMargin
 
+  /** IVF index-quality audit: the bucket-occupancy histogram of the
+    * trained coarse quantizer, with each bucket's share of the corpus.
+    * THE operational metric for an IVF deployment — probe cost is
+    * |bucket|·nprobe, so a skewed histogram means tail-latency blowup;
+    * auditing it is one keyed count over the assignment frame the
+    * index already materializes. The oracle replays the full k-means
+    * training + assignment, so a drifted centroid changes the
+    * histogram and fails values, not just shapes. */
+  def simCentroidQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.sim.KMeans.train(emb, "vec_id", "embedding",
+      k = 16, iterations = 2)
+    val hist = Similarity.Ivf.assign(emb, cents, "vec_id", "embedding")
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    hist.crossJoin(broadcast(hist.agg(sum("n").cast("double").as("tot"))))
+      .select(col("bucket"), col("n"),
+        round(col("n") / col("tot"), 6).as("share"))
+      .orderBy("bucket")
+  }
+  val centroidQualitySql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM e))) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |${kmIterSql("c0", 1)},
+       |${kmIterSql("c1", 2)},
+       |af AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
+       |    FROM e x CROSS JOIN c2 c) t WHERE r = 1),
+       |h AS (SELECT bucket, count(*) AS n FROM af GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM h)
+       |SELECT bucket, n, round(n / tot, 6) AS share
+       |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_adc" -> (simPqAdc _),
     "sim_maxsim_multivector" -> (simMaxsimMultivector _),
@@ -1330,6 +1368,7 @@ object SimQueries extends graft.QueryModule {
     "sim_sparse_cosine" -> (simSparseCosine _),
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_pq" -> (simIvfPq _),
+    "sim_centroid_quality" -> (simCentroidQuality _),
     "sim_radius_search" -> (simRadiusSearch _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
@@ -1354,6 +1393,7 @@ object SimQueries extends graft.QueryModule {
     "sim_sparse_cosine" -> sparseCosineSql,
     "sim_bruteforce_topk" -> bruteSql,
     "sim_ivf_pq" -> ivfPqSql,
+    "sim_centroid_quality" -> centroidQualitySql,
     "sim_radius_search" -> radiusSql,
     "sim_ivf_topk" -> ivfSql,
     "sim_kmeans_ivf" -> kmeansIvfSql,
