@@ -1281,6 +1281,131 @@ object AnalyticsQueries extends graft.QueryModule {
       |FROM o JOIN f ON o.o_custkey = f.o_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Binned two-sample Kolmogorov–Smirnov distance between order-value
+    * distributions of two segments — the drift detector run between
+    * data releases. Same scale trick as [[xAucRoc]]: fixed-width bins
+    * bound the statistic's working set by the VALUE RANGE, per-bin
+    * counts reduce map-side, and both ECDFs become prefix sums over
+    * the ≤600-row bin table (the max|·| over bin boundaries IS the KS
+    * of the binned distributions). Every ECDF value divides exact
+    * integers. */
+  def xKsBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val two = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+        "o_custkey")
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(floor(col("o_totalprice") / 1000.0).cast("long").as("bin"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("a"),
+        when(col("c_mktsegment") === "MACHINERY", 1L).otherwise(0L).as("b"))
+      .groupBy("bin").agg(sum("a").as("na"), sum("b").as("nb"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = two.agg(sum("na").cast("double").as("ta"),
+      sum("nb").cast("double").as("tb"))
+    two
+      .withColumn("ca", sum("na").over(w))
+      .withColumn("cb", sum("nb").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max("ta").cast("long").as("n_a"),
+        max("tb").cast("long").as("n_b"),
+        count(lit(1)).as("n_bins"),
+        round(max(abs(col("ca") / col("ta") - col("cb") / col("tb"))), 6)
+          .as("ks"))
+  }
+  val ksBinnedSql: String =
+    """WITH two AS (
+      |  SELECT CAST(floor(o.o_totalprice / 1000.0) AS BIGINT) AS bin,
+      |    sum(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+      |      AS na,
+      |    sum(CASE WHEN c.c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+      |      AS nb
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT *,
+      |    sum(na) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS ca,
+      |    sum(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb,
+      |    sum(na) OVER () AS ta, sum(nb) OVER () AS tb
+      |  FROM two)
+      |SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+      |  count(*) AS n_bins,
+      |  round(max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)), 6)
+      |    AS ks
+      |FROM c""".stripMargin
+
+  /** Gaps-and-islands census over an id subset (fulfilled orders) with
+    * ZERO windows: an id starts an island iff id−1 is absent (one
+    * hash anti-join), so island count, gap count, and density all come
+    * from keyed joins + one aggregate — the formulation that survives
+    * an id space of any size, where the classic id−row_number() trick
+    * would funnel everything through a single unpartitioned sort. */
+  def xGapIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.orders(spark, sfDir)
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("id"))
+    val starts = ids.join(ids.select((col("id") + 1).as("id")),
+      Seq("id"), "left_anti")
+    val stats = ids.agg(count(lit(1)).as("n_ids"), min("id").as("lo"),
+      max("id").as("hi"))
+    starts.agg(count(lit(1)).as("n_islands"))
+      .crossJoin(broadcast(stats))
+      .select(col("n_ids"), col("lo"), col("hi"),
+        (col("hi") - col("lo") + 1 - col("n_ids")).as("total_missing"),
+        col("n_islands"), (col("n_islands") - 1).as("n_gaps"),
+        round(col("n_ids") / col("n_islands").cast("double"), 6)
+          .as("avg_island_len"))
+  }
+  val gapIslandsSql: String =
+    """WITH ids AS (
+      |  SELECT o_orderkey AS id FROM orders WHERE o_orderstatus = 'F'),
+      |st AS (
+      |  SELECT count(*) AS n_islands FROM ids
+      |  WHERE id - 1 NOT IN (SELECT id FROM ids)),
+      |s AS (SELECT count(*) AS n_ids, min(id) AS lo, max(id) AS hi
+      |      FROM ids)
+      |SELECT s.n_ids, s.lo, s.hi,
+      |  s.hi - s.lo + 1 - s.n_ids AS total_missing,
+      |  st.n_islands, st.n_islands - 1 AS n_gaps,
+      |  round(s.n_ids / CAST(st.n_islands AS DOUBLE), 6)
+      |    AS avg_island_len
+      |FROM st CROSS JOIN s""".stripMargin
+
+  /** DAU/MAU stickiness per month — the engagement ratio every product
+    * dashboard tracks. Two keyed distinct-count aggregations (per day,
+    * per month) joined on the month label; both are partial-aggregable
+    * HashAggregate paths with no window. */
+  def xStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .withColumn("ym", year(col("d")) * 100 + month(col("d")))
+    val dau = ev.groupBy("ym", "d")
+      .agg(countDistinct("user_id").cast("double").as("dau"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n_days"), (sum("dau") / count(lit(1))).as("ad"))
+    val mau = ev.groupBy("ym").agg(countDistinct("user_id").as("mau"))
+    dau.join(mau, "ym")
+      .select(col("ym"), col("n_days"), col("mau"),
+        round(col("ad"), 4).as("avg_dau"),
+        round(col("ad") / col("mau"), 6).as("stickiness"))
+      .orderBy("ym")
+  }
+  val stickinessSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    year(CAST(ts AS TIMESTAMP)) * 100
+      |      + month(CAST(ts AS TIMESTAMP)) AS ym
+      |  FROM events),
+      |dau AS (
+      |  SELECT ym, count(*) AS n_days, sum(dd) / count(*) AS ad FROM (
+      |    SELECT ym, d, CAST(count(DISTINCT user_id) AS DOUBLE) AS dd
+      |    FROM ev GROUP BY 1, 2) GROUP BY 1),
+      |mau AS (SELECT ym, count(DISTINCT user_id) AS mau FROM ev GROUP BY 1)
+      |SELECT dau.ym, dau.n_days, mau.mau, round(dau.ad, 4) AS avg_dau,
+      |  round(dau.ad / mau.mau, 6) AS stickiness
+      |FROM dau JOIN mau USING (ym) ORDER BY ym""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
@@ -1308,7 +1433,10 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_cohort_ltv" -> (xCohortLtv _),
     "x_basket_size_dist" -> (xBasketSizeDist _),
     "ts_seasonal_index" -> (tsSeasonalIndex _),
-    "x_new_vs_returning" -> (xNewVsReturning _))
+    "x_new_vs_returning" -> (xNewVsReturning _),
+    "x_ks_binned" -> (xKsBinned _),
+    "x_gap_islands" -> (xGapIslands _),
+    "x_stickiness" -> (xStickiness _))
 
   def oracles: Map[String, String] = Map(
     "x_attribution_last_touch" -> attributionSql,
@@ -1337,5 +1465,8 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_cohort_ltv" -> cohortLtvSql,
     "x_basket_size_dist" -> basketSizeSql,
     "ts_seasonal_index" -> seasonalIndexSql,
-    "x_new_vs_returning" -> newVsReturningSql)
+    "x_new_vs_returning" -> newVsReturningSql,
+    "x_ks_binned" -> ksBinnedSql,
+    "x_gap_islands" -> gapIslandsSql,
+    "x_stickiness" -> stickinessSql)
 }

@@ -1361,6 +1361,87 @@ object SimQueries extends graft.QueryModule {
        |SELECT bucket, n, round(n / tot, 6) AS share
        |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin
 
+  /** Two-stage retrieval: PQ-ADC recall stage (top-50 from codes +
+    * broadcast LUT, corpus vectors untouched) followed by an EXACT
+    * cosine rerank of only those 50 — the standard serving
+    * architecture that buys exact top-10 quality at compressed-scan
+    * cost. Stage-2 reads raw vectors for |Q|·50 rows only (an id
+    * equi-join, broadcast query side). The oracle replays the four
+    * codebook trainings, the ADC top-50 cut (same rounded-score +
+    * id tie-break), and the exact rerank. */
+  def simTwoStageRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+    val cb = graft.sim.Pq.train(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 16, iterations = 2)
+    val codes = graft.sim.Pq.encode(emb, cb, "vec_id", "embedding",
+      m = 4, subDim = 16)
+    val stage1 = graft.sim.Pq.searchAdc(codes, cb, queries,
+        "vec_id", "embedding", m = 4, subDim = 16, k = 50)
+      .select("query_id", "neighbor_id")
+    val scored = stage1
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"),
+        Similarity.norm(col("embedding")).as("cn")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"),
+        Similarity.norm(col("embedding")).as("qn"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.ScoreFns.scoreRound(
+          Similarity.dot(col("cv"), col("qv")) / (col("cn") * col("qn")),
+          4).as("cos"))
+    Similarity.rankTopK(scored, 10)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+  val twoStageSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dimsq AS (SELECT unnest(generate_series(1, 16)) AS i),
+       |${(0 to 3).map(pqSubSql).mkString(",\n")},
+       |codes AS (
+       |${(0 to 3).map(s => s"  SELECT vec_id, $s AS sub, code FROM af_$s")
+            .mkString("\n  UNION ALL\n")}),
+       |cb AS (
+       |${(0 to 3).map(s =>
+            s"  SELECT $s AS sub, cid AS code, cv," +
+              s" list_sum(list_transform(cv, y -> y * y)) AS cn2 FROM c2_$s")
+            .mkString("\n  UNION ALL\n")}),
+       |q AS (
+       |  SELECT vec_id AS query_id, v,
+       |    sqrt(list_sum(list_transform(v, y -> y * y))) AS qn
+       |  FROM e WHERE vec_id >= 100 AND vec_id < 110),
+       |lut AS (
+       |  SELECT q.query_id, cb.sub, cb.code, q.qn, cb.cn2,
+       |    list_sum(list_transform(generate_series(1, 16),
+       |      i -> q.v[cb.sub * 16 + i] * cb.cv[i])) AS d
+       |  FROM q CROSS JOIN cb),
+       |sc AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    round(sum(l.d) / (min(l.qn) * sqrt(sum(l.cn2))), 4) + 0.0 AS cos
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS r
+       |    FROM sc) t WHERE r <= 50),
+       |ex AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(${kmCos("qq.v", "x.v")}, 4) + 0.0 AS cos
+       |  FROM cand
+       |  JOIN e x ON x.vec_id = cand.neighbor_id
+       |  JOIN e qq ON qq.vec_id = cand.query_id)
+       |SELECT query_id, rank, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM ex) t
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_adc" -> (simPqAdc _),
     "sim_maxsim_multivector" -> (simMaxsimMultivector _),
@@ -1369,6 +1450,7 @@ object SimQueries extends graft.QueryModule {
     "sim_bruteforce_topk" -> (simBruteForceTopk _),
     "sim_ivf_pq" -> (simIvfPq _),
     "sim_centroid_quality" -> (simCentroidQuality _),
+    "sim_two_stage_rerank" -> (simTwoStageRerank _),
     "sim_radius_search" -> (simRadiusSearch _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
@@ -1394,6 +1476,7 @@ object SimQueries extends graft.QueryModule {
     "sim_bruteforce_topk" -> bruteSql,
     "sim_ivf_pq" -> ivfPqSql,
     "sim_centroid_quality" -> centroidQualitySql,
+    "sim_two_stage_rerank" -> twoStageSql,
     "sim_radius_search" -> radiusSql,
     "sim_ivf_topk" -> ivfSql,
     "sim_kmeans_ivf" -> kmeansIvfSql,
