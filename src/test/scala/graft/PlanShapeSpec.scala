@@ -320,4 +320,69 @@ class PlanShapeSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("moment statistics are pure keyed aggregations: no window at all") {
+    // HHI, category entropy, Welch t, assortativity, seasonal index,
+    // stickiness: each commutes with partial aggregation by design —
+    // a window sneaking in would mean someone rewrote the identity
+    // back into the per-row-share form that needs a second pass.
+    for (name <- Seq("x_hhi_concentration", "x_category_entropy",
+        "x_welch_ttest", "graph_assortativity", "ts_seasonal_index",
+        "x_stickiness")) {
+      val p = planOf(name)
+      assert(!p.contains("windowspecdefinition"),
+        s"$name grew a window operator:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in $name:\n$p")
+    }
+  }
+
+  test("binned rank statistics window over the bin table, not the fact table") {
+    // AUC / KS prefix sums run AFTER the fixed-width-bin aggregation:
+    // the window's input must already be the binned HashAggregate, so
+    // the single-task window only ever sees range-bounded rows.
+    for (name <- Seq("x_auc_roc", "x_ks_binned")) {
+      val p = planOf(name)
+      assert(p.contains("windowspecdefinition"), s"$name lost its prefix sum:\n$p")
+      val winIdx = p.indexOf("Window")
+      val aggBelow = p.indexOf("HashAggregate", winIdx)
+      assert(aggBelow > 0,
+        s"$name windows raw rows (no binned aggregate below the window):\n$p")
+    }
+  }
+
+  test("x_gap_islands is an anti-join census: no window, no cartesian") {
+    val p = planOf("x_gap_islands")
+    assert(!p.contains("windowspecdefinition"), s"window crept in:\n$p")
+    assert(p.contains("LeftAnti"), s"island starts lost the anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sim_radius_search scans the corpus once against a broadcast query side") {
+    val p = planOf("sim_radius_search")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the deliberate broadcast-query scan plans as ONE nested-loop
+    // against the small side; a second one would mean the corpus got
+    // replicated instead
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj == 1, s"$nlj nested-loop joins (want exactly the broadcast query scan):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus got shuffled for a sort-merge join:\n$p")
+  }
+
+  test("sim_ivf_pq candidates come from probed buckets + code equi-joins") {
+    val p = planOf("sim_ivf_pq")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    // the LUT and candidate joins must be hash equi-joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"code/candidate equi-joins missing:\n$p")
+  }
+
+  test("x_cohort_ltv cumulative window is cohort-partitioned") {
+    val p = planOf("x_cohort_ltv")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"lost the cumulative window:\n$p")
+    windows.foreach { w =>
+      assert(w.contains("cohort"),
+        s"cohort LTV has an unpartitioned window:\n$w")
+    }
+  }
 }
