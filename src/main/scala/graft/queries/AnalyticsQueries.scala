@@ -1406,6 +1406,130 @@ object AnalyticsQueries extends graft.QueryModule {
       |  round(dau.ad / mau.mau, 6) AS stickiness
       |FROM dau JOIN mau USING (ym) ORDER BY ym""".stripMargin
 
+  /** Binned Pareto (whale-curve) table: customers grouped into
+    * fixed-width lifetime-spend bins, walked from the highest bin
+    * down with cumulative customer and revenue shares — "the top
+    * spend band holds x% of customers and y% of revenue". Same scale
+    * architecture as the other rank statistics: the only window runs
+    * over the value-range-bounded bin table, everything fact-sized is
+    * a keyed aggregation, totals are a broadcast 1-row aggregate. */
+  def xParetoCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val bins = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(sum("o_totalprice").as("s"))
+      .groupBy(floor(col("s") / 100000.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_cust"), sum("s").as("rev"))
+    val tot = bins.agg(sum("n_cust").cast("double").as("tc"),
+      sum("rev").as("tr"))
+    val w = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum_cust", sum("n_cust").over(w))
+      .withColumn("cum_rev", sum("rev").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_cust"),
+        round(col("cum_cust") / col("tc"), 6).as("cum_cust_share"),
+        round(col("cum_rev") / col("tr"), 6).as("cum_rev_share"))
+      .orderBy(col("bin").desc)
+  }
+  val paretoSql: String =
+    """WITH s AS (
+      |  SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(floor(s / 100000.0) AS BIGINT) AS bin,
+      |    count(*) AS n_cust, sum(s) AS rev
+      |  FROM s GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_cust) AS DOUBLE) AS tc, sum(rev) AS tr FROM b),
+      |c AS (
+      |  SELECT *,
+      |    sum(n_cust) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+      |      AS cum_cust,
+      |    sum(rev) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+      |      AS cum_rev
+      |  FROM b)
+      |SELECT bin, n_cust,
+      |  round(cum_cust / t.tc, 6) AS cum_cust_share,
+      |  round(cum_rev / t.tr, 6) AS cum_rev_share
+      |FROM c CROSS JOIN t ORDER BY bin DESC""".stripMargin
+
+  /** Per-brand discount sensitivity: OLS slope of quantity on discount
+    * (does discounting move volume?) as one grouped moment aggregation
+    * — regr_slope/regr_r2 are partial-aggregable sufficient-statistic
+    * sketches, so every brand's regression fits in one fact-table pass
+    * with no sort and no window (the same 100 TB form as
+    * x_per_group_regression, here over a broadcast-joined dimension
+    * key). */
+  def xDiscountSensitivity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        "l_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ScoreFns.scoreRound(
+          regr_slope(col("l_quantity"), col("l_discount")), 4).as("slope"),
+        graft.functions.ScoreFns.scoreRound(
+          regr_r2(col("l_quantity"), col("l_discount")), 6).as("r2"))
+      .orderBy("p_brand")
+  val discountSensitivitySql: String =
+    """SELECT p.p_brand, count(*) AS n,
+      |  round(regr_slope(l.l_quantity, l.l_discount), 4) + 0.0 AS slope,
+      |  round(regr_r2(l.l_quantity, l.l_discount), 6) + 0.0 AS r2
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Wald–Wolfowitz runs test for randomness of the daily order volume
+    * around its mean — too few sign runs = trending, too many =
+    * oscillating. The sign series is calendar-bounded (one row per
+    * day), so the lag window that counts sign changes runs over a
+    * range-bounded set; the mean rides in as a broadcast 1-row
+    * aggregate; z uses the exact integer n₊/n₋ moments. */
+  def xRunsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val mu = daily.agg((sum("x") / count(lit(1))).as("mu"))
+    val signs = daily.crossJoin(broadcast(mu))
+      .select(col("d"), when(col("x") >= col("mu"), 1L).otherwise(0L)
+        .as("sgn"))
+    val w = Window.orderBy("d")
+    val runs = signs
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(w).isNull ||
+          lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L).otherwise(0L))
+      .agg(sum("sgn").as("n_pos"),
+        (count(lit(1)) - sum("sgn")).as("n_neg"),
+        sum("chg").as("runs"))
+    runs.select(col("n_pos"), col("n_neg"), col("runs"),
+      graft.functions.ScoreFns.scoreRound(
+        (col("runs") - (lit(2.0) * col("n_pos") * col("n_neg") /
+          (col("n_pos") + col("n_neg")) + 1)) /
+        sqrt(lit(2.0) * col("n_pos") * col("n_neg") *
+          (lit(2.0) * col("n_pos") * col("n_neg") - col("n_pos") - col("n_neg")) /
+          ((col("n_pos") + col("n_neg")) * (col("n_pos") + col("n_neg")) *
+           (col("n_pos") + col("n_neg") - 1))), 4).as("z"))
+  }
+  val runsTestSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x
+      |  FROM orders GROUP BY 1),
+      |m AS (SELECT sum(x) / count(*) AS mu FROM daily),
+      |s AS (
+      |  SELECT d, CASE WHEN x >= mu THEN 1 ELSE 0 END AS sgn
+      |  FROM daily CROSS JOIN m),
+      |r AS (
+      |  SELECT CAST(sum(sgn) AS BIGINT) AS n_pos,
+      |    CAST(count(*) - sum(sgn) AS BIGINT) AS n_neg,
+      |    CAST(sum(CASE WHEN lg IS NULL OR lg <> sgn THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS runs
+      |  FROM (SELECT sgn, lag(sgn) OVER (ORDER BY d) AS lg FROM s))
+      |SELECT n_pos, n_neg, runs,
+      |  round((runs - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1))
+      |    / sqrt(2.0 * n_pos * n_neg
+      |        * (2.0 * n_pos * n_neg - n_pos - n_neg)
+      |      / ((n_pos + n_neg) * (n_pos + n_neg) * (n_pos + n_neg - 1))),
+      |    4) + 0.0 AS z
+      |FROM r""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
@@ -1436,7 +1560,10 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_new_vs_returning" -> (xNewVsReturning _),
     "x_ks_binned" -> (xKsBinned _),
     "x_gap_islands" -> (xGapIslands _),
-    "x_stickiness" -> (xStickiness _))
+    "x_stickiness" -> (xStickiness _),
+    "x_pareto_curve" -> (xParetoCurve _),
+    "x_discount_sensitivity" -> (xDiscountSensitivity _),
+    "x_runs_test" -> (xRunsTest _))
 
   def oracles: Map[String, String] = Map(
     "x_attribution_last_touch" -> attributionSql,
@@ -1468,5 +1595,8 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_new_vs_returning" -> newVsReturningSql,
     "x_ks_binned" -> ksBinnedSql,
     "x_gap_islands" -> gapIslandsSql,
-    "x_stickiness" -> stickinessSql)
+    "x_stickiness" -> stickinessSql,
+    "x_pareto_curve" -> paretoSql,
+    "x_discount_sensitivity" -> discountSensitivitySql,
+    "x_runs_test" -> runsTestSql)
 }

@@ -544,6 +544,51 @@ object CurateQueries extends graft.QueryModule {
       |  round(sqrt(p) / z.z / p, 4) + 0.0 AS epochs
       |FROM p, z ORDER BY source""".stripMargin
 
+  /** Class-balanced downsampling: per-language keep rates sized so
+    * every class lands (in expectation) at the SMALLEST class's count,
+    * selected by the portable 60-bit md5 hash of the doc id against a
+    * per-class integer threshold — the deterministic, engine-
+    * reproducible form of stratified rebalancing (a random sample
+    * could never be oracle-checked; a hash sample is a pure predicate,
+    * fully parallel, no shuffle beyond the count aggregates). The
+    * per-class thresholds derive from one tiny counts aggregate
+    * broadcast back onto the scan. */
+  def curateClassBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val minc = counts.agg(min("n_total").as("minc"))
+    val thresholds = counts.crossJoin(broadcast(minc))
+      .withColumn("thresh",
+        floor((col("minc").cast("double") / col("n_total")) *
+          lit(1152921504606846976.0)).cast("long"))
+    docs.join(broadcast(thresholds), "lang")
+      .withColumn("kept",
+        (graft.sketch.Sketches.hash60(col("doc_id").cast("string")) <
+          col("thresh")).cast("long"))
+      .groupBy("lang")
+      .agg(max("n_total").as("n_total"), sum("kept").as("n_kept"),
+        round(sum("kept") / max("n_total").cast("double"), 6)
+          .as("kept_ratio"))
+      .orderBy("lang")
+  }
+  val classBalanceSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_total) AS minc FROM c),
+      |t AS (
+      |  SELECT lang, n_total,
+      |    CAST(floor((CAST(minc AS DOUBLE) / n_total)
+      |      * 1152921504606846976.0) AS BIGINT) AS thresh
+      |  FROM c CROSS JOIN m),
+      |k AS (
+      |  SELECT d.lang, t.n_total,
+      |    CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT < t.thresh THEN 1 ELSE 0 END AS kept
+      |  FROM documents d JOIN t ON d.lang = t.lang)
+      |SELECT lang, max(n_total) AS n_total,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept,
+      |  round(sum(kept) / CAST(max(n_total) AS DOUBLE), 6) AS kept_ratio
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_temperature_mix" -> (curateTemperatureMix _),
     "curate_winsorize" -> (curateWinsorize _),
@@ -558,6 +603,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_dsir" -> (curateDsir _),
     "curate_dsir_resample" -> (curateDsirResample _),
     "curate_quota" -> (curateQuota _),
+    "curate_class_balance" -> (curateClassBalance _),
     "curate_token_budget" -> (curateTokenBudget _),
     "curate_decontam" -> (curateDecontam _),
     "curate_pack" -> (curatePack _))
@@ -576,6 +622,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_dsir" -> dsirSql,
     "curate_dsir_resample" -> dsirResampleSql,
     "curate_quota" -> quotaSql,
+    "curate_class_balance" -> classBalanceSql,
     "curate_token_budget" -> tokenBudgetSql,
     "curate_decontam" -> decontamSql,
     "curate_pack" -> packSql)
