@@ -1530,6 +1530,83 @@ object AnalyticsQueries extends graft.QueryModule {
       |    4) + 0.0 AS z
       |FROM r""".stripMargin
 
+  /** Seasonal-naive forecast backtest: predict each day's order volume
+    * with the value from seven days earlier and score MAE / MAPE /
+    * bias over the whole series — the baseline every forecasting
+    * pipeline must beat, and the cheapest honest accuracy floor. The
+    * alignment is the same calendar-bounded day+7 self-join as
+    * [[tsAcf]]; the error aggregation is one pass over matched days
+    * (exact integer differences until the final divisions). */
+  def tsBacktestNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    daily.select(date_add(col("d"), 7).as("d"), col("x").as("f"))
+      .join(daily, "d")
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(abs(col("x") - col("f"))), 4).as("mae"),
+        round(avg(abs(col("x") - col("f")) / col("x")), 6).as("mape"),
+        graft.functions.ScoreFns.scoreRound(
+          avg(col("x") - col("f")), 4).as("bias"))
+  }
+  val backtestNaiveSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x
+      |  FROM orders GROUP BY 1)
+      |SELECT count(*) AS n_days,
+      |  round(avg(abs(a.x - f.x)), 4) AS mae,
+      |  round(avg(abs(a.x - f.x) / a.x), 6) AS mape,
+      |  round(avg(a.x - f.x), 4) + 0.0 AS bias
+      |FROM daily a JOIN daily f ON a.d = f.d + 7""".stripMargin
+
+  /** Binary changepoint detection on the daily series: the split day
+    * maximizing |mean(left) − mean(right)| (the first step of binary
+    * segmentation / CUSUM). Candidate scores come from prefix sums
+    * over the calendar-bounded daily table (one range-bounded window)
+    * against broadcast grand totals; a 7-day margin keeps both arms
+    * estimable. The argmax ranks the ROUNDED score with a day
+    * tie-break, so both engines cut at the same point. */
+  def tsChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val tot = daily.agg(sum("x").as("tx"),
+      count(lit(1)).cast("double").as("tn"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cx", sum("x").over(w))
+      .withColumn("cn", count(lit(1)).over(w).cast("double"))
+      .crossJoin(broadcast(tot))
+      .where(col("cn") >= 7 && col("tn") - col("cn") >= 7)
+      .select(col("d").as("split_day"), col("cn").cast("long").as("n_left"),
+        round(col("cx") / col("cn"), 4).as("mean_left"),
+        round((col("tx") - col("cx")) / (col("tn") - col("cn")), 4)
+          .as("mean_right"),
+        round(abs(col("cx") / col("cn") -
+          (col("tx") - col("cx")) / (col("tn") - col("cn"))), 6)
+          .as("shift"))
+      .orderBy(col("shift").desc, col("split_day"))
+      .limit(1)
+  }
+  val changepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT sum(x) AS tx, CAST(count(*) AS DOUBLE) AS tn FROM daily),
+      |c AS (
+      |  SELECT d, sum(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cx,
+      |    CAST(count(*) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+      |      AS DOUBLE) AS cn
+      |  FROM daily)
+      |SELECT d AS split_day, CAST(cn AS BIGINT) AS n_left,
+      |  round(cx / cn, 4) AS mean_left,
+      |  round((t.tx - cx) / (t.tn - cn), 4) AS mean_right,
+      |  round(abs(cx / cn - (t.tx - cx) / (t.tn - cn)), 6) AS shift
+      |FROM c CROSS JOIN t
+      |WHERE cn >= 7 AND t.tn - cn >= 7
+      |ORDER BY shift DESC, split_day LIMIT 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
@@ -1563,7 +1640,9 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_stickiness" -> (xStickiness _),
     "x_pareto_curve" -> (xParetoCurve _),
     "x_discount_sensitivity" -> (xDiscountSensitivity _),
-    "x_runs_test" -> (xRunsTest _))
+    "x_runs_test" -> (xRunsTest _),
+    "ts_backtest_naive" -> (tsBacktestNaive _),
+    "ts_changepoint" -> (tsChangepoint _))
 
   def oracles: Map[String, String] = Map(
     "x_attribution_last_touch" -> attributionSql,
@@ -1598,5 +1677,7 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_stickiness" -> stickinessSql,
     "x_pareto_curve" -> paretoSql,
     "x_discount_sensitivity" -> discountSensitivitySql,
-    "x_runs_test" -> runsTestSql)
+    "x_runs_test" -> runsTestSql,
+    "ts_backtest_naive" -> backtestNaiveSql,
+    "ts_changepoint" -> changepointSql)
 }

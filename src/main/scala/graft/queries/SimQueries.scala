@@ -1442,6 +1442,62 @@ object SimQueries extends graft.QueryModule {
        |  FROM ex) t
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** k-NN label classification (k=5, majority vote, smallest-label
+    * tie-break) with leave-one-out evaluation on the query slice —
+    * the embedding-space weak-labeler every auto-labeling pipeline
+    * starts from. Voting is a keyed count + max(struct) argmax (no
+    * window over the corpus); neighbors come from the same broadcast-
+    * query exact scan as sim_bruteforce_topk. Emits per-query
+    * prediction vs truth so a single flipped vote fails values. */
+  def simKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+    val top5 = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+    val votes = top5
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("nlabel")), "neighbor_id")
+      .groupBy("query_id", "nlabel").agg(count(lit(1)).as("v"))
+      .groupBy("query_id")
+      .agg(max(struct(col("v"), (-col("nlabel")).as("nl"))).as("m"))
+      .select(col("query_id"), (-col("m.nl")).as("pred_label"),
+        col("m.v").as("votes"))
+    votes
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("true_label"))), "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("votes"),
+        (col("pred_label") === col("true_label")).cast("long")
+          .as("correct"))
+      .orderBy("query_id")
+  }
+  val knnClassifySql: String = vecCte +
+    """, lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+      |         FROM embeddings),
+      |top5 AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(""".stripMargin + cosSql("q", "c") + """, 4) + 0.0 DESC, c.vec_id) AS rank
+      |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t
+      |  WHERE rank <= 5),
+      |votes AS (
+      |  SELECT t.query_id, lb.label AS nlabel, count(*) AS v
+      |  FROM top5 t JOIN lb ON t.neighbor_id = lb.vec_id
+      |  GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT query_id, nlabel AS pred_label, v AS votes FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY v DESC, nlabel ASC) AS r FROM votes) t
+      |  WHERE r = 1)
+      |SELECT p.query_id, q.label AS true_label, p.pred_label, p.votes,
+      |  CAST(CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END AS BIGINT)
+      |    AS correct
+      |FROM pred p JOIN lb q ON p.query_id = q.vec_id
+      |ORDER BY p.query_id""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_adc" -> (simPqAdc _),
     "sim_maxsim_multivector" -> (simMaxsimMultivector _),
@@ -1451,6 +1507,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ivf_pq" -> (simIvfPq _),
     "sim_centroid_quality" -> (simCentroidQuality _),
     "sim_two_stage_rerank" -> (simTwoStageRerank _),
+    "sim_knn_classify" -> (simKnnClassify _),
     "sim_radius_search" -> (simRadiusSearch _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "sim_kmeans_ivf" -> (simKmeansIvf _),
@@ -1477,6 +1534,7 @@ object SimQueries extends graft.QueryModule {
     "sim_ivf_pq" -> ivfPqSql,
     "sim_centroid_quality" -> centroidQualitySql,
     "sim_two_stage_rerank" -> twoStageSql,
+    "sim_knn_classify" -> knnClassifySql,
     "sim_radius_search" -> radiusSql,
     "sim_ivf_topk" -> ivfSql,
     "sim_kmeans_ivf" -> kmeansIvfSql,
