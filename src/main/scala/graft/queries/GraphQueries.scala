@@ -89,6 +89,54 @@ object GraphQueries extends graft.QueryModule {
       (1 to 5).map(prRound).mkString(",\n") +
       "\nSELECT node, round(rank, 4) AS rank FROM r5 ORDER BY node"
 
+  /** Personalized PageRank from a deterministic seed set (parts with
+    * partkey ≡ 0 mod 97): teleport mass returns only to the seeds, so
+    * after five rounds the ranking is a similarity-to-the-seed-basket
+    * score — the recommendation/expansion primitive. Same persisted-
+    * transition-matrix cost model as graph_pagerank; the seed
+    * indicator rides a broadcast join. Output: top-20 nodes by the
+    * ROUNDED rank (6dp, node tie-break) — the recommendation list. */
+  def graphPprSeeds(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coEdges(spark, sfDir)
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .where(col("node") % 97 === 0)
+    PageRank.runPersonalized(edges, seeds, iters = 5)
+      .select(col("node"),
+        graft.functions.ScoreFns.scoreRound(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+  }
+  private def pprRound(k: Int): String =
+    s"""r$k AS (
+       |  SELECT n.node,
+       |    0.15 * n.is_seed + 0.85 * coalesce(s.inflow, 0) AS rank
+       |  FROM sn n LEFT JOIN (
+       |    SELECT e.dst AS node, sum(r${k - 1}.rank * e.p) AS inflow
+       |    FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+       |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+  val graphPprSql: String =
+    """WITH el AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |outw AS (SELECT src, sum(w) AS tw FROM el GROUP BY 1),
+      |e AS (SELECT el.src, el.dst, el.w / o.tw AS p
+      |      FROM el JOIN outw o ON el.src = o.src),
+      |nodes AS (SELECT src AS node FROM el UNION SELECT dst FROM el),
+      |sn AS (
+      |  SELECT node, CASE WHEN node % 97 = 0 THEN 1.0 ELSE 0.0 END
+      |    AS is_seed
+      |  FROM nodes),
+      |r0 AS (SELECT node, is_seed AS rank FROM sn),
+      |""".stripMargin +
+      (1 to 5).map(pprRound).mkString(",\n") +
+      """
+        |SELECT node, rank FROM (
+        |  SELECT node, round(rank, 6) + 0.0 AS rank FROM r5) t
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+
   /** Triangle count + transitivity of the part co-purchase graph
     * (graph.Triangles): degree-ordered orientation bounds the wedge
     * join at O(E^1.5) regardless of hub skew. The oracle replays
@@ -505,6 +553,7 @@ object GraphQueries extends graft.QueryModule {
     "graph_adamic_adar" -> (graphAdamicAdar _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_ppr_seeds" -> (graphPprSeeds _),
     "graph_degree_stats" -> (graphDegreeStats _),
     "graph_kcore" -> (graphKcore _),
     "graph_label_prop" -> (graphLabelProp _),
@@ -515,6 +564,7 @@ object GraphQueries extends graft.QueryModule {
     "graph_adamic_adar" -> graphAdamicAdarSql,
     "graph_assortativity" -> graphAssortativitySql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_ppr_seeds" -> graphPprSql,
     "graph_degree_stats" -> graphDegreeStatsSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_label_prop" -> graphLabelPropSql,
