@@ -10,6 +10,39 @@ import graft.sim.Similarity
   * deterministic quantizer the oracle replays exactly. */
 object SimQueries extends graft.QueryModule {
 
+  /** SHARED trained-artifact fixture: the full-corpus coarse quantizer
+    * (KMeans k=16, 2 Lloyd iterations) and the full-corpus PQ
+    * codebooks (m=4 × k=16, same trainer), materialized to scratch
+    * parquet ONCE per sf dir and reused by every gate that trains on
+    * the identical input with identical parameters (sim_kmeans_ivf,
+    * sim_centroid_quality, sim_pq_adc, sim_ivf_pq,
+    * sim_two_stage_rerank). Training is deterministic, so sharing the
+    * artifact changes nothing the oracles can see — it only stops the
+    * bench paying the same k-means loops five times (the
+    * BpeTrainer.trainArtifacts lesson). Gates whose training INPUT
+    * differs (the ANN lifecycle builds on corpus slices) keep their
+    * own builds. */
+  private val artPaths =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+  private def trainedArtifacts(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    val (cp, pp) = synchronized {
+      artPaths.getOrElseUpdate(sfDir, {
+        val cpath = graft.core.GraftSession.scratch("sim_cents")
+        val ppath = graft.core.GraftSession.scratch("sim_pq_cb")
+        val emb = Tables.embeddings(spark, sfDir)
+        graft.sim.KMeans.train(emb, "vec_id", "embedding",
+          k = 16, iterations = 2)
+          .write.mode("overwrite").parquet(cpath)
+        graft.sim.Pq.train(emb, "vec_id", "embedding",
+          m = 4, subDim = 16, k = 16, iterations = 2)
+          .write.mode("overwrite").parquet(ppath)
+        (cpath, ppath)
+      })
+    }
+    (spark.read.parquet(cp), spark.read.parquet(pp))
+  }
+
   /** Shared DuckDB prelude: float→double arrays + norms. */
   private val vecCte: String =
     """WITH e AS (
@@ -88,8 +121,7 @@ object SimQueries extends graft.QueryModule {
     * oracle replays both Lloyd iterations and the probe in SQL. */
   def simKmeansIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val centroids = graft.sim.KMeans.train(emb, "vec_id", "embedding",
-      k = 16, iterations = 2)
+    val centroids = trainedArtifacts(spark, sfDir)._1
     val assigned = Similarity.Ivf.assign(emb, centroids, "vec_id", "embedding")
     Similarity.Ivf.search(assigned, centroids,
         emb.where(col("vec_id") >= 100 && col("vec_id") < 110),
@@ -1098,8 +1130,7 @@ object SimQueries extends graft.QueryModule {
     * boundary, or a reconstruction-norm bug all break values. */
   def simPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val cb = graft.sim.Pq.train(emb, "vec_id", "embedding",
-      m = 4, subDim = 16, k = 16, iterations = 2)
+    val cb = trainedArtifacts(spark, sfDir)._2
     val codes = graft.sim.Pq.encode(emb, cb, "vec_id", "embedding",
       m = 4, subDim = 16)
     graft.sim.Pq.searchAdc(codes, cb,
@@ -1193,11 +1224,8 @@ object SimQueries extends graft.QueryModule {
   def simIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
-    val cents = graft.sim.KMeans.train(emb, "vec_id", "embedding",
-      k = 16, iterations = 2)
+    val (cents, cb) = trainedArtifacts(spark, sfDir)
     val assigned = Similarity.Ivf.assign(emb, cents, "vec_id", "embedding")
-    val cb = graft.sim.Pq.train(emb, "vec_id", "embedding",
-      m = 4, subDim = 16, k = 16, iterations = 2)
     val codes = graft.sim.Pq.encode(emb, cb, "vec_id", "embedding",
       m = 4, subDim = 16)
     val probes = Similarity.Ivf.probe(cents, queries, "vec_id", "embedding",
@@ -1333,8 +1361,7 @@ object SimQueries extends graft.QueryModule {
     * histogram and fails values, not just shapes. */
   def simCentroidQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val cents = graft.sim.KMeans.train(emb, "vec_id", "embedding",
-      k = 16, iterations = 2)
+    val cents = trainedArtifacts(spark, sfDir)._1
     val hist = Similarity.Ivf.assign(emb, cents, "vec_id", "embedding")
       .groupBy("bucket").agg(count(lit(1)).as("n"))
     hist.crossJoin(broadcast(hist.agg(sum("n").cast("double").as("tot"))))
@@ -1372,8 +1399,7 @@ object SimQueries extends graft.QueryModule {
   def simTwoStageRerank(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
-    val cb = graft.sim.Pq.train(emb, "vec_id", "embedding",
-      m = 4, subDim = 16, k = 16, iterations = 2)
+    val cb = trainedArtifacts(spark, sfDir)._2
     val codes = graft.sim.Pq.encode(emb, cb, "vec_id", "embedding",
       m = 4, subDim = 16)
     val stage1 = graft.sim.Pq.searchAdc(codes, cb, queries,
