@@ -433,9 +433,14 @@ object GraphQueries extends graft.QueryModule {
         when(fwd, col("db")).otherwise(col("da")).as("dv"))
     val o1 = o.select(col("u"), col("du"), col("v").as("x"), col("dv").as("dx"))
     val o2 = o.select(col("u"), col("v").as("y"), col("dv").as("dy"))
-    val closed = o1.join(o2, "u")
+    // narrow BEFORE the closure join (the graphEdgeJaccard shape): the
+    // wedge stream is the big intermediate, so only the columns the
+    // credit step needs ride through the (x, y) exchange
+    val wedges = o1.join(o2, "u")
       .where(col("dx") < col("dy") ||
         (col("dx") === col("dy") && col("x") < col("y")))
+      .select("u", "du", "x", "dx", "y", "dy")
+    val closed = wedges
       .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
     val credits = closed.select(explode(array(
         struct(least(col("x"), col("y")).as("ea"),

