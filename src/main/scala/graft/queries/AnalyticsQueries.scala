@@ -1607,6 +1607,89 @@ object AnalyticsQueries extends graft.QueryModule {
       |WHERE cn >= 7 AND t.tn - cn >= 7
       |ORDER BY shift DESC, split_day LIMIT 1""".stripMargin
 
+  /** Monthly churn: customers ordering in month m with no order in
+    * month m+1,
+    * over a LINEAR month index (y·12+m−1, so the +1 lookup is exact
+    * across year boundaries). The distinct activity set reduces once;
+    * churn is a hash anti-join of (user, m) against (user, m+1) —
+    * no window, no per-user state. The open-ended final month is
+    * excluded via the broadcast max. */
+  def xChurnRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("mi"))
+      .distinct()
+    val churned = act.join(
+      act.select(col("user_id"), (col("mi") - 1).as("mi")),
+      Seq("user_id", "mi"), "left_anti")
+    val maxMi = act.agg(max("mi").as("max_mi"))
+    act.groupBy("mi").agg(count(lit(1)).as("n_active"))
+      .join(churned.groupBy("mi").agg(count(lit(1)).as("n_churned")),
+        Seq("mi"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .crossJoin(broadcast(maxMi))
+      .where(col("mi") < col("max_mi"))
+      .select((col("mi") / 12).cast("long").as("y"),
+        (col("mi") % 12 + 1).cast("long").as("m"),
+        col("n_active"), col("n_churned"),
+        round(col("n_churned") / col("n_active").cast("double"), 6)
+          .as("churn_rate"))
+      .orderBy("y", "m")
+  }
+  val churnRateSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT o_custkey AS user_id,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
+      |  FROM orders),
+      |ch AS (
+      |  SELECT a.user_id, a.mi FROM act a
+      |  LEFT JOIN act b ON a.user_id = b.user_id AND b.mi = a.mi + 1
+      |  WHERE b.user_id IS NULL),
+      |n AS (SELECT mi, count(*) AS n_active FROM act GROUP BY 1),
+      |c AS (SELECT mi, count(*) AS n_churned FROM ch GROUP BY 1),
+      |mx AS (SELECT max(mi) AS max_mi FROM act)
+      |SELECT CAST(n.mi // 12 AS BIGINT) AS y,
+      |  CAST(n.mi % 12 + 1 AS BIGINT) AS m,
+      |  n.n_active, coalesce(c.n_churned, 0) AS n_churned,
+      |  round(coalesce(c.n_churned, 0) / CAST(n.n_active AS DOUBLE), 6)
+      |    AS churn_rate
+      |FROM n LEFT JOIN c ON n.mi = c.mi CROSS JOIN mx
+      |WHERE n.mi < mx.max_mi
+      |ORDER BY y, m""".stripMargin
+
+  /** Repeat-purchase cadence: the histogram of day-gaps between each
+    * customer's consecutive orders, bucketed by week — the metric
+    * replenishment/subscription teams watch. One exchange on the
+    * customer key serves the lag window; everything after is an
+    * integer-bucket reduction. */
+  def xRepeatPurchaseInterval(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("od"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+      .withColumn("prev", lag(col("od"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(datediff(col("od"), col("prev")).cast("long").as("gap_days"))
+    gaps.groupBy(expr("gap_days div 7").as("gap_weeks"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg("gap_days"), 4).as("avg_gap_days"))
+      .orderBy("gap_weeks")
+  }
+  val repeatPurchaseSql: String =
+    """WITH g AS (
+      |  SELECT date_diff('day',
+      |    lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      |    CAST(o_orderdate AS DATE)) AS gap_days
+      |  FROM orders)
+      |SELECT gap_days // 7 AS gap_weeks, count(*) AS n_gaps,
+      |  round(avg(gap_days), 4) AS avg_gap_days
+      |FROM g WHERE gap_days IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
@@ -1642,7 +1725,9 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_discount_sensitivity" -> (xDiscountSensitivity _),
     "x_runs_test" -> (xRunsTest _),
     "ts_backtest_naive" -> (tsBacktestNaive _),
-    "ts_changepoint" -> (tsChangepoint _))
+    "ts_changepoint" -> (tsChangepoint _),
+    "x_churn_rate" -> (xChurnRate _),
+    "x_repeat_purchase_interval" -> (xRepeatPurchaseInterval _))
 
   def oracles: Map[String, String] = Map(
     "x_attribution_last_touch" -> attributionSql,
@@ -1679,5 +1764,7 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_discount_sensitivity" -> discountSensitivitySql,
     "x_runs_test" -> runsTestSql,
     "ts_backtest_naive" -> backtestNaiveSql,
-    "ts_changepoint" -> changepointSql)
+    "ts_changepoint" -> changepointSql,
+    "x_churn_rate" -> churnRateSql,
+    "x_repeat_purchase_interval" -> repeatPurchaseSql)
 }

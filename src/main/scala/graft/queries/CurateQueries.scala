@@ -589,6 +589,80 @@ object CurateQueries extends graft.QueryModule {
       |  round(sum(kept) / CAST(max(n_total) AS DOUBLE), 6) AS kept_ratio
       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Filter-funnel report: the per-rule attrition table every curation
+    * pipeline publishes — for each quality rule, how many documents
+    * fail it INDEPENDENTLY and how many survive the CUMULATIVE
+    * conjunction up to that stage (rule order matters for the second
+    * number; both are one conditional-sum aggregation over a single
+    * scan, fanned out to report rows by a 4-element explode of the
+    * 1-row aggregate). Rules are the cheap deterministic skeleton of
+    * a Gopher-style filter chain. */
+  def curateFilterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("w"),
+        length(col("text")).cast("long").as("len"))
+      .select(
+        (col("w") >= 10).as("r1"), (col("w") <= 2000).as("r2"),
+        (col("len") >= 100).as("r3"),
+        (col("len") <= col("w") * 15).as("r4"))
+    val agg = d.agg(
+      count(lit(1)).as("n_input"),
+      sum(when(!col("r1"), 1L).otherwise(0L)).as("f1"),
+      sum(when(!col("r2"), 1L).otherwise(0L)).as("f2"),
+      sum(when(!col("r3"), 1L).otherwise(0L)).as("f3"),
+      sum(when(!col("r4"), 1L).otherwise(0L)).as("f4"),
+      sum(when(col("r1"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("r1") && col("r2"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("r1") && col("r2") && col("r3"), 1L).otherwise(0L))
+        .as("s3"),
+      sum(when(col("r1") && col("r2") && col("r3") && col("r4"), 1L)
+        .otherwise(0L)).as("s4"))
+    agg.select(col("n_input"), explode(array(
+        struct(lit("min_words").as("rule"), col("f1").as("n_fail"),
+          col("s1").as("n_survive")),
+        struct(lit("max_words").as("rule"), col("f2").as("n_fail"),
+          col("s2").as("n_survive")),
+        struct(lit("min_chars").as("rule"), col("f3").as("n_fail"),
+          col("s3").as("n_survive")),
+        struct(lit("mean_word_len").as("rule"), col("f4").as("n_fail"),
+          col("s4").as("n_survive")))).as("e"))
+      .select(col("e.rule").as("rule"), col("n_input"),
+        col("e.n_fail").as("n_fail_independent"),
+        col("e.n_survive").as("n_survive_cumulative"))
+      .orderBy("rule")
+  }
+  val filterFunnelSql: String =
+    """WITH d AS (
+      |  SELECT len(string_split_regex(trim(text), '\s+')) AS w,
+      |    length(text) AS len
+      |  FROM documents),
+      |r AS (
+      |  SELECT w >= 10 AS r1, w <= 2000 AS r2, len >= 100 AS r3,
+      |    len <= w * 15 AS r4
+      |  FROM d),
+      |a AS (
+      |  SELECT count(*) AS n_input,
+      |    CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      |    CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+      |    CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+      |    CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(sum(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS s3,
+      |    CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS s4
+      |  FROM r)
+      |SELECT rule, n_input, n_fail_independent, n_survive_cumulative
+      |FROM (
+      |  SELECT 'min_words' AS rule, n_input, f1 AS n_fail_independent,
+      |    s1 AS n_survive_cumulative FROM a
+      |  UNION ALL SELECT 'max_words', n_input, f2, s2 FROM a
+      |  UNION ALL SELECT 'min_chars', n_input, f3, s3 FROM a
+      |  UNION ALL SELECT 'mean_word_len', n_input, f4, s4 FROM a)
+      |ORDER BY rule""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_temperature_mix" -> (curateTemperatureMix _),
     "curate_winsorize" -> (curateWinsorize _),
@@ -604,6 +678,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_dsir_resample" -> (curateDsirResample _),
     "curate_quota" -> (curateQuota _),
     "curate_class_balance" -> (curateClassBalance _),
+    "curate_filter_funnel" -> (curateFilterFunnel _),
     "curate_token_budget" -> (curateTokenBudget _),
     "curate_decontam" -> (curateDecontam _),
     "curate_pack" -> (curatePack _))
@@ -623,6 +698,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_dsir_resample" -> dsirResampleSql,
     "curate_quota" -> quotaSql,
     "curate_class_balance" -> classBalanceSql,
+    "curate_filter_funnel" -> filterFunnelSql,
     "curate_token_budget" -> tokenBudgetSql,
     "curate_decontam" -> decontamSql,
     "curate_pack" -> packSql)

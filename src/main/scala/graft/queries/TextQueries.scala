@@ -1492,7 +1492,32 @@ object TextQueries extends graft.QueryModule {
       |    THEN 1 ELSE 0 END AS BIGINT) AS is_code
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Prefix-cluster profile: documents grouped by their first 40
+    * normalized characters — the cheapest template/boilerplate family
+    * detector (a shared prefix is how mirrored pages, form letters,
+    * and scraper artifacts usually announce themselves), reported as
+    * a cluster-size histogram. One keyed aggregation on a fixed-width
+    * key; no pairs, no index, scan-linear at any corpus size. */
+  def textPrefixClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = Tables.documents(spark, sfDir)
+      .groupBy(substring(lower(trim(col("text"))), 1, 40).as("prefix"))
+      .agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+  val prefixClustersSql: String =
+    """WITH s AS (
+      |  SELECT substr(lower(trim(text)), 1, 40) AS prefix,
+      |    count(*) AS cluster_size
+      |  FROM documents GROUP BY 1)
+      |SELECT cluster_size, count(*) AS n_clusters,
+      |  count(*) * cluster_size AS n_docs
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_prefix_clusters" -> (textPrefixClusters _),
     "text_code_detect" -> (textCodeDetect _),
     "text_hapax_ratio" -> (textHapaxRatio _),
     "text_readability" -> (textReadability _),
@@ -1553,6 +1578,7 @@ object TextQueries extends graft.QueryModule {
     "text_bpe_apply" -> bpeApplySql,
     "text_textrank" -> textrankSql,
     "text_code_detect" -> codeDetectSql,
+    "text_prefix_clusters" -> prefixClustersSql,
     "text_hapax_ratio" -> hapaxRatioSql,
     "text_readability" -> readabilitySql,
     "text_mattr" -> mattrSql,
