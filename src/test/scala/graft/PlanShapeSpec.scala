@@ -385,4 +385,37 @@ class PlanShapeSpec extends SparkSpecBase {
         s"cohort LTV has an unpartitioned window:\n$w")
     }
   }
+
+  test("x_churn_rate finds churners by anti-join, not per-user windows") {
+    val p = planOf("x_churn_rate")
+    assert(p.contains("LeftAnti"), s"churn lost the anti-join:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"window crept in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x_repeat_purchase_interval lag window is customer-partitioned") {
+    val p = planOf("x_repeat_purchase_interval")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"lost the lag window:\n$p")
+    windows.foreach { w =>
+      assert(w.contains("o_custkey"),
+        s"repeat-purchase has an unpartitioned window:\n$w")
+    }
+  }
+
+  test("curate_filter_funnel and text_prefix_clusters are single-scan aggregations") {
+    for (name <- Seq("curate_filter_funnel", "text_prefix_clusters")) {
+      val p = planOf(name)
+      assert(!p.contains("windowspecdefinition"), s"$name grew a window:\n$p")
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+    }
+  }
+
+  test("x_pareto_curve windows the bin table with totals broadcast") {
+    val p = planOf("x_pareto_curve")
+    assert(p.contains("windowspecdefinition"), s"lost the prefix sums:\n$p")
+    val winIdx = p.indexOf("Window")
+    assert(p.indexOf("HashAggregate", winIdx) > 0,
+      s"pareto windows raw rows (no binned aggregate below the window):\n$p")
+  }
 }
