@@ -47,6 +47,44 @@ object Bench {
     "sketch_kmv_distinct",   // KMV cardinality (BoundedMinK agg)
     "mm_phash_neardup")      // payload phash banded near-dup
 
+  /** Variance-bounded isolated timing (`--isolate g1[,g2…] --reps N`):
+    * times each named gate N times back-to-back in one JVM
+    * (clearCache + GC between reps, same as the suite) and reports the
+    * full draw spread — min / median / max / max-over-min. This is the
+    * measurement every noisy-gate adjudication actually needed
+    * (sparse-cosine's three sf1 draws of identical code spanned
+    * 21.3–44.8 s): a single suite draw cannot distinguish VM noise
+    * from a plan regression; the median of N can. scaling_report.py
+    * consumes the landed file via --isolated to replace single-draw
+    * times with medians. */
+  def isolate(spark: SparkSession, sfDir: String, gates: Seq[String],
+              reps: Int): Unit = {
+    val queries = SparkEntry.queries
+    val out = gates.filter(queries.contains).map { name =>
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        queries(name)(spark, sfDir).write.format("noop")
+          .mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); System.gc()
+        dt
+      }
+      val s = runs.sorted
+      val med = s(s.length / 2)
+      val line = f""""$name":{"runs":[${runs.map(r => f"$r%.3f")
+        .mkString(",")}],"min":${s.head}%.3f,"median":$med%.3f,"max":${s.last}%.3f,"spread":${s.last / s.head}%.2f}"""
+      System.err.println(s"[isolate] $line")
+      line
+    }
+    val json = out.mkString(
+      s"""{"mode":"isolate","reps":$reps,"sf":"$sfDir","gates":{""", ",", "}}")
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_isolate.json")
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(json) finally w.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,6 +102,18 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     graft.core.Tables.lineitem(spark, sfDir).limit(1000)
       .write.format("noop").mode("overwrite").save()
+
+    // --isolate mode: variance-bounded per-gate timing (judge r10 item 6)
+    if (args.headOption.contains("--isolate")) {
+      val gates = args.lift(1).getOrElse("").split(",").filter(_.nonEmpty)
+      val reps = args.indexOf("--reps") match {
+        case i if i >= 0 && i + 1 < args.length => args(i + 1).toInt
+        case _ => 3
+      }
+      isolate(spark, sfDir, gates.toSeq, reps)
+      spark.stop()
+      return
+    }
 
     val queries = SparkEntry.queries
     // full-registry coverage (r2 verdict: 100 of 132 queries had no

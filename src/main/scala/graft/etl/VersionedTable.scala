@@ -783,10 +783,18 @@ object VersionedTable {
   def commitUpsertChecked(spark: SparkSession, root: String,
       updates: DataFrame, constraints: Seq[(String, String)])
       : Either[Array[org.apache.spark.sql.Row], Long] = {
-    val report = constraintViolations(updates, constraints)
-      .orderBy("constraint_name").collect()
-    if (report.exists(_.getAs[Long]("n_violations") > 0L)) Left(report)
-    else Right(commitUpsert(spark, root, updates))
+    // Persist so the constraint scan and the commit see ONE evaluation of
+    // the batch: without it a non-deterministic or concurrently-changing
+    // source could pass the check yet commit different rows — the same
+    // double-evaluation race commitUpsertIfNewer/commitScd2 already close.
+    val batch = updates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val report = constraintViolations(batch, constraints)
+        .orderBy("constraint_name").collect()
+      if (report.exists(_.getAs[Long]("n_violations") > 0L)) Left(report)
+      else Right(commitUpsert(spark, root, batch))
+    } finally batch.unpersist(blocking = false)
   }
 
   /** Conditional MERGE for out-of-order feeds (`WHEN MATCHED AND
@@ -928,9 +936,14 @@ object VersionedTable {
   def commitReplaceWhere(spark: SparkSession, root: String,
                          keyCols: Seq[String], column: String,
                          lo: Any, hi: Any, replacement: DataFrame): Long = {
+    // NULL range values must be REJECTED, not smuggled: a NULL fails both
+    // `between` and its negation, so the naive `!between` guard would pass
+    // rows that the range contract can never expose to readers (Delta
+    // rejects them too). coalesce(…, false) turns NULL into "outside".
     require(replacement
-      .where(!col(column).between(lit(lo), lit(hi))).isEmpty,
-      s"replacement rows fall outside $column in [$lo, $hi]")
+      .where(!coalesce(col(column).between(lit(lo), lit(hi)), lit(false)))
+      .isEmpty,
+      s"replacement rows fall outside (or NULL in) $column in [$lo, $hi]")
     val affected = readAsOfRange(spark, root, keyCols,
       versions(spark, root).last, column, lo, hi)
     val gone = affected.select(keyCols.map(col): _*)

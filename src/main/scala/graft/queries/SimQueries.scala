@@ -1073,8 +1073,14 @@ object SimQueries extends graft.QueryModule {
     val nrel = q.join(
       c.groupBy(col("clabel").as("qlabel")).agg(count(lit(1)).as("nr")),
       "qlabel")
+    // Clamp the ideal-list length to ≥1: on a degenerate label with zero
+    // relevant candidates Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    // (the i=0 term divides by ln(1)=0 → idcg=∞), while DuckDB's
+    // generate_series(1, 0) is empty (NULL) — a cross-engine divergence.
+    // The oracle carries the same greatest(…, 1) clamp.
     val idcg = nrel.select(col("query_id"), expr(
-      "aggregate(sequence(1, int(least(nr, 10L))), cast(0.0 as double)," +
+      "aggregate(sequence(1, int(greatest(least(nr, 10L), 1L)))," +
+        " cast(0.0 as double)," +
         " (acc, i) -> acc + ln(2.0) / ln(i + 1))").as("idcg"))
     dcg.join(idcg, "query_id")
       .select(col("query_id"), col("n_rel_at_10"),
@@ -1111,7 +1117,7 @@ object SimQueries extends graft.QueryModule {
       |nrel AS (SELECT q.query_id, count(*) AS nr
       |         FROM q JOIN c ON c.clabel = q.qlabel GROUP BY 1),
       |idcg AS (SELECT query_id, list_sum(list_transform(
-      |    generate_series(1, CAST(least(nr, 10) AS INT)),
+      |    generate_series(1, CAST(greatest(least(nr, 10), 1) AS INT)),
       |    i -> ln(2.0) / ln(i + 1))) AS idcg FROM nrel)
       |SELECT d.query_id, d.n_rel_at_10,
       |  round(d.dcg / i.idcg, 6) + 0.0 AS ndcg

@@ -61,11 +61,23 @@ object AnnIndex {
     * side is the (small) tombstone set, which AQE broadcasts. The
     * tombstones compact away at the next [[build]] (a retrain is a
     * fresh generation). Deleting an id not in the index is a no-op,
-    * matching DELETE semantics. */
+    * matching DELETE semantics.
+    *
+    * The tombstone column is NORMALIZED to the index's own id column
+    * (read from the saved assignment schema) at delete time: the
+    * caller's `idCol` names a column of `ids`, not a contract with the
+    * index, and persisting it verbatim would poison every later read
+    * when it differs (the anti-join would match on a column the
+    * assignment lacks — failing, or worse, silently keyed wrong). A
+    * delete against an index with no saved assignment fails here,
+    * at the write, not at the first read. */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
-             idCol: String): Unit =
-    ids.select(col(idCol)).distinct()
+             idCol: String): Unit = {
+    val indexIdCol = spark.read.parquet(s"$path/assignment")
+      .drop("bucket").schema.fieldNames.head
+    ids.select(col(idCol).as(indexIdCol)).distinct()
       .write.mode("append").parquet(s"$path/deletes")
+  }
 
   /** Carry metadata columns into the assignment rows so FILTERED
     * search (metadata predicate + vector search) pushes the predicate

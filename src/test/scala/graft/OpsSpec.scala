@@ -43,6 +43,35 @@ class OpsSpec extends SparkSpecBase {
     assert(total == df.count())
   }
 
+  test("batchWithinPartitions invariants survive ANY physical layout") {
+    // A6 semantics are layout-dependent (which rows share a batch), but
+    // its INVARIANTS must not be: cap respected, batch_size = |items|,
+    // union of batches = input multiset. Perturb the layout four ways.
+    val df = Tables.lineitemDf.select("l_returnflag", "l_orderkey")
+    val expectTotal = df.count()
+    val expectSum = df.agg(sum($"l_orderkey")).head.getLong(0)
+    val layouts = Seq(
+      "single" -> df.coalesce(1),
+      "hash13" -> df.repartition(13, xxhash64($"l_orderkey")),
+      "range" -> df.repartitionByRange(5, $"l_orderkey"),
+      "sorted" -> df.repartition(3).sortWithinPartitions($"l_returnflag"))
+    for ((label, laid) <- layouts) {
+      val batched = BatchOps.batchWithinPartitions(
+        laid, Seq("l_returnflag"), "l_orderkey", 50)
+      val stats = batched.agg(
+        max($"batch_size").as("mx"), min($"batch_size").as("mn"),
+        max(abs($"batch_size" - size($"items"))).as("szdiff"),
+        sum($"batch_size").cast("long").as("total"),
+        sum(expr("aggregate(items, 0L, (a, x) -> a + x)")).as("isum")
+      ).head
+      assert(stats.getInt(0) <= 50, s"$label: cap violated")
+      assert(stats.getInt(1) >= 1, s"$label: empty batch")
+      assert(stats.getInt(2) == 0, s"$label: batch_size != |items|")
+      assert(stats.getLong(3) == expectTotal, s"$label: items lost/duped")
+      assert(stats.getLong(4) == expectSum, s"$label: item values mutated")
+    }
+  }
+
   test("joinOtherToSingleColumn packs non-key cols into one struct") {
     val left = Seq((1, "l1"), (2, "l2")).toDF("k", "lv")
     val right = Seq((1, "r1", 10), (2, "r2", 20)).toDF("k", "rv", "rn")

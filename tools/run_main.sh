@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Run a graft main class via plain `java -cp` — NO sbt involvement, so a
+# long-running bench/verify/datagen never holds the sbt build lock (the
+# r10 post-mortem: the driver's correctness artifact landed empty because
+# the 17-minute bench held the sbt lock at round close).
+#
+# Usage: tools/run_main.sh <mainClass> [args...]
+#   e.g. tools/run_main.sh graft.Bench
+#        tools/run_main.sh graft.tools.GenSf /tmp/gensf1 10
+#        tools/run_main.sh graft.Verify /root/testdata/sf0.01 /tmp/verify_out
+#
+# Requires `sbt compile` to have produced target/scala-2.13/classes.
+# Env passthrough: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_BENCH_OUT,
+# SPARK_GRAFT_CPUS, SPARK_DRIVER_MEM.
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+CLASSES="$REPO/target/scala-2.13/classes"
+[ -d "$CLASSES" ] || { echo "run 'sbt compile' first ($CLASSES missing)" >&2; exit 1; }
+# Scala 2.13 library comes from the coursier cache (same jar sbt uses).
+SCALA_LIB="$(find "$HOME/.cache/coursier" -name 'scala-library-2.13*.jar' 2>/dev/null | head -1)"
+MAIN="$1"; shift
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$CLASSES:$SCALA_LIB:/opt/spark/jars/*" \
+  "$MAIN" "$@"
