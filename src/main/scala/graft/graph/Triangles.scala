@@ -71,4 +71,49 @@ object Triangles {
           .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .as("clustering"))
   }
+
+  /** LOCAL clustering coefficient per node: (id, degree, n_triangles,
+    * coeff = 2·t / (d·(d−1))) for every node with degree ≥ 2 (the
+    * coefficient is undefined below). Same degree-ordered O(E^1.5)
+    * enumeration as [[stats]] — each triangle found once, then its
+    * THREE corners exploded map-side and counted per node, so the
+    * per-node redistribution adds one keyed aggregate over 3T rows,
+    * never a second wedge pass. Nodes in no triangle get coeff 0 via
+    * the left join (absence of evidence is a 0 coefficient, not a
+    * dropped row). */
+  def perNode(pairs: DataFrame): DataFrame = {
+    val und = pairs
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = e1.join(e2, Seq("u"))
+      .where(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("u"), col("x"), col("y"))
+    val triCorners = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    deg.where(col("d") >= 2)
+      .join(triCorners, Seq("id"), "left")
+      .select(col("id"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+          / (col("d") * (col("d") - 1)), 6).as("coeff"))
+  }
 }

@@ -1690,7 +1690,378 @@ object AnalyticsQueries extends graft.QueryModule {
       |FROM g WHERE gap_days IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------------
+  // Round-11 additions: rank/bootstrap statistics, variance-reduced
+  // experiment readout, multi-touch attribution, binned range join.
+  // ------------------------------------------------------------------
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) test in BINNED form — the
+    * nonparametric two-sample location test, for metrics too skewed
+    * for Welch's t. Exact rank-sum needs a global sort; the scale form
+    * bins the metric into fixed-width buckets and computes MIDRANKS
+    * from bin counts (binning = deliberate tying; the tie-corrected z
+    * stays exact for the binned statistic). Cost: one keyed aggregate
+    * to the ≤1024-row bin table, prefix sums over bins only (the
+    * x_auc_roc pattern — whitelisted in WindowPartitionSpec), one-row
+    * output. Samples: urgent vs low-priority order values. */
+  def xMannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val two = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("is_a"),
+        floor(col("o_totalprice") / 10000).cast("long").as("bin"))
+    val bins = two.groupBy("bin")
+      .agg(sum("is_a").as("na_bin"), count(lit(1)).as("nt_bin"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = bins
+      .withColumn("cum_before", coalesce(sum("nt_bin").over(w), lit(0L)))
+      .withColumn("midrank",
+        col("cum_before") + (col("nt_bin") + 1) / lit(2.0))
+    val s = ranked.agg(
+      sum(col("na_bin") * col("midrank")).as("ra"),
+      sum("na_bin").cast("double").as("na"),
+      sum("nt_bin").cast("double").as("n"),
+      sum(col("nt_bin").cast("double") * col("nt_bin") * col("nt_bin")
+        - col("nt_bin")).as("ties"))
+    s.select(
+      col("na").cast("long").as("n_a"),
+      (col("n") - col("na")).cast("long").as("n_b"),
+      round(col("ra") - col("na") * (col("na") + 1) / 2, 1).as("u_a"),
+      graft.functions.ScoreFns.scoreRound(
+        (col("ra") - col("na") * (col("na") + 1) / 2
+          - col("na") * (col("n") - col("na")) / 2)
+          / sqrt(col("na") * (col("n") - col("na")) / 12.0
+            * ((col("n") + 1) - col("ties") / (col("n") * (col("n") - 1)))),
+        6).as("z"))
+  }
+  val mannWhitneySql: String =
+    """WITH two AS (
+      |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |      AS is_a,
+      |    CAST(floor(o_totalprice / 10000) AS BIGINT) AS bin
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |bins AS (
+      |  SELECT bin, CAST(sum(is_a) AS BIGINT) AS na_bin,
+      |    count(*) AS nt_bin
+      |  FROM two GROUP BY 1),
+      |ranked AS (
+      |  SELECT *, coalesce(sum(nt_bin) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS cum_before
+      |  FROM bins),
+      |s AS (
+      |  SELECT sum(na_bin * (cum_before + (nt_bin + 1) / 2.0)) AS ra,
+      |    CAST(sum(na_bin) AS DOUBLE) AS na,
+      |    CAST(sum(nt_bin) AS DOUBLE) AS n,
+      |    sum(CAST(nt_bin AS DOUBLE) * nt_bin * nt_bin - nt_bin) AS ties
+      |  FROM ranked)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+      |  round(ra - na * (na + 1) / 2, 1) AS u_a,
+      |  round((ra - na * (na + 1) / 2 - na * (n - na) / 2)
+      |    / sqrt(na * (n - na) / 12.0
+      |      * ((n + 1) - ties / (n * (n - 1)))), 6) + 0.0 AS z
+      |FROM s""".stripMargin
+
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013, the
+    * standard A/B-test adjustment): arm = deterministic md5-hash
+    * parity of the customer key (the cross-engine curate_class_balance
+    * idiom), metric Y = 1996 revenue, covariate X = the SAME unit's
+    * 1995 (pre-period) revenue; the adjusted metric Y − θ·(X − E[X])
+    * with θ = cov(X,Y)/var(X) removes the pre-existing between-unit
+    * variance that the arms inherited. Everything is moment
+    * aggregation: one keyed pass to per-customer (x, y), a 1-row
+    * pooled-moments aggregate crossed back via broadcast, one per-arm
+    * aggregate — no window, no sort, nothing data-sized collected. */
+  def xCuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .where(year(col("o_orderdate")).isin(1995, 1996))
+      .groupBy("o_custkey")
+      .agg(
+        sum(when(year(col("o_orderdate")) === 1995, col("o_totalprice"))
+          .otherwise(lit(0.0))).as("x"),
+        sum(when(year(col("o_orderdate")) === 1996, col("o_totalprice"))
+          .otherwise(lit(0.0))).as("y"))
+      .withColumn("arm",
+        (graft.sketch.Sketches.hash60(col("o_custkey").cast("string")) % 2)
+          .cast("int"))
+    val pooled = base.agg(
+      (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("theta"),
+      avg("x").as("mx"))
+    base.crossJoin(broadcast(pooled))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_units"),
+        graft.functions.ScoreFns.scoreRound(avg("y"), 4).as("mean_raw"),
+        graft.functions.ScoreFns.scoreRound(
+          avg(col("y") - col("theta") * (col("x") - col("mx"))), 4)
+          .as("mean_cuped"))
+      .orderBy("arm")
+  }
+  val cupedSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey,
+      |    sum(CASE WHEN year(o_orderdate) = 1995
+      |      THEN o_totalprice ELSE 0.0 END) AS x,
+      |    sum(CASE WHEN year(o_orderdate) = 1996
+      |      THEN o_totalprice ELSE 0.0 END) AS y
+      |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      |  GROUP BY 1),
+      |armed AS (
+      |  SELECT x, y,
+      |    CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+      |      ::BIGINT % 2 AS INT) AS arm
+      |  FROM base),
+      |pooled AS (
+      |  SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS mx
+      |  FROM armed)
+      |SELECT arm, count(*) AS n_units,
+      |  round(avg(y), 4) + 0.0 AS mean_raw,
+      |  round(avg(y - theta * (x - mx)), 4) + 0.0 AS mean_cuped
+      |FROM armed CROSS JOIN pooled
+      |GROUP BY arm ORDER BY arm""".stripMargin
+
+  /** Percentile-bootstrap confidence interval for the mean order
+    * value, with DETERMINISTIC resampling: replica weights are
+    * Poisson(1) draws read off the inverse CDF at a md5-derived
+    * uniform (the Poisson bootstrap — Chamandy et al., Google 2012 —
+    * exactly because true multinomial resampling needs a global n and
+    * per-replica coordination that don't distribute). hash60(key:b)
+    * / 2^60 is the same rational number in both engines, so weights
+    * match exactly. Cost shape: a map-side ×32 replica explode into
+    * one keyed aggregate (32 rows out), a 32-element sorted array on
+    * the driver side of a 1-row result — nothing data-sized moves.
+    * Bounds are the 2nd/31st order statistics of the 32 replica
+    * means (a ~94% interval). */
+  def xBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val reps = o
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("u",
+        graft.sketch.Sketches.hash60(concat(
+          col("o_orderkey").cast("string"), lit(":"),
+          col("b").cast("string"))) / lit(1152921504606846976.0))
+      .withColumn("w",
+        when(col("u") < 0.3678794412, 0).when(col("u") < 0.7357588823, 1)
+          .when(col("u") < 0.9196986029, 2).when(col("u") < 0.9810118431, 3)
+          .otherwise(4))
+    val means = reps.groupBy("b")
+      .agg((sum(col("w") * col("o_totalprice")) / sum("w")).as("mean_b"))
+    val point = o.agg(count(lit(1)).as("n_orders"),
+      avg("o_totalprice").as("pm"))
+    means.agg(sort_array(collect_list("mean_b")).as("ms"))
+      .crossJoin(broadcast(point))
+      .select(col("n_orders"),
+        round(col("pm"), 4).as("point_mean"),
+        round(element_at(col("ms"), 2), 4).as("ci_lo"),
+        round(element_at(col("ms"), 31), 4).as("ci_hi"))
+  }
+  val bootstrapCiSql: String =
+    """WITH reps AS (
+      |  SELECT b.b, o.o_totalprice,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+      |        || CAST(b.b AS VARCHAR)), 1, 15))::BIGINT
+      |      / 1152921504606846976.0 AS u
+      |  FROM orders o CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 31)) AS b) b),
+      |wtd AS (
+      |  SELECT b, o_totalprice,
+      |    CASE WHEN u < 0.3678794412 THEN 0 WHEN u < 0.7357588823 THEN 1
+      |      WHEN u < 0.9196986029 THEN 2 WHEN u < 0.9810118431 THEN 3
+      |      ELSE 4 END AS w
+      |  FROM reps),
+      |m AS (SELECT b, sum(w * o_totalprice) / sum(w) AS mean_b
+      |      FROM wtd GROUP BY 1),
+      |arr AS (SELECT list_sort(list(mean_b)) AS ms FROM m),
+      |p AS (SELECT count(*) AS n_orders, avg(o_totalprice) AS pm
+      |      FROM orders)
+      |SELECT n_orders, round(pm, 4) AS point_mean,
+      |  round(ms[2], 4) AS ci_lo, round(ms[31], 4) AS ci_hi
+      |FROM arr, p""".stripMargin
+
+  /** LINEAR multi-touch attribution — each purchase's value is split
+    * EQUALLY across every click/view touch in the preceding 7 days
+    * (last-touch's sibling; the pair brackets the attribution
+    * spectrum). One exchange on user_id serves everything: with only
+    * two touch channels, the per-purchase touch composition is two
+    * RANGE-framed indicator sums over the microsecond timeline (no
+    * purchase×touch self-join, no per-purchase rescan); the credit
+    * split is then pure row arithmetic exploded into per-channel
+    * rows. Touchless purchases credit 'direct' in full. */
+  def xAttributionLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-sevenDaysUs, -1)
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .withColumn("nc",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .withColumn("nv",
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w))
+    val p = e.where(col("event_type") === "purchase")
+      .withColumn("nt", col("nc") + col("nv"))
+    p.select(explode(array(
+        struct(lit("click").as("channel"),
+          when(col("nt") > 0, col("nc") / col("nt")).otherwise(lit(0.0))
+            .as("credit")),
+        struct(lit("view").as("channel"),
+          when(col("nt") > 0, col("nv") / col("nt")).otherwise(lit(0.0))
+            .as("credit")),
+        struct(lit("direct").as("channel"),
+          when(col("nt") === 0, lit(1.0)).otherwise(lit(0.0))
+            .as("credit")))).as("c"),
+        col("value"))
+      .select(col("c.channel").as("channel"), col("c.credit").as("credit"),
+        (col("c.credit") * col("value")).as("cv"))
+      .where(col("credit") > 0)
+      .groupBy("channel")
+      .agg(round(sum("credit"), 6).as("credited_purchases"),
+        round(sum("cv"), 2).as("credited_value"))
+      .orderBy("channel")
+  }
+  val attributionLinearSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_type, value
+      |  FROM events),
+      |fr AS (
+      |  SELECT user_id, us, event_type, value,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us
+      |        RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+      |      AS nc,
+      |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us
+      |        RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+      |      AS nv
+      |  FROM e),
+      |p AS (SELECT *, nc + nv AS nt FROM fr
+      |      WHERE event_type = 'purchase'),
+      |credits AS (
+      |  SELECT 'click' AS channel,
+      |    CASE WHEN nt > 0 THEN CAST(nc AS DOUBLE) / nt ELSE 0 END
+      |      AS credit, value
+      |  FROM p
+      |  UNION ALL
+      |  SELECT 'view',
+      |    CASE WHEN nt > 0 THEN CAST(nv AS DOUBLE) / nt ELSE 0 END, value
+      |  FROM p
+      |  UNION ALL
+      |  SELECT 'direct', CASE WHEN nt = 0 THEN 1.0 ELSE 0.0 END, value
+      |  FROM p)
+      |SELECT channel, round(sum(credit), 6) AS credited_purchases,
+      |  round(sum(credit * value), 2) AS credited_value
+      |FROM credits WHERE credit > 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Binned (bucketed) RANGE JOIN — point-in-interval matching
+    * without the O(|points|·|intervals|) nested loop Spark falls back
+    * to on a raw BETWEEN join. Each interval EXPLODES into the
+    * month buckets it overlaps (map-side, ≤2-3 rows per interval
+    * here), points carry their single bucket, and the join becomes a
+    * plain hash equi-join on the bucket followed by the exact BETWEEN
+    * residual filter — the standard interval-join decomposition
+    * (Spark's own range-join hints, DuckDB's IEJoin, and every
+    * geospatial grid join use exactly this shape). Works when BOTH
+    * sides are large: no broadcast, candidates ∝ Σ buckets-overlapped,
+    * never |P|×|I|. Fixture: quarterly 45-day campaign windows
+    * derived from the order calendar, matched against all orders. */
+  def xRangeJoinBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderdate").as("odate"), col("o_totalprice"))
+    val campaigns = o
+      .select(date_trunc("quarter", col("odate")).as("cstart")).distinct()
+      .withColumn("cend",
+        col("cstart") + expr("INTERVAL 44 DAYS"))
+    val campBinned = campaigns
+      .select(col("cstart"), col("cend"),
+        explode(sequence(date_trunc("month", col("cstart")),
+          date_trunc("month", col("cend")),
+          expr("INTERVAL 1 MONTH"))).as("bin"))
+    val pts = o.withColumn("bin", date_trunc("month", col("odate")))
+    pts.join(campBinned, Seq("bin"))
+      .where(col("odate") >= col("cstart") && col("odate") <= col("cend"))
+      .groupBy(col("cstart").as("campaign_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("campaign_start")
+  }
+  val rangeJoinBinnedSql: String =
+    """WITH camp AS (
+      |  SELECT DISTINCT date_trunc('quarter', o_orderdate) AS cstart
+      |  FROM orders),
+      |c2 AS (SELECT cstart, cstart + INTERVAL 44 DAY AS cend FROM camp)
+      |SELECT c.cstart AS campaign_start, count(*) AS n_orders,
+      |  round(sum(o.o_totalprice), 2) AS revenue
+      |FROM c2 c JOIN orders o
+      |  ON o.o_orderdate >= c.cstart AND o.o_orderdate <= c.cend
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Two-proportion z-test on conversion rate — the binary-outcome
+    * companion to x_welch_ttest/x_cuped: arm = md5-hash parity of
+    * user_id, outcome = "did the user ever purchase". Shape: one
+    * keyed aggregate to per-user conversion flags, one 2-row per-arm
+    * aggregate, pooled-variance z in a 1-row select. Counts are
+    * exact; only z is floating (scoreRound 6). */
+  def xTwoProportionZ(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        (graft.sketch.Sketches.hash60(col("user_id").cast("string")) % 2)
+          .cast("int"))
+    val arms = users.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("converted").as("k"))
+    val one = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("k"))).as("k0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("k"))).as("k1"))
+    val p0 = col("k0").cast("double") / col("n0")
+    val p1 = col("k1").cast("double") / col("n1")
+    val pp = (col("k0") + col("k1")).cast("double") / (col("n0") + col("n1"))
+    one.select(col("n0"), col("k0"), col("n1"), col("k1"),
+      graft.functions.ScoreFns.scoreRound(p1 - p0, 6).as("rate_diff"),
+      graft.functions.ScoreFns.scoreRound(
+        (p1 - p0) / sqrt(pp * (lit(1.0) - pp)
+          * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z"))
+  }
+  val twoProportionZSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      |  FROM events GROUP BY 1),
+      |armed AS (
+      |  SELECT c, CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |    1, 15))::BIGINT % 2 AS INT) AS arm
+      |  FROM u),
+      |a AS (SELECT arm, count(*) AS n, CAST(sum(c) AS BIGINT) AS k
+      |      FROM armed GROUP BY 1),
+      |o AS (SELECT
+      |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+      |    max(CASE WHEN arm = 0 THEN k END) AS k0,
+      |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+      |    max(CASE WHEN arm = 1 THEN k END) AS k1
+      |  FROM a)
+      |SELECT n0, k0, n1, k1,
+      |  round(CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0, 6) + 0.0
+      |    AS rate_diff,
+      |  round((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+      |    / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+      |      * (1.0 / n0 + 1.0 / n1)), 6) + 0.0 AS z
+      |FROM o""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_two_proportion_z" -> (xTwoProportionZ _),
+    "x_mann_whitney" -> (xMannWhitney _),
+    "x_cuped" -> (xCuped _),
+    "x_bootstrap_ci" -> (xBootstrapCi _),
+    "x_attribution_linear" -> (xAttributionLinear _),
+    "x_range_join_binned" -> (xRangeJoinBinned _),
     "x_attribution_last_touch" -> (xAttributionLastTouch _),
     "x_chisq_dow" -> (xChisqDow _),
     "x_gini_spend" -> (xGiniSpend _),
@@ -1730,6 +2101,12 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_repeat_purchase_interval" -> (xRepeatPurchaseInterval _))
 
   def oracles: Map[String, String] = Map(
+    "x_two_proportion_z" -> twoProportionZSql,
+    "x_mann_whitney" -> mannWhitneySql,
+    "x_cuped" -> cupedSql,
+    "x_bootstrap_ci" -> bootstrapCiSql,
+    "x_attribution_linear" -> attributionLinearSql,
+    "x_range_join_binned" -> rangeJoinBinnedSql,
     "x_attribution_last_touch" -> attributionSql,
     "x_chisq_dow" -> chisqDowSql,
     "x_gini_spend" -> giniSql,

@@ -571,6 +571,49 @@ object CurateQueries extends graft.QueryModule {
           .as("kept_ratio"))
       .orderBy("lang")
   }
+  /** Deterministic minority-class OVERSAMPLING — the upsampling
+    * complement of curate_class_balance (which downsamples the
+    * majority): every class is repeated up to the LARGEST class's
+    * count. Each doc gets `maxc div n` copies, and the remainder
+    * `maxc mod n` extra copies land on a deterministic md5-hash
+    * subset (no window, no rank — the same cross-engine hash-
+    * threshold idiom as class_balance, so the choice of which docs
+    * carry the extra epoch is stable under any layout). The explode
+    * is map-side; nothing shuffles except the class-count aggregate
+    * and the final per-class stats. Exactness contract: n_after is
+    * exact per doc-multiplicity arithmetic, near (not exactly) maxc
+    * because the hash subset is a threshold draw, not a top-k — the
+    * price of avoiding a global rank at corpus scale. */
+  def curateOversample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val maxc = counts.agg(max("n").as("maxc"))
+    docs.join(broadcast(counts.crossJoin(maxc)), "lang")
+      .withColumn("reps",
+        expr("maxc div n") +
+          when(graft.sketch.Sketches.hash60(col("doc_id").cast("string"))
+            % col("n") < col("maxc") % col("n"), 1L).otherwise(0L))
+      .select(col("lang"), col("n"),
+        explode(sequence(lit(1L), col("reps"))).as("copy"))
+      .groupBy("lang")
+      .agg(max("n").as("n_orig"), count(lit(1)).as("n_after"),
+        round(count(lit(1)) / max("n").cast("double"), 4).as("ratio"))
+      .orderBy("lang")
+  }
+  val oversampleSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |m AS (SELECT max(n) AS maxc FROM c),
+      |r AS (
+      |  SELECT d.lang, c.n,
+      |    m.maxc // c.n + CASE
+      |      WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+      |        ::BIGINT % c.n < m.maxc % c.n THEN 1 ELSE 0 END AS reps
+      |  FROM documents d JOIN c USING (lang) CROSS JOIN m)
+      |SELECT lang, max(n) AS n_orig,
+      |  CAST(sum(reps) AS BIGINT) AS n_after,
+      |  round(CAST(sum(reps) AS DOUBLE) / max(n), 4) AS ratio
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val classBalanceSql: String =
     """WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
       |m AS (SELECT min(n_total) AS minc FROM c),
@@ -678,6 +721,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_dsir_resample" -> (curateDsirResample _),
     "curate_quota" -> (curateQuota _),
     "curate_class_balance" -> (curateClassBalance _),
+    "curate_oversample" -> (curateOversample _),
     "curate_filter_funnel" -> (curateFilterFunnel _),
     "curate_token_budget" -> (curateTokenBudget _),
     "curate_decontam" -> (curateDecontam _),
@@ -698,6 +742,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_dsir_resample" -> dsirResampleSql,
     "curate_quota" -> quotaSql,
     "curate_class_balance" -> classBalanceSql,
+    "curate_oversample" -> oversampleSql,
     "curate_filter_funnel" -> filterFunnelSql,
     "curate_token_budget" -> tokenBudgetSql,
     "curate_decontam" -> decontamSql,

@@ -554,9 +554,117 @@ object GraphQueries extends graft.QueryModule {
       |    AS assortativity
       |FROM m CROSS JOIN nn""".stripMargin
 
+  /** Per-node (LOCAL) clustering coefficient over the co-purchase
+    * graph (graph.Triangles.perNode): the node-level cohesion signal —
+    * spam/link-farm nodes sit in near-cliques (coeff → 1), organic
+    * hubs in sparse stars (coeff → 0). Same degree-ordered O(E^1.5)
+    * triangle enumeration as graph_triangles, then the three corners
+    * of each triangle explode map-side into one keyed count — no
+    * second wedge pass. Output: top 20 by (coeff, degree, id) —
+    * deterministic under the 6dp rounding. */
+  def graphClusteringCoeff(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Triangles.perNode(coEdges(spark, sfDir)
+        .select(col("src").as("a"), col("dst").as("b")))
+      .orderBy(col("coeff").desc, col("degree").desc, col("id"))
+      .limit(20)
+  val graphClusteringCoeffSql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+      |    greatest(x.l_partkey, y.l_partkey) AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey <> y.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS d FROM (
+      |    SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY id),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN u.a ELSE u.b END AS u,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN u.b ELSE u.a END AS v,
+      |    CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+      |      THEN db.d ELSE da.d END AS dv
+      |  FROM und u JOIN deg da ON u.a = da.id JOIN deg db ON u.b = db.id),
+      |wedge AS (
+      |  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+      |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+      |corners AS (
+      |  SELECT id, count(*) AS t FROM (
+      |    SELECT w.u AS id FROM wedge w JOIN o ON o.u = w.x AND o.v = w.y
+      |    UNION ALL
+      |    SELECT w.x FROM wedge w JOIN o ON o.u = w.x AND o.v = w.y
+      |    UNION ALL
+      |    SELECT w.y FROM wedge w JOIN o ON o.u = w.x AND o.v = w.y)
+      |  GROUP BY id)
+      |SELECT deg.id, deg.d AS degree,
+      |  coalesce(c.t, 0) AS n_triangles,
+      |  round(2.0 * coalesce(c.t, 0) / (deg.d * (deg.d - 1)), 6) AS coeff
+      |FROM deg LEFT JOIN corners c ON deg.id = c.id
+      |WHERE deg.d >= 2
+      |ORDER BY coeff DESC, degree DESC, deg.id LIMIT 20""".stripMargin
+
+  /** HITS hubs & authorities (graph.Hits, 2 rounds, L1-normalized
+    * half-steps) over the directed co-purchase list: top 20 by the
+    * rounded authority score. The oracle unrolls both rounds — join,
+    * aggregate, normalize — in straight-line CTEs, so drift in the
+    * normalization order or a missing never-cited-node zero breaks
+    * values. On this symmetric fixture hub = authority, which is
+    * itself an invariant the replay confirms. */
+  def graphHits(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Hits.run(coEdges(spark, sfDir), iters = 2)
+      .select(col("node"),
+        graft.functions.ScoreFns.scoreRound(col("authority"), 6)
+          .as("authority"),
+        graft.functions.ScoreFns.scoreRound(col("hub"), 6).as("hub"))
+      .orderBy(col("authority").desc, col("node"))
+      .limit(20)
+  val graphHitsSql: String =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |el AS (
+      |  SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey <> y.l_partkey),
+      |nodes AS (SELECT src AS node FROM el UNION SELECT dst FROM el),
+      |h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+      |a1r AS (
+      |  SELECT n.node, coalesce(s.a, 0) AS a FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS node, sum(h0.hub) AS a
+      |    FROM el e JOIN h0 ON e.src = h0.node GROUP BY 1) s
+      |  ON n.node = s.node),
+      |a1 AS (SELECT node, a / (SELECT sum(a) FROM a1r) AS authority
+      |       FROM a1r),
+      |h1r AS (
+      |  SELECT n.node, coalesce(s.h, 0) AS h FROM nodes n LEFT JOIN (
+      |    SELECT e.src AS node, sum(a1.authority) AS h
+      |    FROM el e JOIN a1 ON e.dst = a1.node GROUP BY 1) s
+      |  ON n.node = s.node),
+      |h1 AS (SELECT node, h / (SELECT sum(h) FROM h1r) AS hub FROM h1r),
+      |a2r AS (
+      |  SELECT n.node, coalesce(s.a, 0) AS a FROM nodes n LEFT JOIN (
+      |    SELECT e.dst AS node, sum(h1.hub) AS a
+      |    FROM el e JOIN h1 ON e.src = h1.node GROUP BY 1) s
+      |  ON n.node = s.node),
+      |a2 AS (SELECT node, a / (SELECT sum(a) FROM a2r) AS authority
+      |       FROM a2r),
+      |h2r AS (
+      |  SELECT n.node, coalesce(s.h, 0) AS h FROM nodes n LEFT JOIN (
+      |    SELECT e.src AS node, sum(a2.authority) AS h
+      |    FROM el e JOIN a2 ON e.dst = a2.node GROUP BY 1) s
+      |  ON n.node = s.node),
+      |h2 AS (SELECT node, h / (SELECT sum(h) FROM h2r) AS hub FROM h2r)
+      |SELECT a2.node, round(a2.authority, 6) + 0.0 AS authority,
+      |  round(h2.hub, 6) + 0.0 AS hub
+      |FROM a2 JOIN h2 ON a2.node = h2.node
+      |ORDER BY authority DESC, a2.node LIMIT 20""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_adamic_adar" -> (graphAdamicAdar _),
     "graph_assortativity" -> (graphAssortativity _),
+    "graph_clustering_coeff" -> (graphClusteringCoeff _),
+    "graph_hits" -> (graphHits _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_ppr_seeds" -> (graphPprSeeds _),
     "graph_degree_stats" -> (graphDegreeStats _),
@@ -568,6 +676,8 @@ object GraphQueries extends graft.QueryModule {
   def oracles: Map[String, String] = Map(
     "graph_adamic_adar" -> graphAdamicAdarSql,
     "graph_assortativity" -> graphAssortativitySql,
+    "graph_clustering_coeff" -> graphClusteringCoeffSql,
+    "graph_hits" -> graphHitsSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_ppr_seeds" -> graphPprSql,
     "graph_degree_stats" -> graphDegreeStatsSql,

@@ -71,6 +71,29 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(nlj <= 1, s"$nlj nested-loop joins (only the 1x1 stats cross is allowed):\n$p")
   }
 
+  test("x_range_join_binned matches points to intervals via the month-bucket equi-join, never a nested-loop BETWEEN") {
+    val p = planOf("x_range_join_binned")
+    // the whole point of the binned decomposition: the BETWEEN lands as
+    // a residual FILTER on a hash equi-join's output, not as a
+    // nested-loop join condition
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to nested-loop:\n$p")
+  }
+
+  test("x_bootstrap_ci is explode + keyed aggregation — no window, no global sort") {
+    val p = planOf("x_bootstrap_ci")
+    assert(!p.contains("Window"), s"unexpected window in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("graph_hits iterates with hash equi-joins, never all-pairs") {
+    val p = planOf("graph_hits")
+    // BroadcastNestedLoopJoins are expected ONLY as the 1-row L1-total
+    // crosses (one per normalize half-step); the score/edge joins must
+    // stay hash equi-joins
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("q1 scan prunes to the referenced lineitem columns") {
     val p = planOf("q1_pricing_summary")
     // the pricing summary touches 7 of 16 lineitem columns; a full-width

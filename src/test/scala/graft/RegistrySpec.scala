@@ -52,7 +52,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 318, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 318) // every query oracle-gated
+    assert(SparkEntry.queries.size == 327, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 327) // every query oracle-gated
   }
 }

@@ -26,13 +26,14 @@ import graft.core.GraftSession
   *  - x_runs_test        — daily sign sequence (≤ days-in-range).
   *  - x_survival_km      — per-distinct-duration life table (bounded
   *                         by the horizon in days).
+  *  - x_mann_whitney     — ≤1024-row price-bin midrank prefix sums.
   */
 class WindowPartitionSpec extends SparkSpecBase {
 
   private val whitelist = Set(
     "sim_hybrid_rrf", "sql_null_ordering", "ts_changepoint",
     "x_auc_roc", "x_ks_binned", "x_pareto_curve", "x_runs_test",
-    "x_survival_km")
+    "x_survival_km", "x_mann_whitney")
 
   test("every unpartitioned window in the registry is whitelisted as plan-bounded") {
     GraftSession.tune(spark)

@@ -19,9 +19,14 @@ def out_dir(sf):
 
 def run_verify(sf, out, only=None):
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
-    names = " " + " ".join(sorted(only)) if only else ""
+    names = sorted(only) if only else []
+    # Run via plain `java -cp` (tools/run_main.sh), NOT sbt: a long
+    # verify/bench must never hold the sbt build lock (the r10 driver
+    # correctness artifact landed empty from exactly that contention).
+    # Requires an up-to-date `sbt compile`; do that first if classes
+    # are stale.
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {sf} {out}{names}'],
+        ["tools/run_main.sh", "graft.Verify", sf, out] + names,
         cwd="/root/repo", env=env, capture_output=True, text=True)
     sys.stdout.write(r.stdout[-4000:])
     if r.returncode != 0:
