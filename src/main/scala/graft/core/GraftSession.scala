@@ -115,10 +115,34 @@ object GraftSession {
   }
 
   /** Per-run scratch dir for sink round-trip operators (S1-S4/S7, W1-W4).
-    * Lives under java.io.tmpdir like Spark's own block/staging dirs. */
+    * Lives under java.io.tmpdir like Spark's own block/staging dirs.
+    *
+    * Reclaimed RECURSIVELY at JVM exit: `File.deleteOnExit` silently
+    * skips non-empty directories, so every populated scratch dir
+    * leaked permanently — a round-11 sf1 bench died mid-run after the
+    * session's accumulated runs left ~25 GB / 9,700 orphan graft-*
+    * dirs in /tmp. One shutdown hook sweeps everything this JVM
+    * created (mirrors Spark's own ShutdownHookManager handling of its
+    * blockmgr/spark-* dirs). */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { p =>
+        try {
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles()
+            if (kids != null) kids.foreach(rm)
+            f.delete(): Unit
+          }
+          rm(p.toFile)
+        } catch { case _: Throwable => () }
+      }
+    }))
   def scratch(tag: String): String = {
+    scratchHook
     val d = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    d.toFile.deleteOnExit()
+    scratchDirs.add(d)
     d.toString
   }
 }
