@@ -905,17 +905,26 @@ object VersionedTable {
     * delta write — the table is read, never rewritten. */
   def commitSync(spark: SparkSession, root: String, source: DataFrame,
                  keyCols: Seq[String]): Long = {
-    val gone = readLatest(spark, root, keyCols)
-      .select(keyCols.map(col): _*)
-      .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val tomb = source.schema.fields.foldLeft(gone) { (df, f) =>
-        if (keyCols.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }.select(source.schema.fieldNames.map(col): _*)
-      .withColumn(Deleted, lit(true))
-    write(spark, root,
-      source.withColumn(Deleted, lit(false)).unionByName(tomb),
-      snapshot = false)
+    // Persist so the tombstone anti-join and the write see ONE
+    // evaluation of the source: a key present in the first evaluation
+    // but absent from the second would be neither tombstoned nor
+    // written — leaving a stale live row that violates the "state
+    // equals source" contract (the commitUpsertChecked lesson).
+    val src = source
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gone = readLatest(spark, root, keyCols)
+        .select(keyCols.map(col): _*)
+        .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val tomb = src.schema.fields.foldLeft(gone) { (df, f) =>
+          if (keyCols.contains(f.name)) df
+          else df.withColumn(f.name, lit(null).cast(f.dataType))
+        }.select(src.schema.fieldNames.map(col): _*)
+        .withColumn(Deleted, lit(true))
+      write(spark, root,
+        src.withColumn(Deleted, lit(false)).unionByName(tomb),
+        snapshot = false)
+    } finally src.unpersist(blocking = false)
   }
 
   /** Predicate-scoped atomic overwrite (Delta's `INSERT OVERWRITE ...
@@ -936,26 +945,36 @@ object VersionedTable {
   def commitReplaceWhere(spark: SparkSession, root: String,
                          keyCols: Seq[String], column: String,
                          lo: Any, hi: Any, replacement: DataFrame): Long = {
-    // NULL range values must be REJECTED, not smuggled: a NULL fails both
-    // `between` and its negation, so the naive `!between` guard would pass
-    // rows that the range contract can never expose to readers (Delta
-    // rejects them too). coalesce(…, false) turns NULL into "outside".
-    require(replacement
-      .where(!coalesce(col(column).between(lit(lo), lit(hi)), lit(false)))
-      .isEmpty,
-      s"replacement rows fall outside (or NULL in) $column in [$lo, $hi]")
-    val affected = readAsOfRange(spark, root, keyCols,
-      versions(spark, root).last, column, lo, hi)
-    val gone = affected.select(keyCols.map(col): _*)
-      .join(replacement.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val tomb = replacement.schema.fields.foldLeft(gone) { (df, f) =>
-        if (keyCols.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }.select(replacement.schema.fieldNames.map(col): _*)
-      .withColumn(Deleted, lit(true))
-    write(spark, root,
-      replacement.withColumn(Deleted, lit(false)).unionByName(tomb),
-      snapshot = false)
+    // Persist so the range guard, the tombstone anti-join, and the
+    // write see ONE evaluation of the replacement — three separate
+    // evaluations of a non-deterministic batch could pass the guard
+    // yet commit rows outside the range (the commitUpsertChecked
+    // double-evaluation lesson).
+    val repl = replacement
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // NULL range values must be REJECTED, not smuggled: a NULL fails
+      // both `between` and its negation, so the naive `!between` guard
+      // would pass rows that the range contract can never expose to
+      // readers (Delta rejects them too). coalesce(…, false) turns
+      // NULL into "outside".
+      require(repl
+        .where(!coalesce(col(column).between(lit(lo), lit(hi)), lit(false)))
+        .isEmpty,
+        s"replacement rows fall outside (or NULL in) $column in [$lo, $hi]")
+      val affected = readAsOfRange(spark, root, keyCols,
+        versions(spark, root).last, column, lo, hi)
+      val gone = affected.select(keyCols.map(col): _*)
+        .join(repl.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val tomb = repl.schema.fields.foldLeft(gone) { (df, f) =>
+          if (keyCols.contains(f.name)) df
+          else df.withColumn(f.name, lit(null).cast(f.dataType))
+        }.select(repl.schema.fieldNames.map(col): _*)
+        .withColumn(Deleted, lit(true))
+      write(spark, root,
+        repl.withColumn(Deleted, lit(false)).unionByName(tomb),
+        snapshot = false)
+    } finally repl.unpersist(blocking = false)
   }
 
   /** Snapshot state as of version `asOf` (newest-per-key wins,
