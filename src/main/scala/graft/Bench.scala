@@ -56,7 +56,9 @@ object Bench {
     * 21.3–44.8 s): a single suite draw cannot distinguish VM noise
     * from a plan regression; the median of N can. scaling_report.py
     * consumes the landed file via --isolated to replace single-draw
-    * times with medians. */
+    * times with medians. With reps ≥ 3 the stats exclude rep 1
+    * (reported as `first`), which alone pays any shared scratch-
+    * fixture materialization. */
   def isolate(spark: SparkSession, sfDir: String, gates: Seq[String],
               reps: Int): Unit = {
     val queries = SparkEntry.queries
@@ -69,10 +71,17 @@ object Bench {
         spark.catalog.clearCache(); System.gc()
         dt
       }
-      val s = runs.sorted
+      // Rep 1 is the only draw that pays shared scratch-fixture
+      // materialization (triangle stream, trained IVF/PQ artifacts —
+      // clearCache doesn't reset those path maps, by design: the suite
+      // amortizes them the same way). Report it separately as `first`
+      // and compute the spread stats over the warm reps only, so
+      // min/median/max measure the gate, not the fixture build.
+      val warm = if (runs.length >= 3) runs.tail else runs
+      val s = warm.sorted
       val med = s(s.length / 2)
       val line = f""""$name":{"runs":[${runs.map(r => f"$r%.3f")
-        .mkString(",")}],"min":${s.head}%.3f,"median":$med%.3f,"max":${s.last}%.3f,"spread":${s.last / s.head}%.2f}"""
+        .mkString(",")}],"first":${runs.head}%.3f,"min":${s.head}%.3f,"median":$med%.3f,"max":${s.last}%.3f,"spread":${s.last / s.head}%.2f}"""
       System.err.println(s"[isolate] $line")
       line
     }

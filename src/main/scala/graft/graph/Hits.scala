@@ -72,7 +72,7 @@ object Hits {
       // one final L1 normalize each + the zero-fill onto the node set
       val totals = auth.agg(sum("authority").as("__ta"))
         .crossJoin(hub.agg(sum("hub").as("__th")))
-      nodes
+      val result = nodes
         .join(auth, Seq("node"), "left")
         .join(hub, Seq("node"), "left")
         .crossJoin(broadcast(totals))
@@ -80,6 +80,11 @@ object Hits {
           (coalesce(col("authority"), lit(0.0)) / col("__ta"))
             .as("authority"),
           (coalesce(col("hub"), lit(0.0)) / col("__th")).as("hub"))
+      // Checkpoint EAGERLY while e/nodes are still cached: the caller's
+      // action runs after the finally-unpersist below, so a lazy result
+      // would recompute the node set from the raw edge source — the
+      // persists would have bought the final join nothing.
+      graft.core.Caching.reap(result)
     } finally {
       e.unpersist(blocking = false)
       nodes.unpersist(blocking = false)

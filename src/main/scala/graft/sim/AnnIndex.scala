@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  /** Train and persist: `path/centroids` (centroid_id, cvec) and
-    * `path/assignment` (idCol, vecCol, bucket=partition dir). */
+  /** Train and persist: `path/centroids` (centroid_id, cvec),
+    * `path/assignment` (idCol, vecCol, bucket=partition dir), and
+    * `path/meta.json` naming the id/vector columns — the index's
+    * column contract is recorded AT BUILD TIME, not re-inferred from
+    * schema position later (a payload join or schema evolution that
+    * reorders assignment columns must not re-key tombstones). */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             k: Int, iterations: Int, path: String,
             payloadCols: Seq[String] = Nil): Unit = {
@@ -45,6 +49,7 @@ object AnnIndex {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     assigned.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/assignment")
+    writeMeta(emb.sparkSession, path, idCol, vecCol)
     // a retrain is a fresh index: clear any tombstones from the
     // previous generation (they referred to the old assignment)
     val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
@@ -73,10 +78,52 @@ object AnnIndex {
     * at the write, not at the first read. */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
              idCol: String): Unit = {
-    val indexIdCol = spark.read.parquet(s"$path/assignment")
-      .drop("bucket").schema.fieldNames.head
+    val indexIdCol = indexIdColumn(spark, path)
     ids.select(col(idCol).as(indexIdCol)).distinct()
       .write.mode("append").parquet(s"$path/deletes")
+  }
+
+  /** The index's id column, from `path/meta.json` (written by
+    * [[build]]). Pre-meta indexes (older generations on disk) fall
+    * back to the original schema-positional inference — first
+    * assignment field after dropping `bucket` — which is correct for
+    * every layout [[build]]/[[append]] themselves produce, just not
+    * robust to external column reordering; rebuilding refreshes the
+    * metadata. */
+  private def indexIdColumn(spark: SparkSession, path: String): String =
+    readMeta(spark, path).map(_("id_col")).getOrElse {
+      spark.read.parquet(s"$path/assignment")
+        .drop("bucket").schema.fieldNames.head
+    }
+
+  /** Sidecar column-contract record. Hadoop-FS text (not a parquet
+    * dataset): one tiny JSON object, readable without a Spark job,
+    * atomic-enough via overwrite. */
+  private def writeMeta(spark: SparkSession, path: String,
+                        idCol: String, vecCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"id_col":"$idCol","vec_col":"$vecCol"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession,
+                       path: String): Option[Map[String, String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      // the writer controls the shape: flat string-to-string object
+      val kv = """"([a-z_]+)":"([^"]*)"""".r
+      Some(kv.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap)
+    }
   }
 
   /** Carry metadata columns into the assignment rows so FILTERED

@@ -17,7 +17,27 @@ SF = "/root/testdata/sf0.01"
 def out_dir(sf):
     return f"/tmp/graft_verify_out_{os.path.basename(sf.rstrip('/'))}"
 
+def ensure_fresh_classes():
+    """Abort the silent-stale-bytecode failure mode: if any .scala under
+    src/main is newer than the newest .class, run a quick `sbt compile`
+    BEFORE the long verify (run_main.sh also hard-refuses stale classes,
+    so without this the verify would just die with a staleness error)."""
+    def newest(root, ext):
+        ts = [os.path.getmtime(os.path.join(d, f))
+              for d, _, fs in os.walk(root) for f in fs if f.endswith(ext)]
+        return max(ts, default=None)
+    src = newest("/root/repo/src/main", ".scala")
+    cls = newest("/root/repo/target/scala-2.13/classes", ".class")
+    if src is not None and (cls is None or src > cls):
+        print("classes stale -> sbt compile", flush=True)
+        r = subprocess.run(["sbt", "-batch", "compile"], cwd="/root/repo",
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            sys.stderr.write(r.stdout[-4000:] + r.stderr[-2000:])
+            sys.exit(1)
+
 def run_verify(sf, out, only=None):
+    ensure_fresh_classes()
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     names = sorted(only) if only else []
     # Run via plain `java -cp` (tools/run_main.sh), NOT sbt: a long
