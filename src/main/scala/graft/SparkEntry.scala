@@ -31,7 +31,8 @@ object SparkEntry {
     graft.queries.SketchQueries,
     graft.queries.SqlSurfaceQueries,
     graft.queries.GraphQueries,
-    graft.queries.AnalyticsQueries)
+    graft.queries.AnalyticsQueries,
+    graft.queries.StatsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -706,7 +706,41 @@ object CurateQueries extends graft.QueryModule {
       |  UNION ALL SELECT 'mean_word_len', n_input, f4, s4 FROM a)
       |ORDER BY rule""".stripMargin
 
+  /** Deterministic global training-order shuffle: every document gets
+    * a reproducible pseudo-random position (60-bit md5 hash of a
+    * salted id) and a shard = hash mod S — the "shuffle once, read
+    * sequentially" layout every epoch-ordered training pipeline needs
+    * (a cluster-side ORDER BY rand() is neither reproducible nor
+    * resumable; the hash IS the permutation, so any worker can
+    * recompute any shard's order independently). Zero-shuffle
+    * assignment (a map-side hash), one keyed aggregation for the
+    * audit: per-shard counts, char mass, hash range, and a mod-prime
+    * checksum that pins membership, not just cardinality. */
+  def curateShuffleShards(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        graft.sketch.Sketches.hash60(
+          concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("h").as("min_h"), max("h").as("max_h"),
+        sum(col("h") % 1000003L).as("h_checksum"))
+      .orderBy("shard")
+  val shuffleShardsSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT AS h
+      |  FROM documents)
+      |SELECT h % 8 AS shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(h) AS min_h, max(h) AS max_h,
+      |  CAST(sum(h % 1000003) AS BIGINT) AS h_checksum
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_shuffle_shards" -> (curateShuffleShards _),
     "curate_temperature_mix" -> (curateTemperatureMix _),
     "curate_winsorize" -> (curateWinsorize _),
     "curate_split_leakage" -> (curateSplitLeakage _),
@@ -728,6 +762,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_pack" -> (curatePack _))
 
   def oracles: Map[String, String] = Map(
+    "curate_shuffle_shards" -> shuffleShardsSql,
     "curate_temperature_mix" -> temperatureMixSql,
     "curate_winsorize" -> winsorizeSql,
     "curate_split_leakage" -> splitLeakageSql,

@@ -555,6 +555,59 @@ object ExtQueries extends graft.QueryModule {
     * versions' data with their manifests. At 100 TB this is the
     * storage-bound story: time travel costs only what retention
     * keeps. */
+  /** GDPR-style hard erasure of a key set across table HISTORY — the
+    * Delta right-to-be-forgotten workflow: tombstone the keys (one
+    * delta commit), checkpoint the erased state as a fresh base
+    * snapshot, then EXPIRE every earlier version and vacuum its files,
+    * so no readable version — current or time-travel — can reproduce
+    * the erased rows and their bytes are physically gone. The gate
+    * audits exactly that: it re-reads EVERY remaining version probing
+    * for leaked victims (must be 0) and emits the surviving state.
+    * Cost shape: the tombstone is batch-sized, the snapshot is one
+    * table rewrite (inherent to physical erasure — Delta pays the
+    * same in DELETE + VACUUM), expiry is manifest-sized. */
+  def vtPurgeKey(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.etl.VersionedTable
+    val root = vtLifecycle(spark, sfDir, "vtpk")                       // v0-v2
+    val victims = VersionedTable.readLatest(spark, root, Seq("event_id"))
+      .where(col("event_id") % 10 === 3).select("event_id")
+    VersionedTable.commitWithRetry() {
+      VersionedTable.commitDelete(spark, root, victims)                // v3
+    }
+    VersionedTable.commitWithRetry() {
+      VersionedTable.compact(spark, root, Seq("event_id"))             // v4
+    }
+    val removed = VersionedTable.expire(spark, root, keepFrom = 4L)
+    VersionedTable.vacuumOrphans(spark, root, olderThanMs = 0L)
+    val vs = VersionedTable.versions(spark, root)
+    // leak audit: probe every still-readable version for the victims
+    val leaked = vs.map { v =>
+      VersionedTable.readAsOf(spark, root, Seq("event_id"), v)
+        .where(col("event_id") % 10 === 3).count()
+    }.sum
+    VersionedTable.readLatest(spark, root, Seq("event_id"))
+      .agg(count(lit(1)).as("n_live"), round(sum("value"), 2).as("total"))
+      .select(lit(removed.size.toLong).as("n_expired"),
+        lit(vs.size.toLong).as("n_versions"),
+        lit(leaked).as("leaked_rows"), col("n_live"), col("total"))
+  }
+  val vtPurgeKeySql: String =
+    """WITH ev AS (SELECT event_id, value FROM events),
+      |v1rows AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 7 = 0 THEN value * 10 ELSE value END AS value
+      |  FROM ev
+      |  UNION ALL
+      |  SELECT 2000000 + i, 5.0 FROM range(100) t(i)),
+      |v2rows AS (
+      |  SELECT * FROM v1rows
+      |  WHERE event_id >= 2000000 OR event_id % 5 <> 0),
+      |purged AS (
+      |  SELECT * FROM v2rows WHERE event_id % 10 <> 3)
+      |SELECT 4 AS n_expired, 1 AS n_versions, 0 AS leaked_rows,
+      |  count(*) AS n_live, round(sum(value), 2) AS total
+      |FROM purged""".stripMargin
+
   def vtExpireVacuum(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.etl.VersionedTable
     val root = vtLifecycle(spark, sfDir, "vtev")                       // v0-v2
@@ -1317,6 +1370,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_change_feed_images" -> (vtChangeFeedImages _),
     "vt_restore" -> (vtRestore _),
     "vt_expire_vacuum" -> (vtExpireVacuum _),
+    "vt_purge_key" -> (vtPurgeKey _),
     "wap_gated_ingest" -> (wapGatedIngest _),
     "vt_clone_shallow" -> (vtCloneShallow _),
     "vt_clone_deep" -> (vtCloneDeep _),
@@ -1350,6 +1404,7 @@ object ExtQueries extends graft.QueryModule {
     "vt_change_feed_images" -> vtChangeFeedImagesSql,
     "vt_restore" -> vtRestoreSql,
     "vt_expire_vacuum" -> vtExpireVacuumSql,
+    "vt_purge_key" -> vtPurgeKeySql,
     "wap_gated_ingest" -> wapGatedIngestSql,
     "vt_clone_shallow" -> vtCloneShallowSql,
     "vt_clone_deep" -> vtCloneDeepSql,

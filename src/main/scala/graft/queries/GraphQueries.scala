@@ -705,7 +705,42 @@ object GraphQueries extends graft.QueryModule {
       |FROM a2 JOIN h2 ON a2.node = h2.node
       |ORDER BY authority DESC, a2.node LIMIT 20""".stripMargin
 
+  /** Multi-source BFS over the co-purchase graph: minimum hop distance
+    * from the deterministic seed set (part keys ≡ 0 mod 997), capped
+    * at 4 hops, reported as level-census rows (nodes + id checksum per
+    * hop). Frontier-expansion iteration in [[graft.graph.Bfs]] — each
+    * round joins only the FRONTIER against the edge list, so the walk
+    * costs O(reached edges), not rounds × |E|. The oracle replays the
+    * walk as a DuckDB recursive CTE (UNION-distinct on (node, hop),
+    * min-hop after), exact because the hop cap bounds the recursion. */
+  def graphBfsLevels(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coEdges(spark, sfDir)
+    val seeds = e.select(col("src").as("node")).distinct()
+      .where(pmod(col("node"), lit(997L)) === 0)
+    graft.graph.Bfs.levels(e, seeds, maxHops = 4)
+      .groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), sum("node").as("sum_node"))
+      .orderBy("hop")
+  }
+  val graphBfsLevelsSql: String =
+    """WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey <> y.l_partkey),
+      |bfs(node, hop) AS (
+      |  SELECT DISTINCT a, 0 FROM und WHERE a % 997 = 0
+      |  UNION
+      |  SELECT u.b, bfs.hop + 1 FROM bfs JOIN und u ON u.a = bfs.node
+      |  WHERE bfs.hop < 4)
+      |SELECT hop, count(*) AS n_nodes, CAST(sum(node) AS BIGINT)
+      |    AS sum_node
+      |FROM (SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM bfs
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_levels" -> (graphBfsLevels _),
     "graph_adamic_adar" -> (graphAdamicAdar _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_clustering_coeff" -> (graphClusteringCoeff _),
@@ -719,6 +754,7 @@ object GraphQueries extends graft.QueryModule {
     "graph_triangles" -> (graphTriangles _))
 
   def oracles: Map[String, String] = Map(
+    "graph_bfs_levels" -> graphBfsLevelsSql,
     "graph_adamic_adar" -> graphAdamicAdarSql,
     "graph_assortativity" -> graphAssortativitySql,
     "graph_clustering_coeff" -> graphClusteringCoeffSql,

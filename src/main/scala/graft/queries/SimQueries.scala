@@ -1530,7 +1530,31 @@ object SimQueries extends graft.QueryModule {
       |FROM pred p JOIN lb q ON p.query_id = q.vec_id
       |ORDER BY p.query_id""".stripMargin
 
+  /** Distributed Gram matrix of the embedding corpus — the one-pass
+    * d×d sufficient statistic behind PCA / whitening / OPQ rotation
+    * (see [[graft.sim.Gram]] for the partition-local accumulation
+    * shape: the corpus is read once, only numPartitions × d(d+1)/2
+    * tiny rows shuffle, output is d² rows at ANY corpus size). The
+    * oracle replays each upper-triangle entry as a cross join against
+    * a generate_series dim table — affordable at oracle scale, the
+    * exact anti-pattern at corpus scale. */
+  def simGramMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sim.Gram.upperTriangle(
+        Tables.embeddings(spark, sfDir), "embedding", dim = 64)
+      .select(col("i"), col("j"),
+        graft.functions.ScoreFns.scoreRound(col("g"), 6).as("g"))
+      .orderBy("i", "j")
+  val gramSql: String =
+    """WITH d AS (SELECT unnest(generate_series(0, 63)) AS i),
+      |pairs AS (SELECT a.i AS i, b.i AS j FROM d a JOIN d b ON a.i <= b.i)
+      |SELECT p.i, p.j,
+      |  round(sum(CAST(embedding[p.i + 1] AS DOUBLE)
+      |    * CAST(embedding[p.j + 1] AS DOUBLE)), 6) + 0.0 AS g
+      |FROM embeddings e CROSS JOIN pairs p
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_gram_matrix" -> (simGramMatrix _),
     "sim_pq_adc" -> (simPqAdc _),
     "sim_maxsim_multivector" -> (simMaxsimMultivector _),
     "sim_ndcg_eval" -> (simNdcgEval _),
@@ -1558,6 +1582,7 @@ object SimQueries extends graft.QueryModule {
     "dedup_semantic_capped" -> (dedupSemanticCapped _))
 
   def oracles: Map[String, String] = Map(
+    "sim_gram_matrix" -> gramSql,
     "sim_pq_adc" -> pqAdcSql,
     "sim_maxsim_multivector" -> maxsimSql,
     "sim_ndcg_eval" -> ndcgSql,

@@ -8,7 +8,10 @@ import graft.sketch.Sketches
 
 /** Sketch/profiling gate queries: deterministic, oracle-replayable
   * approximate statistics (see graft.sketch.Sketches for why the
-  * portable-hash family replaces HLL/theta here).
+  * portable-hash family replaces opaque engine-native HLL/theta
+  * implementations; round 12 added a REAL HyperLogLog on top of the
+  * same portable hash — graft.sketch.Hll — whose integer-only rank
+  * and exact-integer denominator make it replayable too).
   */
 object SketchQueries extends QueryModule {
 
@@ -199,7 +202,58 @@ object SketchQueries extends QueryModule {
       |      < 288230376151711744
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** HyperLogLog distinct parts in the lineitem stream — the real HLL
+    * (not the KMV stand-in), made DuckDB-replayable by integer-only
+    * rank extraction and an exact-integer harmonic denominator (see
+    * [[graft.sketch.Hll]]). Output pairs the estimate with the exact
+    * count so the gate also pins the accuracy contract (b=12 ⇒ σ ≈
+    * 1.04/√4096 ≈ 1.6%). */
+  def hllDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val est = graft.sketch.Hll.estimate(
+      graft.sketch.Hll.registers(li, col("l_partkey").cast("string")))
+    val exact = li.agg(countDistinct("l_partkey").as("n_exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_exact"),
+        graft.functions.ScoreFns.scoreRound(col("n_estimate"), 4)
+          .as("hll_estimate"),
+        col("v_empty"),
+        graft.functions.ScoreFns.scoreRound(
+          lit(100.0) * (col("n_estimate") - col("n_exact"))
+            / col("n_exact"), 4).as("err_pct"))
+  }
+  val hllSql: String = {
+    val w = 281474976710656L // 2^48
+    val s49 = 562949953421312L // 2^49
+    s"""WITH h AS (
+      |  SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+      |    ::BIGINT AS h
+      |  FROM lineitem),
+      |r AS (SELECT h // $w AS bucket, h % $w AS w FROM h),
+      |rh AS (SELECT bucket, CASE WHEN w = 0 THEN 49
+      |  ELSE 49 - length(bin(w)) END AS rho FROM r),
+      |regs AS (SELECT bucket, max(rho) AS maxrho FROM rh GROUP BY 1),
+      |a AS (SELECT count(*) AS mp,
+      |  CAST(sum(1::BIGINT << (49 - maxrho)) AS BIGINT) AS sp FROM regs),
+      |e AS (SELECT (4096 - mp) AS v,
+      |  CAST(sp + (4096 - mp) * $s49 AS DOUBLE) AS s FROM a),
+      |est AS (SELECT v,
+      |  CASE WHEN ${graft.sketch.Hll.Alpha} * ${math.pow(2.0, 73)} / s
+      |      <= ${2.5 * graft.sketch.Hll.M} AND v > 0
+      |    THEN 4096.0 * ln(4096.0 / v)
+      |    ELSE ${graft.sketch.Hll.Alpha} * ${math.pow(2.0, 73)} / s
+      |    END AS n_estimate
+      |  FROM e),
+      |x AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem)
+      |SELECT n_exact, round(n_estimate, 4) + 0.0 AS hll_estimate,
+      |  v AS v_empty,
+      |  round(100.0 * (n_estimate - n_exact) / n_exact, 4) + 0.0
+      |    AS err_pct
+      |FROM est CROSS JOIN x""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_distinct" -> (hllDistinct _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_corpus_overlap" -> (corpusOverlap _),
     "sketch_countmin_probe" -> (countminProbe _),
@@ -207,6 +261,7 @@ object SketchQueries extends QueryModule {
     "sketch_sampled_quantiles" -> (sampledQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "sketch_hll_distinct" -> hllSql,
     "sketch_kmv_distinct" -> kmvSql,
     "sketch_corpus_overlap" -> corpusOverlapSql,
     "sketch_countmin_probe" -> countminSql,

@@ -1,0 +1,931 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.ScoreFns.scoreRound
+
+/** Round-12 statistical-testing surface: the classical inference and
+  * distribution-audit operators an experimentation/data-quality team
+  * layers over the x_* analytics family — one-way ANOVA, mutual
+  * information, multiple-testing control (Benjamini–Hochberg),
+  * rank correlations in BINNED form (Kendall τ-b, Spearman ρ),
+  * population-stability drift (PSI), score calibration, and SAX
+  * symbolization for time series.
+  *
+  * Scale doctrine shared by every gate here: the data-sized pass is a
+  * plain keyed aggregation (groupBy → partial-agg map-side, one
+  * exchange); all order statistics and pairwise work happen on the
+  * BOUNDED reduction (priority/segment/nation/bin tables of ≤ a few
+  * hundred rows) via broadcast self-joins — never a window over the
+  * fact table, never a fact-table self-join. That is the x_mann_whitney
+  * / x_ks_binned midrank lesson generalized: rank statistics at 100 TB
+  * are exact on binned data and cost one shuffle.
+  *
+  * Cross-engine determinism: every transcendental output goes through
+  * [[graft.functions.ScoreFns.scoreRound]] (+ 0.0 in the oracle);
+  * double sums follow the accepted precedent of rounding at scale 6.
+  */
+object StatsQueries extends graft.QueryModule {
+
+  /** One-way ANOVA F across order priorities on o_totalprice.
+    * Entirely sufficient statistics: per-group (n, Σx, Σx²) in ONE
+    * keyed aggregation, then the F ratio assembled on the 5-row group
+    * table (SSB = Σ n_g(x̄_g − x̄)², SSW = Σ(Σx² − (Σx)²/n) — the
+    * textbook decomposition, computable without a second data pass). */
+  def xAnovaF(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum("o_totalprice").as("s"),
+        sum(col("o_totalprice") * col("o_totalprice")).as("q"))
+    val t = g.agg(sum("n").as("nn"), sum("s").as("ss"),
+      count(lit(1)).cast("double").as("k"))
+    g.crossJoin(broadcast(t))
+      .agg(
+        max("k").as("k"), max("nn").as("nn"),
+        sum(col("n") * (col("s") / col("n") - col("ss") / col("nn"))
+          * (col("s") / col("n") - col("ss") / col("nn"))).as("ssb"),
+        sum(col("q") - col("s") * col("s") / col("n")).as("ssw"))
+      .select(col("k").cast("long").as("k_groups"),
+        col("nn").cast("long").as("n_rows"),
+        scoreRound((col("ssb") / (col("k") - 1))
+          / (col("ssw") / (col("nn") - col("k"))), 6).as("f_stat"))
+  }
+  val anovaSql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority, CAST(count(*) AS DOUBLE) AS n,
+      |    sum(o_totalprice) AS s,
+      |    sum(o_totalprice * o_totalprice) AS q
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT sum(n) AS nn, sum(s) AS ss,
+      |  CAST(count(*) AS DOUBLE) AS k FROM g)
+      |SELECT CAST(k AS BIGINT) AS k_groups, CAST(nn AS BIGINT) AS n_rows,
+      |  round((sum(n * (s/n - ss/nn) * (s/n - ss/nn)) / (k - 1))
+      |    / (sum(q - s*s/n) / (nn - k)), 6) + 0.0 AS f_stat
+      |FROM g CROSS JOIN t GROUP BY k, nn""".stripMargin
+
+  /** Mutual information (and normalized MI) between customer market
+    * segment and order priority. One fact-sized pass builds the 5×5
+    * joint contingency table; marginals come from re-aggregating the
+    * JOINT table (Σ_j n_ij), so the plan re-reads 25 rows, not the
+    * join. MI = Σ p_ij ln(p_ij/(p_i p_j)); the marginal entropies for
+    * the normalization are folded into the same 25-row aggregation
+    * (Σ_ij p_ij ln p_i = Σ_i p_i ln p_i). */
+  def xMutualInfo(spark: SparkSession, sfDir: String): DataFrame = {
+    val joint = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("nij"))
+    val mx = joint.groupBy("c_mktsegment").agg(sum("nij").as("ni"))
+    val my = joint.groupBy("o_orderpriority").agg(sum("nij").as("nj"))
+    val t = joint.agg(sum("nij").as("n"))
+    joint
+      .join(broadcast(mx), "c_mktsegment")
+      .join(broadcast(my), "o_orderpriority")
+      .crossJoin(broadcast(t))
+      .agg(
+        max("n").as("n"),
+        sum(col("nij") / col("n")
+          * log(col("nij") * col("n") / (col("ni") * col("nj")))).as("mi"),
+        sum(col("nij") / col("n") * log(col("ni") / col("n"))).as("shx"),
+        sum(col("nij") / col("n") * log(col("nj") / col("n"))).as("shy"))
+      .select(col("n").cast("long").as("n_rows"),
+        scoreRound(col("mi"), 6).as("mutual_info"),
+        scoreRound(col("mi") / sqrt(col("shx") * col("shy")), 6).as("nmi"))
+  }
+  val mutualInfoSql: String =
+    """WITH joint AS (
+      |  SELECT c_mktsegment, o_orderpriority,
+      |    CAST(count(*) AS DOUBLE) AS nij
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT c_mktsegment, sum(nij) AS ni FROM joint GROUP BY 1),
+      |my AS (SELECT o_orderpriority, sum(nij) AS nj FROM joint GROUP BY 1),
+      |t AS (SELECT sum(nij) AS n FROM joint)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  round(sum(nij/n * ln(nij*n/(ni*nj))), 6) + 0.0 AS mutual_info,
+      |  round(sum(nij/n * ln(nij*n/(ni*nj)))
+      |    / sqrt(sum(nij/n * ln(ni/n)) * sum(nij/n * ln(nj/n))), 6) + 0.0
+      |    AS nmi
+      |FROM joint
+      |JOIN mx USING (c_mktsegment) JOIN my USING (o_orderpriority)
+      |CROSS JOIN t GROUP BY n""".stripMargin
+
+  /** Per-nation urgent-order-rate tests with Benjamini–Hochberg FDR
+    * control — the multiple-testing discipline every per-segment
+    * metric sweep needs (25 simultaneous tests at α=0.1 expect ~2.5
+    * false positives uncorrected). Per nation: one-sample two-sided
+    * proportion z against the global rate; p-values via the
+    * Abramowitz–Stegun 26.2.17 polynomial Φ (identical literal
+    * coefficients on both engines — neither ships erf in SQL). The BH
+    * step function (rank ascending p, p·m/i, running min from the
+    * tail) runs as broadcast self-joins on the 25-row test table:
+    * rank_i = |{j : p_j ≤ p_i}| and adj_i = min_{rank_j ≥ rank_i}
+    * (p_j·m/rank_j) — no window, no sort, exact. */
+  def xFdrBh(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .cast("double").as("x"))
+    val t = g.agg(sum("n").as("nn"), sum("x").as("xx"),
+      count(lit(1)).cast("double").as("m"))
+    val p0 = col("xx") / col("nn")
+    val az = abs((col("x") / col("n") - p0)
+      / sqrt(p0 * (lit(1.0) - p0) / col("n")))
+    // Φ via A&S 26.2.17; two-sided p = 2·φ(|z|)·poly(t)
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val pdf = exp(az * az * lit(-0.5)) / lit(2.5066282746310002)
+    val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782)
+      + tt * (lit(1.781477937) + tt * (lit(-1.821255978)
+        + tt * lit(1.330274429)))))
+    val tests = g.crossJoin(broadcast(t))
+      .select(col("c_nationkey"), col("n").cast("long").as("n_orders"),
+        col("m"),
+        ((col("x") / col("n") - p0)
+          / sqrt(p0 * (lit(1.0) - p0) / col("n"))).as("z"),
+        (lit(2.0) * pdf * poly).as("p"))
+    val a = tests.as("a")
+    val b = tests.select(col("c_nationkey").as("bk"), col("p").as("bp")).as("b")
+    val ranked = a.join(broadcast(b),
+        col("bp") < col("p") ||
+          (col("bp") === col("p") && col("bk") <= col("c_nationkey")))
+      .groupBy("c_nationkey", "n_orders", "m", "z", "p")
+      .agg(count(lit(1)).cast("double").as("rank"))
+    val r2 = ranked.select(col("rank").as("rrank"),
+      (col("p") * col("m") / col("rank")).as("braw"))
+    ranked.join(broadcast(r2), col("rrank") >= col("rank"))
+      .groupBy("c_nationkey", "n_orders", "z", "p")
+      .agg(least(min("braw"), lit(1.0)).as("p_bh"))
+      .select(col("c_nationkey"), col("n_orders"),
+        scoreRound(col("z"), 6).as("z"),
+        scoreRound(col("p"), 6).as("p_raw"),
+        scoreRound(col("p_bh"), 6).as("p_bh"),
+        when(col("p_bh") <= 0.1, 1L).otherwise(0L).as("rejected"))
+      .orderBy("c_nationkey")
+  }
+  val fdrBhSql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN 1 ELSE 0 END) AS DOUBLE) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |t AS (SELECT sum(n) AS nn, sum(x) AS xx,
+      |  CAST(count(*) AS DOUBLE) AS m FROM g),
+      |tests AS (
+      |  SELECT c_nationkey, CAST(n AS BIGINT) AS n_orders, m,
+      |    (x/n - xx/nn) / sqrt(xx/nn * (1 - xx/nn) / n) AS z,
+      |    2.0 * (exp(-0.5 * ((abs((x/n - xx/nn)
+      |        / sqrt(xx/nn * (1 - xx/nn) / n))))
+      |        * (abs((x/n - xx/nn) / sqrt(xx/nn * (1 - xx/nn) / n))))
+      |      / 2.5066282746310002)
+      |      * ((1.0/(1.0 + 0.2316419 * abs((x/n - xx/nn)
+      |          / sqrt(xx/nn * (1 - xx/nn) / n))))
+      |        * (0.319381530 + (1.0/(1.0 + 0.2316419 * abs((x/n - xx/nn)
+      |            / sqrt(xx/nn * (1 - xx/nn) / n))))
+      |          * (-0.356563782 + (1.0/(1.0 + 0.2316419 * abs((x/n - xx/nn)
+      |              / sqrt(xx/nn * (1 - xx/nn) / n))))
+      |            * (1.781477937 + (1.0/(1.0 + 0.2316419 * abs((x/n - xx/nn)
+      |                / sqrt(xx/nn * (1 - xx/nn) / n))))
+      |              * (-1.821255978 + (1.0/(1.0 + 0.2316419
+      |                  * abs((x/n - xx/nn)
+      |                  / sqrt(xx/nn * (1 - xx/nn) / n))))
+      |                * 1.330274429))))) AS p
+      |  FROM g CROSS JOIN t),
+      |ranked AS (
+      |  SELECT a.c_nationkey, a.n_orders, a.m, a.z, a.p,
+      |    CAST(count(*) AS DOUBLE) AS rank
+      |  FROM tests a JOIN tests b
+      |    ON b.p < a.p OR (b.p = a.p AND b.c_nationkey <= a.c_nationkey)
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT a.c_nationkey, a.n_orders,
+      |  round(a.z, 6) + 0.0 AS z, round(a.p, 6) + 0.0 AS p_raw,
+      |  round(least(min(b.p * b.m / b.rank), 1.0), 6) + 0.0 AS p_bh,
+      |  CAST(CASE WHEN least(min(b.p * b.m / b.rank), 1.0) <= 0.1
+      |    THEN 1 ELSE 0 END AS BIGINT) AS rejected
+      |FROM ranked a JOIN ranked b ON b.rank >= a.rank
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+
+  /** Binned contingency table of (quantity, price bucket) — the shared
+    * reduction for both rank correlations below. Cell count is bounded
+    * by the bin grid (≤50 × ~20), independent of corpus size. */
+  private def qpCells(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") / 5000).cast("long").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+  private val qpCellsSql: String =
+    """cells AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice / 5000) AS BIGINT) AS y,
+      |    count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  /** Kendall τ-b between quantity and price bucket, exact on the
+    * binned data: concordant/discordant pair MASSES from the cell
+    * table's broadcast self-join (≤10⁶ cell pairs regardless of row
+    * count — the O(n log n)/O(n²) sequential algorithms don't
+    * distribute; the contingency form is the classical large-n route),
+    * tie corrections from the bin marginals. Counts stay integral
+    * (longs) until the final ratio. */
+  def xKendallTau(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = qpCells(spark, sfDir)
+    val b = cells.select(col("x").as("bx"), col("y").as("by"),
+      col("c").as("bc"))
+    val cd = cells.join(broadcast(b), col("x") < col("bx"))
+      .agg(
+        sum(when(col("y") < col("by"), col("c") * col("bc")).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("y") > col("by"), col("c") * col("bc")).otherwise(0L))
+          .as("discordant"))
+    val tx = cells.groupBy("x").agg(sum("c").as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("tx2")) // 2·n1
+    val ty = cells.groupBy("y").agg(sum("c").as("t"))
+      .agg(sum(col("t") * (col("t") - 1)).as("ty2")) // 2·n2
+    val n = cells.agg(sum("c").as("n"))
+    cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(n))
+      .select(col("n").as("n_rows"), col("concordant"), col("discordant"),
+        scoreRound(
+          (col("concordant") - col("discordant")).cast("double")
+            / sqrt(
+              (col("n").cast("double") * (col("n") - 1) / 2
+                - col("tx2").cast("double") / 2)
+                * (col("n").cast("double") * (col("n") - 1) / 2
+                  - col("ty2").cast("double") / 2)), 6).as("tau_b"))
+  }
+  val kendallSql: String =
+    s"""WITH $qpCellsSql,
+      |cd AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+      |      AS BIGINT) AS concordant,
+      |    CAST(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+      |      AS BIGINT) AS discordant
+      |  FROM cells a JOIN cells b ON a.x < b.x),
+      |tx AS (SELECT CAST(sum(t * (t - 1)) AS DOUBLE) AS tx2 FROM
+      |  (SELECT sum(c) AS t FROM cells GROUP BY x)),
+      |ty AS (SELECT CAST(sum(t * (t - 1)) AS DOUBLE) AS ty2 FROM
+      |  (SELECT sum(c) AS t FROM cells GROUP BY y)),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+      |SELECT n AS n_rows, concordant, discordant,
+      |  round(CAST(concordant - discordant AS DOUBLE)
+      |    / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - tx2 / 2)
+      |      * (CAST(n AS DOUBLE) * (n - 1) / 2 - ty2 / 2)), 6) + 0.0
+      |    AS tau_b
+      |FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN n""".stripMargin
+
+  /** Spearman ρ on the same binned pairs via MIDRANKS — the
+    * x_mann_whitney device applied to correlation: each bin's midrank
+    * comes from the marginal's cumulative count (computed by a
+    * broadcast self-join on the ≤50-row marginal, not a window), and ρ
+    * is the weighted Pearson correlation of the two midrank columns
+    * over the cell table. Exact for tied data (midranks ARE the
+    * average ranks), one fact-sized aggregation total. */
+  def xSpearmanBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = qpCells(spark, sfDir)
+    def midranks(marg: DataFrame, key: String): DataFrame = {
+      val b = marg.select(col(key).as("bk"), col("t").as("bt"))
+      marg.join(broadcast(b), col("bk") < col(key), "left")
+        .groupBy(col(key), col("t"))
+        .agg(coalesce(sum("bt"), lit(0L)).as("before"))
+        .select(col(key),
+          (col("before") + (col("t") + 1) / lit(2.0)).as(s"mid_$key"))
+    }
+    val mx = midranks(cells.groupBy("x").agg(sum("c").as("t")), "x")
+    val my = midranks(cells.groupBy("y").agg(sum("c").as("t")), "y")
+    cells.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .agg(sum("c").as("n"),
+        sum(col("c") * col("mid_x")).as("sx"),
+        sum(col("c") * col("mid_y")).as("sy"),
+        sum(col("c") * col("mid_x") * col("mid_x")).as("sxx"),
+        sum(col("c") * col("mid_y") * col("mid_y")).as("syy"),
+        sum(col("c") * col("mid_x") * col("mid_y")).as("sxy"))
+      .select(col("n").as("n_rows"),
+        scoreRound(
+          (col("sxy") - col("sx") * col("sy") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              * (col("syy") - col("sy") * col("sy") / col("n"))), 6)
+          .as("rho_spearman"))
+  }
+  val spearmanSql: String =
+    s"""WITH $qpCellsSql,
+      |mgx AS (SELECT x, sum(c) AS t FROM cells GROUP BY 1),
+      |mgy AS (SELECT y, sum(c) AS t FROM cells GROUP BY 1),
+      |mx AS (
+      |  SELECT a.x, coalesce(sum(b.t), 0) + (a.t + 1) / 2.0 AS mid_x
+      |  FROM mgx a LEFT JOIN mgx b ON b.x < a.x GROUP BY a.x, a.t),
+      |my AS (
+      |  SELECT a.y, coalesce(sum(b.t), 0) + (a.t + 1) / 2.0 AS mid_y
+      |  FROM mgy a LEFT JOIN mgy b ON b.y < a.y GROUP BY a.y, a.t)
+      |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+      |  round((sum(c * mid_x * mid_y)
+      |      - sum(c * mid_x) * sum(c * mid_y) / sum(c))
+      |    / sqrt((sum(c * mid_x * mid_x)
+      |        - sum(c * mid_x) * sum(c * mid_x) / sum(c))
+      |      * (sum(c * mid_y * mid_y)
+      |        - sum(c * mid_y) * sum(c * mid_y) / sum(c))), 6) + 0.0
+      |    AS rho_spearman
+      |FROM cells JOIN mx USING (x) JOIN my USING (y)""".stripMargin
+
+  /** Population stability index of the order-value distribution,
+    * reference period (≤1997) vs current (≥1998) — the standard model-
+    * monitoring drift score. Fixed value bins (never data-dependent
+    * quantiles: those re-rank the corpus), Laplace-smoothed shares so
+    * an empty bin contributes a finite term, per-bin contributions
+    * plus the total on every row. Two filtered aggregations of the
+    * fact table + a 10-row assembly. */
+  def xPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = Tables.orders(spark, sfDir)
+      .select(least(floor(col("o_totalprice") / 25000), lit(9))
+          .cast("long").as("bin"),
+        (year(col("o_orderdate")) <= 1997).as("is_ref"))
+    val r = binned.where(col("is_ref")).groupBy("bin")
+      .agg(count(lit(1)).as("n_ref"))
+    val c = binned.where(!col("is_ref")).groupBy("bin")
+      .agg(count(lit(1)).as("n_cur"))
+    val both = r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val t = both.agg(sum("n_ref").cast("double").as("tr"),
+      sum("n_cur").cast("double").as("tc"))
+    val pr = (col("n_ref") + lit(0.5)) / (col("tr") + lit(5.0))
+    val pc = (col("n_cur") + lit(0.5)) / (col("tc") + lit(5.0))
+    val terms = both.crossJoin(broadcast(t))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        ((pc - pr) * log(pc / pr)).as("term"))
+    val tot = terms.agg(sum("term").as("t_psi"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        scoreRound(col("term"), 6).as("psi_term"),
+        scoreRound(col("t_psi"), 6).as("psi_total"))
+      .orderBy("bin")
+  }
+  val psiSql: String =
+    """WITH b AS (
+      |  SELECT CAST(least(floor(o_totalprice / 25000), 9) AS BIGINT)
+      |      AS bin,
+      |    year(o_orderdate) <= 1997 AS is_ref
+      |  FROM orders),
+      |r AS (SELECT bin, count(*) AS n_ref FROM b WHERE is_ref GROUP BY 1),
+      |c AS (SELECT bin, count(*) AS n_cur FROM b WHERE NOT is_ref
+      |  GROUP BY 1),
+      |bc AS (
+      |  SELECT coalesce(r.bin, c.bin) AS bin,
+      |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      |  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+      |t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+      |  CAST(sum(n_cur) AS DOUBLE) AS tc FROM bc),
+      |terms AS (
+      |  SELECT bin, n_ref, n_cur,
+      |    ((n_cur + 0.5)/(tc + 5.0) - (n_ref + 0.5)/(tr + 5.0))
+      |      * ln(((n_cur + 0.5)/(tc + 5.0)) / ((n_ref + 0.5)/(tr + 5.0)))
+      |      AS term
+      |  FROM bc CROSS JOIN t)
+      |SELECT bin, n_ref, n_cur, round(term, 6) + 0.0 AS psi_term,
+      |  round((SELECT sum(term) FROM terms), 6) + 0.0 AS psi_total
+      |FROM terms ORDER BY bin""".stripMargin
+
+  /** Calibration (reliability) table for a probabilistic score — the
+    * audit every learned quality/toxicity filter needs before its
+    * threshold means anything: bin the score into 10 fixed buckets,
+    * compare mean predicted vs observed positive rate, carry the
+    * per-bin Brier contribution. Score = logistic of order value
+    * (deterministic; stands in for a model column), outcome =
+    * fulfilled status. One keyed aggregation. */
+  def xCalibrationBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.orders(spark, sfDir)
+      .select((lit(1.0) / (lit(1.0)
+          + exp((lit(150000.0) - col("o_totalprice")) / lit(50000.0))))
+          .as("score"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+    s.withColumn("bin", least(floor(col("score") * 10), lit(9))
+        .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        scoreRound(avg("score"), 6).as("mean_score"),
+        scoreRound(avg("y"), 6).as("frac_pos"),
+        scoreRound(avg((col("score") - col("y"))
+          * (col("score") - col("y"))), 6).as("brier"))
+      .orderBy("bin")
+  }
+  val calibrationSql: String =
+    """WITH s AS (
+      |  SELECT 1.0 / (1.0 + exp((150000.0 - o_totalprice) / 50000.0))
+      |      AS score,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM orders)
+      |SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |  count(*) AS n,
+      |  round(avg(score), 6) + 0.0 AS mean_score,
+      |  round(avg(y), 6) + 0.0 AS frac_pos,
+      |  round(avg((score - y) * (score - y)), 6) + 0.0 AS brier
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SAX symbolization (Lin/Keogh PAA + alphabet discretization) of
+    * each user's event-value series — the time-series indexing /
+    * motif-discovery primitive: the month is piecewise-aggregated into
+    * 5-day segments, each segment mean rounds to 6dp (the cross-engine
+    * contract) and discretizes against FIXED breakpoints into a 4-
+    * letter alphabet, and the word assembles per user via the sorted-
+    * collect pattern (A3), not an ordered string_agg window. One
+    * exchange on user_id; word length bounded by the calendar. */
+  def tsSax(spark: SparkSession, sfDir: String): DataFrame = {
+    val paa = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        // integral `div`, not `/` (double division) — the oracle's `//`
+        expr("CAST((dayofmonth(ts) - 1) AS BIGINT) div 5").as("seg"),
+        col("value"))
+      .groupBy("user_id", "seg")
+      .agg(scoreRound(avg("value"), 6).as("m"))
+    val sym = when(col("m") < 30.0, "a")
+      .when(col("m") < 50.0, "b")
+      .when(col("m") < 75.0, "c")
+      .otherwise("d")
+    paa.select(col("user_id"), struct(col("seg"), sym.as("s")).as("ss"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        array_join(expr("transform(array_sort(collect_list(ss)), p -> p.s)"),
+          "").as("sax_word"))
+      .orderBy("user_id")
+  }
+  val saxSql: String =
+    """WITH paa AS (
+      |  SELECT user_id,
+      |    CAST((date_part('day', CAST(ts AS TIMESTAMP)) - 1) // 5
+      |      AS BIGINT) AS seg,
+      |    round(avg(value), 6) + 0.0 AS m
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_segments,
+      |  string_agg(CASE WHEN m < 30.0 THEN 'a' WHEN m < 50.0 THEN 'b'
+      |    WHEN m < 75.0 THEN 'c' ELSE 'd' END, '' ORDER BY seg)
+      |    AS sax_word
+      |FROM paa GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- Holt linear (level + trend) smoothing, telescoped ------------
+  // The recursion l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+  // b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1} is linear and time-invariant:
+  // [l_t, b_t]ᵀ = M·[l_{t−1}, b_{t−1}]ᵀ + v·x_t with
+  // M = [[1−α, 1−α], [−αβ, 1−αβ]], v = [α, αβ] — so the state is an
+  // EXACT weighted sum of lags, s_t = Σ_j (Mʲv)·x_{t−j}, truncated at
+  // K=8 (spectral radius ≈ 0.7 ⇒ <5% residual weight, the ts_ewma
+  // truncation precedent). The weights are machine doubles computed
+  // once here and injected into BOTH engines via shortest-roundtrip
+  // literals, so the arithmetic is identical cross-engine.
+  private val holtK = 8
+  private[graft] val holtWeights: Seq[(Double, Double)] = {
+    val a = 0.5; val b = 0.3
+    val m = Array(Array(1 - a, 1 - a), Array(-a * b, 1 - a * b))
+    var cur = Array(a, a * b) // M⁰·v
+    (0 to holtK).map { _ =>
+      val w = (cur(0), cur(1))
+      cur = Array(m(0)(0) * cur(0) + m(0)(1) * cur(1),
+        m(1)(0) * cur(0) + m(1)(1) * cur(1))
+      w
+    }
+  }
+
+  /** Holt linear-trend smoothing per user series: level, trend, and
+    * one-step forecast at each user's LAST event, from the telescoped
+    * lag weights above. One partitioned window per user (the ewma
+    * shape — a per-key ORDER BY, never a global sort). */
+  def tsHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    def weighted(pick: ((Double, Double)) => Double): Column =
+      holtWeights.zipWithIndex.map { case (wj, j) =>
+        coalesce(lag(col("value"), j).over(w), lit(0.0)) * lit(pick(wj))
+      }.reduceLeft(_ + _)
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("level", weighted(_._1))
+      .withColumn("trend", weighted(_._2))
+      .withColumn("rn", rn)
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        scoreRound(col("level"), 6).as("level"),
+        scoreRound(col("trend"), 6).as("trend"),
+        scoreRound(col("level") + col("trend"), 6).as("forecast_1"))
+      .orderBy("user_id")
+  }
+  val holtSql: String = {
+    def terms(pick: ((Double, Double)) => Double): String =
+      holtWeights.zipWithIndex.map { case (wj, j) =>
+        s"coalesce(lag(value, $j) OVER win, 0.0) * ${pick(wj)}"
+      }.mkString(" + ")
+    s"""SELECT user_id, event_id AS last_event_id,
+      |  round(${terms(_._1)}, 6) + 0.0 AS level,
+      |  round(${terms(_._2)}, 6) + 0.0 AS trend,
+      |  round((${terms(_._1)}) + (${terms(_._2)}), 6) + 0.0 AS forecast_1
+      |FROM events
+      |WINDOW win AS (PARTITION BY user_id
+      |  ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+  }
+
+  /** Stationary distribution of the next-event Markov chain (the
+    * x_next_event_markov transition matrix) by power iteration — the
+    * long-run visit profile behind "where do user journeys settle".
+    * The chain state space is the EVENT-TYPE vocabulary (bounded), so
+    * after one fact-sized pass builds the transition counts, each of
+    * the 6 iterations is a states²-row broadcast join — the PageRank
+    * loop shape collapsed onto a bounded graph, with the same
+    * checkpoint-reap lineage discipline. Mass lost to sink states is
+    * repaired by ONE final normalization (scalar factors telescope —
+    * the HITS lesson). */
+  def xMarkovStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = trans.groupBy("from_type").agg(sum("n").as("tot"))
+    val prob = trans.join(broadcast(rowTot), "from_type")
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / col("tot")).as("p"))
+    val states = prob.select(col("from_type").as("state"))
+      .union(prob.select(col("to_type"))).distinct()
+    val k = states.agg(count(lit(1)).cast("double").as("k"))
+    var pi = graft.core.Caching.reap(states.crossJoin(broadcast(k))
+      .select(col("state"), (lit(1.0) / col("k")).as("v")))
+    for (_ <- 1 to 6) {
+      val moved = pi.join(prob, pi("state") === prob("from_type"))
+        .groupBy(col("to_type").as("state"))
+        .agg(sum(col("v") * col("p")).as("v"))
+      pi = graft.core.Caching.reap(
+        states.join(moved, Seq("state"), "left")
+          .select(col("state"), coalesce(col("v"), lit(0.0)).as("v")))
+    }
+    val tot = pi.agg(sum("v").as("t"))
+    pi.crossJoin(broadcast(tot))
+      .select(col("state"), scoreRound(col("v") / col("t"), 6).as("pi"))
+      .orderBy("state")
+  }
+  val markovStationarySql: String = {
+    val step = (i: Int) =>
+      s"""p$i AS (
+        |  SELECT s.state, coalesce(x.v, 0.0) AS v FROM st s LEFT JOIN (
+        |    SELECT tp.to_type AS state, sum(p${i - 1}.v * tp.p) AS v
+        |    FROM p${i - 1} JOIN tp ON p${i - 1}.state = tp.from_type
+        |    GROUP BY 1) x USING (state))""".stripMargin
+    s"""WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1),
+      |tp AS (SELECT c.from_type, c.to_type,
+      |  CAST(n AS DOUBLE) / tot AS p FROM c JOIN rt USING (from_type)),
+      |st AS (SELECT from_type AS state FROM c
+      |  UNION SELECT to_type FROM c),
+      |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM st),
+      |p0 AS (SELECT state, 1.0 / k AS v FROM st CROSS JOIN kk),
+      |${(1 to 6).map(step).mkString(",\n")}
+      |SELECT state, round(v / (SELECT sum(v) FROM p6), 6) + 0.0 AS pi
+      |FROM p6 ORDER BY state""".stripMargin
+  }
+
+  /** Decile gains/lift table for the calibration score — the model-
+    * triage artifact ("the top decile captures X% of positives, lift
+    * Y×"). Exact deciles WITHOUT a global sort: one keyed aggregation
+    * to a ≤1000-row fine-bin histogram, integer prefix sums over that
+    * bin table assign each bin its decile by cumulative position
+    * (integral arithmetic — no fp boundary to disagree on), then a
+    * 10-row rollup. The two unpartitioned windows run over the bin
+    * table and the decile table (plan-bounded, whitelisted in
+    * WindowPartitionSpec). */
+  def xDecileLift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.orders(spark, sfDir)
+      .select((lit(1.0) / (lit(1.0)
+          + exp((lit(150000.0) - col("o_totalprice")) / lit(50000.0))))
+          .as("score"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val fine = s
+      .withColumn("fb", least(floor(col("score") * 1000), lit(999))
+        .cast("long"))
+      .groupBy("fb").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val wd = Window.orderBy(col("fb").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = fine.agg(sum("n").as("tn"), sum("pos").as("tp"))
+    val dec = fine
+      .withColumn("cum_n", sum("n").over(wd))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("((cum_n - 1) * 10) div tn"))
+      .groupBy("decile")
+      .agg(sum("n").as("n"), sum("pos").as("pos"),
+        max("tn").as("tn"), max("tp").as("tp"))
+    val wc = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.withColumn("cum_pos", sum("pos").over(wc))
+      .select(col("decile"), col("n"), col("pos"),
+        scoreRound(col("pos").cast("double") / col("n"), 6)
+          .as("response_rate"),
+        scoreRound((col("pos").cast("double") / col("n"))
+          / (col("tp").cast("double") / col("tn")), 6).as("lift"),
+        scoreRound(col("cum_pos").cast("double") / col("tp"), 6)
+          .as("cum_capture"))
+      .orderBy("decile")
+  }
+  val decileLiftSql: String =
+    """WITH s AS (
+      |  SELECT 1.0 / (1.0 + exp((150000.0 - o_totalprice) / 50000.0))
+      |      AS score,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |fine AS (
+      |  SELECT CAST(least(floor(score * 1000), 999) AS BIGINT) AS fb,
+      |    count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+      |  FROM s GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+      |  CAST(sum(pos) AS BIGINT) AS tp FROM fine),
+      |dec AS (
+      |  SELECT ((CAST(sum(n) OVER (ORDER BY fb DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - 1) * 10) // tn AS decile,
+      |    n, pos, tn, tp
+      |  FROM fine CROSS JOIN tot),
+      |g AS (
+      |  SELECT decile, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(pos) AS BIGINT) AS pos, max(tn) AS tn, max(tp) AS tp
+      |  FROM dec GROUP BY 1)
+      |SELECT decile, n, pos,
+      |  round(CAST(pos AS DOUBLE) / n, 6) + 0.0 AS response_rate,
+      |  round((CAST(pos AS DOUBLE) / n)
+      |    / (CAST(tp AS DOUBLE) / tn), 6) + 0.0 AS lift,
+      |  round(CAST(sum(pos) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / tp, 6) + 0.0 AS cum_capture
+      |FROM g ORDER BY decile""".stripMargin
+
+  /** Difference-in-differences estimator — the quasi-experimental
+    * causal workhorse when a holdout is assigned but the outcome also
+    * drifts over time: treated = deterministic hash-parity of the
+    * customer (the x_cuped/x_two_proportion_z arm convention), pre =
+    * 1995–96 spend, post = 1997–98 spend, DiD = (T_post − T_pre) −
+    * (C_post − C_pre) on per-customer means. One keyed pass to
+    * per-customer period sums, one 2×2 aggregation; counts exact,
+    * means rounded. */
+  def xDiffInDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.orders(spark, sfDir)
+      .where(year(col("o_orderdate")).between(1995, 1998))
+      .groupBy("o_custkey")
+      .agg(
+        sum(when(year(col("o_orderdate")) <= 1996, col("o_totalprice"))
+          .otherwise(lit(0.0))).as("pre"),
+        sum(when(year(col("o_orderdate")) >= 1997, col("o_totalprice"))
+          .otherwise(lit(0.0))).as("post"))
+      .withColumn("treated",
+        (graft.sketch.Sketches.hash60(col("o_custkey").cast("string")) % 2)
+          .cast("long"))
+    per.agg(
+        count(lit(1)).as("n_units"),
+        avg(when(col("treated") === 0, col("pre"))).as("c_pre"),
+        avg(when(col("treated") === 0, col("post"))).as("c_post"),
+        avg(when(col("treated") === 1, col("pre"))).as("t_pre"),
+        avg(when(col("treated") === 1, col("post"))).as("t_post"))
+      .select(col("n_units"),
+        scoreRound(col("c_pre"), 4).as("control_pre"),
+        scoreRound(col("c_post"), 4).as("control_post"),
+        scoreRound(col("t_pre"), 4).as("treated_pre"),
+        scoreRound(col("t_post"), 4).as("treated_post"),
+        scoreRound((col("t_post") - col("t_pre"))
+          - (col("c_post") - col("c_pre")), 4).as("did"))
+  }
+  val diffInDiffSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    sum(CASE WHEN year(o_orderdate) <= 1996
+      |      THEN o_totalprice ELSE 0.0 END) AS pre,
+      |    sum(CASE WHEN year(o_orderdate) >= 1997
+      |      THEN o_totalprice ELSE 0.0 END) AS post,
+      |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+      |      % 2 AS treated
+      |  FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1998
+      |  GROUP BY 1)
+      |SELECT count(*) AS n_units,
+      |  round(avg(CASE WHEN treated = 0 THEN pre END), 4) + 0.0
+      |    AS control_pre,
+      |  round(avg(CASE WHEN treated = 0 THEN post END), 4) + 0.0
+      |    AS control_post,
+      |  round(avg(CASE WHEN treated = 1 THEN pre END), 4) + 0.0
+      |    AS treated_pre,
+      |  round(avg(CASE WHEN treated = 1 THEN post END), 4) + 0.0
+      |    AS treated_post,
+      |  round((avg(CASE WHEN treated = 1 THEN post END)
+      |      - avg(CASE WHEN treated = 1 THEN pre END))
+      |    - (avg(CASE WHEN treated = 0 THEN post END)
+      |      - avg(CASE WHEN treated = 0 THEN pre END)), 4) + 0.0 AS did
+      |FROM per""".stripMargin
+
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-nation urgent-
+    * order rates — the estimator a segment dashboard should show
+    * instead of raw rates (a 40-order nation's 30% is mostly noise; a
+    * 4000-order nation's 30% is signal). Method-of-moments prior from
+    * the nation-level rate spread: m = mean(p̂ᵢ), prior strength
+    * M = m(1−m)/var(p̂ᵢ) − 1, shrunken p̃ᵢ = (xᵢ + M·m)/(nᵢ + M) —
+    * small groups pull to the prior, big groups keep their data. One
+    * keyed aggregation; the prior assembles on the 25-row group table
+    * via a broadcast 1-row moment frame. */
+  def xEbShrinkage(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .cast("double").as("x"))
+      .withColumn("p_raw", col("x") / col("n"))
+    val prior = g.agg(avg("p_raw").as("m"), var_pop("p_raw").as("v"))
+      .select(col("m"), (col("m") * (lit(1.0) - col("m")) / col("v")
+        - lit(1.0)).as("strength"))
+    g.crossJoin(broadcast(prior))
+      .select(col("c_nationkey"), col("n").cast("long").as("n_orders"),
+        scoreRound(col("p_raw"), 6).as("p_raw"),
+        scoreRound((col("x") + col("strength") * col("m"))
+          / (col("n") + col("strength")), 6).as("p_shrunk"),
+        scoreRound(col("strength"), 4).as("prior_strength"))
+      .orderBy("c_nationkey")
+  }
+  val ebShrinkageSql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN 1 ELSE 0 END) AS DOUBLE) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |r AS (SELECT c_nationkey, n, x, x / n AS p_raw FROM g),
+      |pr AS (SELECT avg(p_raw) AS m,
+      |  avg(p_raw) * (1.0 - avg(p_raw)) / var_pop(p_raw) - 1.0
+      |    AS strength
+      |  FROM r)
+      |SELECT c_nationkey, CAST(n AS BIGINT) AS n_orders,
+      |  round(p_raw, 6) + 0.0 AS p_raw,
+      |  round((x + strength * m) / (n + strength), 6) + 0.0 AS p_shrunk,
+      |  round(strength, 4) + 0.0 AS prior_strength
+      |FROM r CROSS JOIN pr ORDER BY c_nationkey""".stripMargin
+
+  // Shared two-sided normal p-value (A&S 26.2.17 polynomial Φ) — the
+  // x_fdr_bh machinery factored for reuse; both builders emit the
+  // IDENTICAL arithmetic so a gate can pair them safely.
+  private def normTwoSidedP(az: Column): Column = {
+    val tt = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val pdf = exp(az * az * lit(-0.5)) / lit(2.5066282746310002)
+    val poly = tt * (lit(0.319381530) + tt * (lit(-0.356563782)
+      + tt * (lit(1.781477937) + tt * (lit(-1.821255978)
+        + tt * lit(1.330274429)))))
+    lit(2.0) * pdf * poly
+  }
+  private def normTwoSidedPSql(az: String): String = {
+    val tt = s"(1.0 / (1.0 + 0.2316419 * ($az)))"
+    val pdf = s"(exp(($az) * ($az) * -0.5) / 2.5066282746310002)"
+    val poly = s"($tt * (0.319381530 + $tt * (-0.356563782 + $tt * " +
+      s"(1.781477937 + $tt * (-1.821255978 + $tt * 1.330274429)))))"
+    s"(2.0 * $pdf * $poly)"
+  }
+
+  /** Sample-ratio-mismatch check — the first thing a trustworthy
+    * experimentation pipeline runs on every assignment log: χ²(1df)
+    * of the observed arm split against the designed 50/50 (arm = the
+    * hash-parity convention shared with x_cuped/x_diff_in_diff). A
+    * p < 0.001 flag means the randomizer or the logging lost units
+    * and every downstream metric is suspect. One distinct-aggregate
+    * pass; all χ² algebra on exact integer counts. */
+  def xSrmCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val arms = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .select((graft.sketch.Sketches.hash60(col("user_id").cast("string"))
+        % 2).as("arm"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+    val chi = (col("n_a") - col("n_b")).cast("double") *
+      (col("n_a") - col("n_b")) / (col("n_a") + col("n_b"))
+    arms.select(col("n_a"), col("n_b"),
+      scoreRound(chi, 6).as("chi2"),
+      scoreRound(normTwoSidedP(sqrt(chi)), 6).as("p_value"),
+      when(normTwoSidedP(sqrt(chi)) < 0.001, 1L).otherwise(0L)
+        .as("srm_flag"))
+  }
+  val srmCheckSql: String = {
+    val chi = "(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b))"
+    val p = normTwoSidedPSql(s"sqrt($chi)")
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+      |arms AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+      |      1, 15))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM u)
+      |SELECT n_a, n_b, round($chi, 6) + 0.0 AS chi2,
+      |  round($p, 6) + 0.0 AS p_value,
+      |  CAST(CASE WHEN $p < 0.001 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+      |FROM arms""".stripMargin
+  }
+
+  /** Holdout backtest of the Holt forecaster: fit on every event but
+    * each user's LAST, forecast one step, score against the held-out
+    * value — the evaluation loop that keeps a forecasting operator
+    * honest (MAE + sMAPE over users). Same telescoped weights; the
+    * train-set windows run over the rank-filtered frame on BOTH
+    * engines, so the fit sees identical histories. */
+  def tsForecastEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val base = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rnd", row_number().over(wDesc))
+    val train = base.where(col("rnd") >= 2)
+    val wAsc = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    def weighted(pick: ((Double, Double)) => Double): Column =
+      holtWeights.zipWithIndex.map { case (wj, j) =>
+        coalesce(lag(col("value"), j).over(wAsc), lit(0.0)) * lit(pick(wj))
+      }.reduceLeft(_ + _)
+    val fc = train
+      .withColumn("level", weighted(_._1))
+      .withColumn("trend", weighted(_._2))
+      .where(col("rnd") === 2)
+      .select(col("user_id"), (col("level") + col("trend")).as("f"))
+    val actual = base.where(col("rnd") === 1)
+      .select(col("user_id"), col("value").as("actual"))
+    fc.join(actual, "user_id")
+      .agg(count(lit(1)).as("n_users"),
+        scoreRound(avg(abs(col("f") - col("actual"))), 6).as("mae"),
+        scoreRound(avg(lit(2.0) * abs(col("f") - col("actual"))
+          / (abs(col("f")) + abs(col("actual")))), 6).as("smape"))
+  }
+  val forecastEvalSql: String = {
+    def terms(pick: ((Double, Double)) => Double): String =
+      holtWeights.zipWithIndex.map { case (wj, j) =>
+        s"coalesce(lag(value, $j) OVER win, 0.0) * ${pick(wj)}"
+      }.mkString(" + ")
+    s"""WITH b AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rnd
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, (${terms(_._1)}) + (${terms(_._2)}) AS f
+      |  FROM (SELECT * FROM b WHERE rnd >= 2)
+      |  WINDOW win AS (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |  QUALIFY rnd = 2),
+      |a AS (SELECT user_id, value AS actual FROM b WHERE rnd = 1)
+      |SELECT count(*) AS n_users,
+      |  round(avg(abs(f - actual)), 6) + 0.0 AS mae,
+      |  round(avg(2.0 * abs(f - actual) / (abs(f) + abs(actual))), 6)
+      |    + 0.0 AS smape
+      |FROM f JOIN a USING (user_id)""".stripMargin
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_anova_f" -> (xAnovaF _),
+    "x_mutual_info" -> (xMutualInfo _),
+    "x_fdr_bh" -> (xFdrBh _),
+    "x_kendall_tau" -> (xKendallTau _),
+    "x_spearman_binned" -> (xSpearmanBinned _),
+    "x_psi" -> (xPsi _),
+    "x_calibration_bins" -> (xCalibrationBins _),
+    "x_markov_stationary" -> (xMarkovStationary _),
+    "x_decile_lift" -> (xDecileLift _),
+    "x_diff_in_diff" -> (xDiffInDiff _),
+    "x_eb_shrinkage" -> (xEbShrinkage _),
+    "x_srm_check" -> (xSrmCheck _),
+    "ts_forecast_eval" -> (tsForecastEval _),
+    "ts_holt" -> (tsHolt _),
+    "ts_sax" -> (tsSax _))
+
+  def oracles: Map[String, String] = Map(
+    "x_anova_f" -> anovaSql,
+    "x_mutual_info" -> mutualInfoSql,
+    "x_fdr_bh" -> fdrBhSql,
+    "x_kendall_tau" -> kendallSql,
+    "x_spearman_binned" -> spearmanSql,
+    "x_psi" -> psiSql,
+    "x_calibration_bins" -> calibrationSql,
+    "x_markov_stationary" -> markovStationarySql,
+    "x_decile_lift" -> decileLiftSql,
+    "x_diff_in_diff" -> diffInDiffSql,
+    "x_eb_shrinkage" -> ebShrinkageSql,
+    "x_srm_check" -> srmCheckSql,
+    "ts_forecast_eval" -> forecastEvalSql,
+    "ts_holt" -> holtSql,
+    "ts_sax" -> saxSql)
+}

@@ -483,6 +483,53 @@ object TextQueries extends graft.QueryModule {
     * vocabulary-sized count joins, all broadcast. The oracle
     * recomputes unigram/bigram probabilities and the identical
     * double-arithmetic PMI expression in DuckDB. */
+  /** Dunning G² collocations over the corpus bigram stream — the
+    * evidence-weighted companion to text_pmi (see
+    * [[graft.text.Collocations.bigramLlr]] for the 2×2 contingency
+    * algebra and why G² doesn't share PMI's rare-pair bias). Same
+    * map-side expansion + vocabulary-sized broadcast assembly. */
+  def textCollocationsLlr(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.Collocations.bigramLlr(
+        Tables.documents(spark, sfDir), "text", minCount = 5)
+      .orderBy("a", "b")
+  val textCollocationsLlrSql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> x <> '') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT t[i] AS a, t[i + 1] AS b
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      |  WHERE len(t) >= 2),
+      |bc AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY 1, 2),
+      |ra AS (SELECT a, sum(cab) AS ca FROM bc GROUP BY 1),
+      |cb AS (SELECT b, sum(cab) AS cb FROM bc GROUP BY 1),
+      |nt AS (SELECT CAST(sum(cab) AS DOUBLE) AS n FROM bc)
+      |SELECT bc.a, bc.b, bc.cab,
+      |  round(2.0 * (
+      |    (CASE WHEN bc.cab > 0 THEN CAST(bc.cab AS DOUBLE)
+      |      * ln(CAST(bc.cab AS DOUBLE) * n
+      |        / (CAST(ca AS DOUBLE) * CAST(cb.cb AS DOUBLE)))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN ca - bc.cab > 0 THEN CAST(ca - bc.cab AS DOUBLE)
+      |      * ln(CAST(ca - bc.cab AS DOUBLE) * n
+      |        / (CAST(ca AS DOUBLE) * (n - CAST(cb.cb AS DOUBLE))))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN cb.cb - bc.cab > 0
+      |      THEN CAST(cb.cb - bc.cab AS DOUBLE)
+      |      * ln(CAST(cb.cb - bc.cab AS DOUBLE) * n
+      |        / ((n - CAST(ca AS DOUBLE)) * CAST(cb.cb AS DOUBLE)))
+      |      ELSE 0.0 END)
+      |    + (CASE WHEN n - ca - cb.cb + bc.cab > 0
+      |      THEN (n - ca - cb.cb + bc.cab)
+      |      * ln((n - ca - cb.cb + bc.cab) * n
+      |        / ((n - CAST(ca AS DOUBLE)) * (n - CAST(cb.cb AS DOUBLE))))
+      |      ELSE 0.0 END)), 4) + 0.0 AS llr
+      |FROM bc JOIN ra ON bc.a = ra.a JOIN cb ON bc.b = cb.b
+      |CROSS JOIN nt
+      |WHERE bc.cab >= 5 ORDER BY bc.a, bc.b""".stripMargin
+
   def textPmi(spark: SparkSession, sfDir: String): DataFrame =
     graft.text.Collocations.bigramPmi(
         Tables.documents(spark, sfDir), "text", minCount = 5)
@@ -1556,6 +1603,7 @@ object TextQueries extends graft.QueryModule {
     "mm_phash_neardup" -> (mmPhashNeardup _),
     "text_bpe_pairs" -> (textBpePairs _),
     "text_pmi" -> (textPmi _),
+    "text_collocations_llr" -> (textCollocationsLlr _),
     "text_gopher_rules" -> (textGopherRules _),
     "profile_stats" -> (profileStats _),
     "profile_moments" -> (profileMoments _),
@@ -1607,6 +1655,7 @@ object TextQueries extends graft.QueryModule {
     "mm_phash_neardup" -> mmPhashSql,
     "text_bpe_pairs" -> bpePairsSql,
     "text_pmi" -> textPmiSql,
+    "text_collocations_llr" -> textCollocationsLlrSql,
     "text_gopher_rules" -> gopherSql,
     "profile_stats" -> profileSql,
     "profile_moments" -> profileMomentsSql,

@@ -55,4 +55,51 @@ object Collocations {
           log(d(col("cab")) * col("n1") * col("n1") /
             (d(col("ca")) * d(col("cb")) * col("n2"))), 4).as("pmi"))
   }
+
+  /** Dunning log-likelihood-ratio (G²) collocations — the measure that
+    * fixes PMI's low-frequency bias (PMI ranks a pair seen twice in two
+    * chances at the top; G² weights the evidence, so "of the" scores on
+    * mass and a 2-count fluke doesn't). Per bigram (a, b), the 2×2
+    * contingency over the bigram stream:
+    * k11 = c(ab), k12 = c(a·)−c(ab), k21 = c(·b)−c(ab),
+    * k22 = N−k11−k12−k21, and G² = 2·Σ kᵢⱼ·ln(kᵢⱼ·N / (rowᵢ·colⱼ))
+    * with the 0·ln 0 = 0 convention.
+    *
+    * Same scale shape as [[bigramPmi]]: map-side pair expansion, the
+    * marginals c(a·)/c(·b) re-aggregate the PAIR table (vocabulary-
+    * sized), broadcast joins assemble the cells. All counts stay
+    * integral until the final log. */
+  def bigramLlr(docs: DataFrame, textCol: String,
+                minCount: Long): DataFrame = {
+    val pairs = docs.select(
+        expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')")
+          .as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val ra = cab.groupBy("a").agg(sum("cab").as("ca"))
+    val cb = cab.groupBy("b").agg(sum("cab").as("cb"))
+    val n = cab.agg(sum("cab").cast("double").as("n"))
+    def d(c: Column): Column = c.cast("double")
+    def term(k: Column, row: Column, colm: Column, nn: Column): Column =
+      when(k > 0, d(k) * log(d(k) * nn / (d(row) * d(colm))))
+        .otherwise(lit(0.0))
+    cab.where(col("cab") >= minCount)
+      .join(broadcast(ra), "a").join(broadcast(cb), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab"),
+        graft.functions.ScoreFns.scoreRound(lit(2.0) * (
+          term(col("cab"), col("ca"), col("cb"), col("n"))
+            + term(col("ca") - col("cab"), col("ca"),
+              col("n") - col("cb"), col("n"))
+            + term(col("cb") - col("cab"), col("n") - col("ca"),
+              col("cb"), col("n"))
+            + term(col("n") - col("ca") - col("cb") + col("cab"),
+              col("n") - col("ca"), col("n") - col("cb"), col("n"))),
+          4).as("llr"))
+  }
 }

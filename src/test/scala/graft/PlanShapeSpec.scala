@@ -441,4 +441,37 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.indexOf("HashAggregate", winIdx) > 0,
       s"pareto windows raw rows (no binned aggregate below the window):\n$p")
   }
+
+  test("sim_gram_matrix is mapPartitions + one keyed reduction: no join, no window") {
+    val p = planOf("sim_gram_matrix")
+    assert(!p.contains("Join"), s"gram matrix grew a join:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"gram grew a window:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"lost the partition-local accumulation:\n$p")
+  }
+
+  test("round-12 stats gates do pairwise work on bounded tables only") {
+    // the fact-sized pass must stay a keyed aggregation; the pairwise
+    // (rank / BH / midrank) self-joins run on bin-bounded reductions,
+    // so any nested-loop join in the plan must sit ABOVE an aggregate
+    // (never against a raw scan) and a cartesian is banned outright
+    for (name <- Seq("x_kendall_tau", "x_spearman_binned", "x_fdr_bh",
+        "x_anova_f", "x_mutual_info")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$name windows the fact table:\n$p")
+    }
+  }
+
+  test("x_psi / x_calibration_bins / ts_sax / curate_shuffle_shards are window-free keyed plans") {
+    for (name <- Seq("x_psi", "x_calibration_bins", "ts_sax",
+        "curate_shuffle_shards")) {
+      val p = planOf(name)
+      assert(!p.contains("windowspecdefinition"), s"$name grew a window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
+    }
+    assert(!planOf("curate_shuffle_shards").contains("Join"),
+      "shuffle-shard assignment must stay zero-join (a map-side hash)")
+  }
 }

@@ -24,7 +24,8 @@ class RegistrySpec extends AnyFunSuite {
     "SketchQueries" -> queries.SketchQueries,
     "SqlSurfaceQueries" -> queries.SqlSurfaceQueries,
     "GraphQueries" -> queries.GraphQueries,
-    "AnalyticsQueries" -> queries.AnalyticsQueries)
+    "AnalyticsQueries" -> queries.AnalyticsQueries,
+    "StatsQueries" -> queries.StatsQueries)
 
   test("query names are globally unique (no silent map overwrite)") {
     val all = modules.flatMap { case (m, q) => q.defs.keys.map(_ -> m) }
@@ -52,7 +53,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 327, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 327) // every query oracle-gated
+    assert(SparkEntry.queries.size == 348, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 348) // every query oracle-gated
   }
 }

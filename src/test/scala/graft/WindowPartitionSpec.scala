@@ -27,13 +27,15 @@ import graft.core.GraftSession
   *  - x_survival_km      — per-distinct-duration life table (bounded
   *                         by the horizon in days).
   *  - x_mann_whitney     — ≤1024-row price-bin midrank prefix sums.
+  *  - x_decile_lift      — ≤1000-row fine-bin prefix sums + the
+  *                         10-row decile rollup.
   */
 class WindowPartitionSpec extends SparkSpecBase {
 
   private val whitelist = Set(
     "sim_hybrid_rrf", "sql_null_ordering", "ts_changepoint",
     "x_auc_roc", "x_ks_binned", "x_pareto_curve", "x_runs_test",
-    "x_survival_km", "x_mann_whitney")
+    "x_survival_km", "x_mann_whitney", "x_decile_lift")
 
   test("every unpartitioned window in the registry is whitelisted as plan-bounded") {
     GraftSession.tune(spark)
