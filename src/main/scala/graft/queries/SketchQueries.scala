@@ -252,7 +252,78 @@ object SketchQueries extends QueryModule {
       |FROM est CROSS JOIN x""".stripMargin
   }
 
+  /** Grouped HLL + union-by-merge — the warehouse shape: per-source
+    * distinct-document sketches from ONE keyed pass, and the global
+    * estimate obtained by MERGING the per-source registers (max per
+    * bucket), never re-scanning the corpus. The output pairs every
+    * estimate with its exact count, and the '__all' row pins the
+    * mergeability contract end-to-end (sketch of union = max of
+    * sketches — the property that lets 1000 shards combine on one
+    * reducer). */
+  def hllGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sketch.Hll
+    val docs = Tables.documents(spark, sfDir)
+    val regs = Hll.groupedRegisters(docs, col("source"), col("text"))
+    val per = Hll.groupedEstimate(regs)
+    val merged = Hll.estimate(
+        regs.groupBy("bucket").agg(max("maxrho").as("maxrho")))
+      .select(lit("__all").as("g"), col("n_estimate"), col("v_empty"))
+    val exactPer = docs.groupBy(col("source").as("g"))
+      .agg(countDistinct("text").as("n_exact"))
+    val exactAll = docs.agg(countDistinct("text").as("n_exact"))
+      .select(lit("__all").as("g"), col("n_exact"))
+    per.unionByName(merged)
+      .join(exactPer.unionByName(exactAll), "g")
+      .select(col("g").as("source"), col("n_exact"),
+        graft.functions.ScoreFns.scoreRound(col("n_estimate"), 4)
+          .as("hll_estimate"),
+        graft.functions.ScoreFns.scoreRound(
+          lit(100.0) * (col("n_estimate") - col("n_exact"))
+            / col("n_exact"), 4).as("err_pct"))
+      .orderBy("source")
+  }
+  val hllGroupsSql: String = {
+    val w = 281474976710656L
+    val s49 = 562949953421312L
+    val alpha = graft.sketch.Hll.Alpha
+    val p73 = math.pow(2.0, 73)
+    s"""WITH h AS (
+      |  SELECT source AS g,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |r AS (SELECT g, h // $w AS bucket, h % $w AS w FROM h),
+      |rh AS (SELECT g, bucket, CASE WHEN w = 0 THEN 49
+      |  ELSE 49 - length(bin(w)) END AS rho FROM r),
+      |regs AS (SELECT g, bucket, max(rho) AS maxrho FROM rh
+      |  GROUP BY 1, 2),
+      |allregs AS (SELECT '__all' AS g, bucket, max(maxrho) AS maxrho
+      |  FROM regs GROUP BY 2),
+      |u AS (SELECT * FROM regs UNION ALL SELECT * FROM allregs),
+      |a AS (SELECT g, count(*) AS mp,
+      |  CAST(sum(1::BIGINT << (49 - maxrho)) AS BIGINT) AS sp
+      |  FROM u GROUP BY 1),
+      |e AS (SELECT g, (4096 - mp) AS v,
+      |  CAST(sp + (4096 - mp) * $s49 AS DOUBLE) AS s FROM a),
+      |est AS (SELECT g,
+      |  CASE WHEN $alpha * $p73 / s <= ${2.5 * graft.sketch.Hll.M}
+      |      AND v > 0
+      |    THEN 4096.0 * ln(4096.0 / v)
+      |    ELSE $alpha * $p73 / s END AS n_estimate
+      |  FROM e),
+      |x AS (
+      |  SELECT source AS g, count(DISTINCT text) AS n_exact
+      |  FROM documents GROUP BY 1
+      |  UNION ALL
+      |  SELECT '__all', count(DISTINCT text) FROM documents)
+      |SELECT est.g AS source, n_exact,
+      |  round(n_estimate, 4) + 0.0 AS hll_estimate,
+      |  round(100.0 * (n_estimate - n_exact) / n_exact, 4) + 0.0
+      |    AS err_pct
+      |FROM est JOIN x USING (g) ORDER BY source""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_groups" -> (hllGroups _),
     "sketch_hll_distinct" -> (hllDistinct _),
     "sketch_kmv_distinct" -> (kmvDistinct _),
     "sketch_corpus_overlap" -> (corpusOverlap _),
@@ -261,6 +332,7 @@ object SketchQueries extends QueryModule {
     "sketch_sampled_quantiles" -> (sampledQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "sketch_hll_groups" -> hllGroupsSql,
     "sketch_hll_distinct" -> hllSql,
     "sketch_kmv_distinct" -> kmvSql,
     "sketch_corpus_overlap" -> corpusOverlapSql,

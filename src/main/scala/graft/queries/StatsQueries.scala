@@ -553,21 +553,27 @@ object StatsQueries extends graft.QueryModule {
         col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
     val rowTot = trans.groupBy("from_type").agg(sum("n").as("tot"))
-    val prob = trans.join(broadcast(rowTot), "from_type")
-      .select(col("from_type"), col("to_type"),
-        (col("n").cast("double") / col("tot")).as("p"))
+    // ONE checkpoint: the fact-sized lead-window pass materializes
+    // once, and the 6 iterations below stay a LAZY chain of tiny
+    // joins against it (reaping every round cost 6 eager checkpoint
+    // actions — 4.3 s at sf0.1 for a states²-row loop; the lazy chain
+    // is one action and the plan depth is bounded by the fixed
+    // iteration count)
+    val prob = graft.core.Caching.reap(
+      trans.join(broadcast(rowTot), "from_type")
+        .select(col("from_type"), col("to_type"),
+          (col("n").cast("double") / col("tot")).as("p")))
     val states = prob.select(col("from_type").as("state"))
       .union(prob.select(col("to_type"))).distinct()
     val k = states.agg(count(lit(1)).cast("double").as("k"))
-    var pi = graft.core.Caching.reap(states.crossJoin(broadcast(k))
-      .select(col("state"), (lit(1.0) / col("k")).as("v")))
+    var pi = states.crossJoin(broadcast(k))
+      .select(col("state"), (lit(1.0) / col("k")).as("v"))
     for (_ <- 1 to 6) {
       val moved = pi.join(prob, pi("state") === prob("from_type"))
         .groupBy(col("to_type").as("state"))
         .agg(sum(col("v") * col("p")).as("v"))
-      pi = graft.core.Caching.reap(
-        states.join(moved, Seq("state"), "left")
-          .select(col("state"), coalesce(col("v"), lit(0.0)).as("v")))
+      pi = states.join(moved, Seq("state"), "left")
+        .select(col("state"), coalesce(col("v"), lit(0.0)).as("v"))
     }
     val tot = pi.agg(sum("v").as("t"))
     pi.crossJoin(broadcast(tot))
@@ -895,6 +901,60 @@ object StatsQueries extends graft.QueryModule {
       |FROM f JOIN a USING (user_id)""".stripMargin
   }
 
+  /** Classical additive decomposition of the daily event-value series:
+    * trend = centered 7-day moving average (interior days only — a
+    * partial window would bias the edges), seasonal = mean-centered
+    * day-of-week index of the detrended series, residual = the rest.
+    * The series frame is bounded by the calendar (the ts_changepoint
+    * whitelist class), so the ordered window is plan-bounded; the
+    * data-sized pass is the one daily aggregation. Day-of-week is
+    * aligned across engines (Spark 1=Sun..7; DuckDB 0=Sun..6 ⇒ +1 —
+    * the constant is per-engine, never copied). */
+  def tsDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(sum("value").as("x"))
+    val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    val interior = daily
+      .withColumn("trend", avg("x").over(w7))
+      .withColumn("cnt", count(lit(1)).over(w7))
+      .where(col("cnt") === 7)
+      .withColumn("det", col("x") - col("trend"))
+      .withColumn("dow", dayofweek(col("d")))
+    val sIdx = interior.groupBy("dow").agg(avg("det").as("s_raw"))
+    val sMean = sIdx.agg(avg("s_raw").as("sm"))
+    val seasonal = sIdx.crossJoin(broadcast(sMean))
+      .select(col("dow"), (col("s_raw") - col("sm")).as("seasonal"))
+    interior.join(broadcast(seasonal), "dow")
+      .select(col("d"),
+        scoreRound(col("x"), 6).as("x"),
+        scoreRound(col("trend"), 6).as("trend"),
+        scoreRound(col("seasonal"), 6).as("seasonal"),
+        scoreRound(col("det") - col("seasonal"), 6).as("residual"))
+      .orderBy("d")
+  }
+  val decomposeSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, sum(value) AS x
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT d, x, avg(x) OVER w7 AS trend, count(*) OVER w7 AS cnt,
+      |    dayofweek(d) + 1 AS dow
+      |  FROM daily
+      |  WINDOW w7 AS (ORDER BY d
+      |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |i AS (SELECT d, x, trend, dow, x - trend AS det FROM t
+      |  WHERE cnt = 7),
+      |si AS (SELECT dow, avg(det) AS s_raw FROM i GROUP BY 1),
+      |sm AS (SELECT avg(s_raw) AS sm FROM si),
+      |s AS (SELECT dow, s_raw - sm AS seasonal FROM si CROSS JOIN sm)
+      |SELECT i.d, round(i.x, 6) + 0.0 AS x,
+      |  round(i.trend, 6) + 0.0 AS trend,
+      |  round(s.seasonal, 6) + 0.0 AS seasonal,
+      |  round(i.det - s.seasonal, 6) + 0.0 AS residual
+      |FROM i JOIN s USING (dow) ORDER BY i.d""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_anova_f" -> (xAnovaF _),
     "x_mutual_info" -> (xMutualInfo _),
@@ -910,6 +970,7 @@ object StatsQueries extends graft.QueryModule {
     "x_srm_check" -> (xSrmCheck _),
     "ts_forecast_eval" -> (tsForecastEval _),
     "ts_holt" -> (tsHolt _),
+    "ts_decompose" -> (tsDecompose _),
     "ts_sax" -> (tsSax _))
 
   def oracles: Map[String, String] = Map(
@@ -927,5 +988,6 @@ object StatsQueries extends graft.QueryModule {
     "x_srm_check" -> srmCheckSql,
     "ts_forecast_eval" -> forecastEvalSql,
     "ts_holt" -> holtSql,
+    "ts_decompose" -> decomposeSql,
     "ts_sax" -> saxSql)
 }

@@ -39,6 +39,37 @@ object Hll {
           .otherwise(lit(49) - length(expr("bin(w)"))).as("rho"))
       .groupBy("bucket").agg(max("rho").as("maxrho"))
 
+  /** Per-group register table (group, bucket, maxrho) — one sketch per
+    * key of `groupCol`, all built in the single keyed aggregation. */
+  def groupedRegisters(df: DataFrame, groupCol: Column,
+                       valueCol: Column): DataFrame =
+    df.select(groupCol.as("g"), Sketches.hash60(valueCol).as("h"))
+      .select(col("g"), expr(s"h div $W").as("bucket"),
+        (col("h") % W).as("w"))
+      .select(col("g"), col("bucket"),
+        when(col("w") === 0, lit(49))
+          .otherwise(lit(49) - length(expr("bin(w)"))).as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").as("maxrho"))
+
+  /** Per-group estimates from a grouped register table:
+    * (g, n_estimate, v_empty) — the same algebra as [[estimate]],
+    * applied per key. */
+  def groupedEstimate(regs: DataFrame): DataFrame = {
+    val raw = lit(Alpha) * lit(math.pow(2.0, 73)) / col("s")
+    regs.groupBy("g")
+      .agg(count(lit(1)).as("mp"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - maxrho AS INT))"))
+          .as("sp"))
+      .select(col("g"), (lit(M.toLong) - col("mp")).as("v"),
+        (col("sp") + (lit(M.toLong) - col("mp")) * lit(S49))
+          .cast("double").as("s"))
+      .select(col("g"),
+        when(raw <= lit(2.5 * M) && col("v") > 0,
+          lit(M.toDouble) * log(lit(M.toDouble) / col("v")))
+          .otherwise(raw).as("n_estimate"),
+        col("v").as("v_empty"))
+  }
+
   /** One-row estimate from a register table: (n_estimate, v_empty). */
   def estimate(regs: DataFrame): DataFrame = {
     val raw = lit(Alpha) * lit(math.pow(2.0, 73)) / col("s") // α·m²·2⁴⁹/S

@@ -29,13 +29,16 @@ import graft.core.GraftSession
   *  - x_mann_whitney     — ≤1024-row price-bin midrank prefix sums.
   *  - x_decile_lift      — ≤1000-row fine-bin prefix sums + the
   *                         10-row decile rollup.
+  *  - ts_decompose       — centered-MA window over the daily series
+  *                         (≤ days-in-range rows).
   */
 class WindowPartitionSpec extends SparkSpecBase {
 
   private val whitelist = Set(
     "sim_hybrid_rrf", "sql_null_ordering", "ts_changepoint",
     "x_auc_roc", "x_ks_binned", "x_pareto_curve", "x_runs_test",
-    "x_survival_km", "x_mann_whitney", "x_decile_lift")
+    "x_survival_km", "x_mann_whitney", "x_decile_lift",
+    "ts_decompose")
 
   test("every unpartitioned window in the registry is whitelisted as plan-bounded") {
     GraftSession.tune(spark)
