@@ -955,6 +955,96 @@ object StatsQueries extends graft.QueryModule {
       |  round(i.det - s.seasonal, 6) + 0.0 AS residual
       |FROM i JOIN s USING (dow) ORDER BY i.d""".stripMargin
 
+  /** 2-D Pareto frontier (the SKYLINE operator) of customers over
+    * (order count, lifetime spend): the points no other customer
+    * dominates on both axes. The classic O(n²) dominance anti-join
+    * never touches the fact table here — one keyed aggregation reduces
+    * to per-customer points, a second to the (distinct x, max y)
+    * candidate table, which is BOUNDED by the distinct order counts
+    * (≤ dozens), and dominance resolves on that table via a broadcast
+    * self-join. Spend is carried as EXACT integer cents
+    * (round(price·100) summed as long) so the dominance comparisons
+    * can't flip on cross-engine double ulps — the same stay-integral
+    * rule as the decile prefix sums and the HLL denominator. */
+  def xSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val cand = per.groupBy("x").agg(max("cents").as("y"),
+      count(lit(1)).as("n_customers"))
+    val b = cand.select(col("x").as("bx"), col("y").as("by"))
+    cand.join(broadcast(b), col("bx") > col("x") && col("by") >= col("y"),
+        "left_anti")
+      .select(col("x").as("n_orders"), col("y").as("max_spend_cents"),
+        col("n_customers"))
+      .orderBy("n_orders")
+  }
+  val skylineSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, count(*) AS x,
+      |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |cand AS (SELECT x, max(cents) AS y, count(*) AS n_customers
+      |  FROM per GROUP BY 1)
+      |SELECT c.x AS n_orders, c.y AS max_spend_cents, c.n_customers
+      |FROM cand c
+      |WHERE NOT EXISTS (SELECT 1 FROM cand d
+      |  WHERE d.x > c.x AND d.y >= c.y)
+      |ORDER BY n_orders""".stripMargin
+
+  /** CUSUM control chart over the daily event-value series — the
+    * sequential drift detector (Page 1954) whose statistic is a
+    * genuinely ORDER-DEPENDENT recursion, C_t = max(0, C_{t−1} + x_t −
+    * k): the one shape the keyed-aggregation doctrine can't express.
+    * It runs as a recursive CTE (Spark 4 UnionLoop ↔ DuckDB WITH
+    * RECURSIVE, the SAME SQL text modulo nothing) over the
+    * calendar-BOUNDED daily frame, so the sequential chain is ≤31
+    * steps, never corpus-length — recursion is admissible exactly
+    * when its depth is plan-bounded. Both engines execute the
+    * identical IEEE op sequence, so the chain stays deterministic.
+    * Reference k = the series mean, alarm h = 2σ. */
+  def xCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir).createOrReplaceTempView("g_events_cusum")
+    spark.sql(
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, sum(value) AS x
+        |  FROM g_events_cusum GROUP BY CAST(ts AS DATE)),
+        |p AS (SELECT avg(x) AS k, 2 * stddev_pop(x) AS h FROM daily),
+        |n AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn
+        |  FROM daily),
+        |cus(rn, d, c) AS (
+        |  SELECT rn, d, greatest(0.0, x - (SELECT k FROM p))
+        |  FROM n WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.rn, n.d,
+        |    greatest(0.0, cus.c + n.x - (SELECT k FROM p))
+        |  FROM cus JOIN n ON n.rn = cus.rn + 1)
+        |SELECT d, round(c, 6) + 0.0 AS cusum,
+        |  CAST(CASE WHEN c > (SELECT h FROM p) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alarm
+        |FROM cus ORDER BY d""".stripMargin)
+  }
+  val cusumSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, sum(value) AS x
+      |  FROM events GROUP BY CAST(ts AS DATE)),
+      |p AS (SELECT avg(x) AS k, 2 * stddev_pop(x) AS h FROM daily),
+      |n AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn
+      |  FROM daily),
+      |cus(rn, d, c) AS (
+      |  SELECT rn, d, greatest(0.0, x - (SELECT k FROM p))
+      |  FROM n WHERE rn = 1
+      |  UNION ALL
+      |  SELECT n.rn, n.d,
+      |    greatest(0.0, cus.c + n.x - (SELECT k FROM p))
+      |  FROM cus JOIN n ON n.rn = cus.rn + 1)
+      |SELECT d, round(c, 6) + 0.0 AS cusum,
+      |  CAST(CASE WHEN c > (SELECT h FROM p) THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alarm
+      |FROM cus ORDER BY d""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_anova_f" -> (xAnovaF _),
     "x_mutual_info" -> (xMutualInfo _),
@@ -968,6 +1058,8 @@ object StatsQueries extends graft.QueryModule {
     "x_diff_in_diff" -> (xDiffInDiff _),
     "x_eb_shrinkage" -> (xEbShrinkage _),
     "x_srm_check" -> (xSrmCheck _),
+    "x_skyline" -> (xSkyline _),
+    "x_cusum" -> (xCusum _),
     "ts_forecast_eval" -> (tsForecastEval _),
     "ts_holt" -> (tsHolt _),
     "ts_decompose" -> (tsDecompose _),
@@ -986,6 +1078,8 @@ object StatsQueries extends graft.QueryModule {
     "x_diff_in_diff" -> diffInDiffSql,
     "x_eb_shrinkage" -> ebShrinkageSql,
     "x_srm_check" -> srmCheckSql,
+    "x_skyline" -> skylineSql,
+    "x_cusum" -> cusumSql,
     "ts_forecast_eval" -> forecastEvalSql,
     "ts_holt" -> holtSql,
     "ts_decompose" -> decomposeSql,

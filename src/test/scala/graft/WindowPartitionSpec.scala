@@ -31,6 +31,8 @@ import graft.core.GraftSession
   *                         10-row decile rollup.
   *  - ts_decompose       — centered-MA window over the daily series
   *                         (≤ days-in-range rows).
+  *  - x_cusum            — row_number over the ≤31-row daily frame
+  *                         feeding the bounded recursion.
   */
 class WindowPartitionSpec extends SparkSpecBase {
 
@@ -38,7 +40,7 @@ class WindowPartitionSpec extends SparkSpecBase {
     "sim_hybrid_rrf", "sql_null_ordering", "ts_changepoint",
     "x_auc_roc", "x_ks_binned", "x_pareto_curve", "x_runs_test",
     "x_survival_km", "x_mann_whitney", "x_decile_lift",
-    "ts_decompose")
+    "ts_decompose", "x_cusum")
 
   test("every unpartitioned window in the registry is whitelisted as plan-bounded") {
     GraftSession.tune(spark)
