@@ -31,8 +31,8 @@ import graft.core.GraftSession
   *                         10-row decile rollup.
   *  - ts_decompose       — centered-MA window over the daily series
   *                         (≤ days-in-range rows).
-  *  - x_cusum            — row_number over the ≤31-row daily frame
-  *                         feeding the bounded recursion.
+  *  - x_cusum            — prefix-sum/running-min windows over the
+  *                         ≤31-row daily frame (the telescoped form).
   */
 class WindowPartitionSpec extends SparkSpecBase {
 
