@@ -47,13 +47,44 @@ object Caching {
     * whose lineage references the checkpoint files only. */
   def reap(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val sc = result.sparkSession.sparkContext
+    ensureCheckpointDir(sc)
+    val out = result.checkpoint(eager = true)
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  private def ensureCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
     if (sc.getCheckpointDir.isEmpty) {
       val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-")
       ownedDirs.add(dir); hookInstalled
       sc.setCheckpointDir(dir.toString)
     }
-    val out = result.checkpoint(eager = true)
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
+
+  /** Scoped variant of [[reap]] for check-then-commit operators: the
+    * pin lives exactly as long as `body`. [[reap]]'s checkpoint files
+    * are reclaimed only at JVM shutdown, so a long-lived ingest
+    * session committing thousands of batches would accumulate one
+    * batch-sized scratch directory per commit with no reclamation
+    * until exit; here the scratch is deleted as soon as `body`
+    * returns. Implemented as a parquet spill under the checkpoint
+    * root — the files are OURS to name and delete deterministically
+    * (an RDD checkpoint's path is buried in Spark internals) — with
+    * the source schema re-applied on read so an all-empty batch still
+    * reads back as an empty frame instead of failing inference. Same
+    * once-evaluation guarantee as [[reap]]: every read inside `body`
+    * comes from the spilled files, never the source plan. */
+  def reapScoped[T](result: DataFrame)(body: DataFrame => T): T = {
+    val spark = result.sparkSession
+    val sc = spark.sparkContext
+    ensureCheckpointDir(sc)
+    val dir = new org.apache.hadoop.fs.Path(
+      sc.getCheckpointDir.get, s"pin-${java.util.UUID.randomUUID()}")
+    val fs = dir.getFileSystem(sc.hadoopConfiguration)
+    try {
+      result.write.mode("overwrite").parquet(dir.toString)
+      body(spark.read.schema(result.schema).parquet(dir.toString))
+    } finally {
+      try fs.delete(dir, true) catch { case _: Throwable => () }
+    }
   }
 }

@@ -168,6 +168,57 @@ object Sampling {
     withB.where(col("__b") > boundary).drop("__b").unionByName(edge)
   }
 
+  /** Weighted k-sampling WITHOUT replacement — the Efraimidis–Spirakis
+    * exponential-keys scheme (A-ES, "Weighted random sampling with a
+    * reservoir", IPL 97(5), 2006): each row draws a uniform
+    * u ∈ (0, 1] and keys on e = −ln(u)/w; the k SMALLEST keys are
+    * distributed exactly as sequential weighted sampling without
+    * replacement (each draw picks i with probability wᵢ/Σ remaining).
+    * The standard corpus-mixing primitive quota/temperature sampling
+    * doesn't cover: "give me k documents, inclusion biased by weight,
+    * reproducibly".
+    *
+    * Reproducible by construction: u comes from the salted 60-bit md5
+    * hash of the id ((h+1)/2^60, never 0), not rand() — the sample is
+    * a pure function of (id, salt), stable across runs, engines,
+    * cluster sizes and input order, and a different `salt` is an
+    * independent redraw. Keys are rounded to 10 decimals (ties broken
+    * by id) so a 1-ulp ln() divergence between engines can't flip the
+    * boundary.
+    *
+    * Scale shape: key assignment is a NARROW map (no shuffle, no
+    * global sort — the classic `ORDER BY key LIMIT k` spelling sorts
+    * the corpus); selection is one [[graft.plans.BoundedTopK]]
+    * aggregate — an O(k) heap per task that combines map-side, so the
+    * exchange carries numPartitions·k structs regardless of corpus
+    * size. Rows with null or non-positive weight are excluded (they
+    * have no sampling mass). Output: (rank, id, weight, key) for the
+    * k winners, rank 1 = smallest key. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "aes"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = graft.sketch.Sketches.hash60(
+      concat(lit(salt + ":"), col(idCol).cast("string")))
+    // (h+1)/2^60 ∈ (0,1]: h+1 exceeds double's 53-bit mantissa, but
+    // long→double is round-to-nearest IEEE on every engine, so both
+    // sides see the same u; 2^60 is a power of two (exact literal).
+    val u = (h.cast("double") + 1.0d) / 1.152921504606846976e18d
+    val key = graft.functions.ScoreFns.scoreRound(
+      -log(u) / col(weightCol).cast("double"), 10)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), key.as("__key"))
+      // largest (−key, −id) struct = smallest key, ties to smaller id;
+      // weight rides along as payload (never reached by the ordering:
+      // (key, id) is already unique)
+      .agg(graft.plans.BoundedTopK(
+        struct((-col("__key")).as("nk"), (-col(idCol)).as("nid"),
+          col(weightCol).as("w")), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "e")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        (-col("e.nid")).as(idCol), col("e.w").as(weightCol),
+        (-col("e.nk")).as("key"))
+  }
+
   /** Curriculum binning: order the corpus by a difficulty proxy
     * (ascending `orderCol`, ties broken by `idCol` for determinism)
     * and cut it into `nBins` contiguous rank bins — the easy→hard

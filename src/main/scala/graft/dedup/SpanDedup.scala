@@ -52,6 +52,54 @@ object SpanDedup {
       .agg(count(lit(1)).as("dup_spans"))
   }
 
+  /** MAXIMAL duplicated spans per document — the excision geometry of
+    * the Lee et al. exact-substring dedup (§4.1: every occurrence of a
+    * substring duplicated across documents is removed). A token
+    * belongs to the cut iff SOME W-token window covering it is
+    * cross-document duplicated; this computes the connected components
+    * of that token coverage as runs of window positions: two
+    * duplicated positions p < q merge iff q − p ≤ W (their token
+    * intervals [p, p+W) and [q, q+W) touch or overlap — equal window
+    * lengths make the classic running-max-of-end interval merge
+    * collapse to a lag gap test), and each maximal run [s, e] cuts
+    * exactly e + W − s contiguous tokens.
+    *
+    * Scale shape: the fingerprint exchanges are the [[dupSpanCounts]]
+    * ones (keyed on the 60-bit hash, AQE-skew-safe); the run merge
+    * adds ONE exchange keyed on the document id with lag/sum windows
+    * PARTITIONED by doc — window state is bounded by a single
+    * document's positions, never corpus-sized, so the suffix-array
+    * single-machine bottleneck of the reference algorithm never
+    * appears. Output: (idCol, start_win, last_win, n_windows,
+    * cut_tokens) per maximal run, window positions 0-based. */
+  def maximalDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int): DataFrame = {
+    val wins = windowHashes(docs, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val crossDoc = wins.select(col("wh"), col(idCol)).distinct()
+      .groupBy("wh").agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") > 1)
+      .select("wh")
+    val dupPos = wins.join(crossDoc, Seq("wh"))
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    dupPos
+      .withColumn("__prev", lag("pos", 1).over(byDoc))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("pos") - col("__prev") > w, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum("__new").over(byDoc
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("pos").as("start_win"), max("pos").as("last_win"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("start_win"), col("last_win"),
+        col("n_windows"),
+        (col("last_win") + w - col("start_win")).as("cut_tokens"))
+  }
+
   /** Document pairs sharing at least `minShared` distinct duplicated
     * spans — the candidate set for span-level excision or doc-level
     * drop policies. Pair formation is keyed on the fingerprint

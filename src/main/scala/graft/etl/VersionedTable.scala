@@ -779,11 +779,15 @@ object VersionedTable {
     * race: Spark caching is best-effort, and an evicted or lost block
     * recomputes from lineage — so a non-deterministic source could
     * still pass the check yet commit different rows under executor
-    * loss. A reliable checkpoint is the hard guarantee: every later
-    * read comes from the checkpoint files, never the source plan.
-    * Cost is one batch-sized scratch write per commit — the same
-    * price triStream pays for the same reason. */
-  private def pinned(df: DataFrame): DataFrame = graft.core.Caching.reap(df)
+    * loss. A file pin is the hard guarantee: every read inside `body`
+    * comes from the pinned files, never the source plan. Cost is one
+    * batch-sized scratch write per commit — the same price triStream
+    * pays for the same reason — and the scratch lives exactly as long
+    * as `body`: it is deleted when the commit completes, so a
+    * long-lived ingest session committing many batches never
+    * accumulates per-commit checkpoint directories. */
+  private def withPinned[T](df: DataFrame)(body: DataFrame => T): T =
+    graft.core.Caching.reapScoped(df)(body)
 
   /** CHECK-constrained upsert (the Delta-style table invariant):
     * the batch commits only if EVERY constraint holds on EVERY row —
@@ -794,16 +798,17 @@ object VersionedTable {
   def commitUpsertChecked(spark: SparkSession, root: String,
       updates: DataFrame, constraints: Seq[(String, String)])
       : Either[Array[org.apache.spark.sql.Row], Long] = {
-    // Checkpointed so the constraint scan and the commit see ONE
+    // Pinned so the constraint scan and the commit see ONE
     // evaluation of the batch: without it a non-deterministic or
     // concurrently-changing source could pass the check yet commit
     // different rows — the double-evaluation race commitUpsertIfNewer/
-    // commitScd2 also close (see pinned()).
-    val batch = pinned(updates)
-    val report = constraintViolations(batch, constraints)
-      .orderBy("constraint_name").collect()
-    if (report.exists(_.getAs[Long]("n_violations") > 0L)) Left(report)
-    else Right(commitUpsert(spark, root, batch))
+    // commitScd2 also close (see withPinned()).
+    withPinned(updates) { batch =>
+      val report = constraintViolations(batch, constraints)
+        .orderBy("constraint_name").collect()
+      if (report.exists(_.getAs[Long]("n_violations") > 0L)) Left(report)
+      else Right(commitUpsert(spark, root, batch))
+    }
   }
 
   /** Conditional MERGE for out-of-order feeds (`WHEN MATCHED AND
@@ -825,15 +830,17 @@ object VersionedTable {
                           ordCol: String): Long = {
     val live = readLatest(spark, root, keyCols)
       .select((keyCols.map(col) :+ col(ordCol).as("__live_ord")): _*)
-    // Checkpointed so the batch-vs-table join evaluates ONCE: without it
+    // Pinned so the batch-vs-table join evaluates ONCE: without it
     // the emptiness probe and the commit re-run the join against the LIVE
     // state, and a concurrent writer landing between the two evaluations
-    // would make the committed set differ from the checked set (pinned()).
-    val survivors = pinned(updates.join(live, keyCols, "left_outer")
+    // would make the committed set differ from the checked set
+    // (withPinned()).
+    withPinned(updates.join(live, keyCols, "left_outer")
       .where(col("__live_ord").isNull || col(ordCol) > col("__live_ord"))
-      .drop("__live_ord"))
-    if (survivors.isEmpty) versions(spark, root).last
-    else commitUpsert(spark, root, survivors)
+      .drop("__live_ord")) { survivors =>
+      if (survivors.isEmpty) versions(spark, root).last
+      else commitUpsert(spark, root, survivors)
+    }
   }
 
   /** SCD2 MERGE (the type-2 slowly-changing-dimension maintenance
@@ -879,11 +886,12 @@ object VersionedTable {
         :+ col("__live_from").as("valid_from")
         :+ col(ordCol).as("valid_to")
         :+ lit(false).as("is_current"): _*)
-    // Checkpointed: the emptiness probe and the commit must see ONE
-    // evaluation of the delta (see pinned()).
-    val delta = pinned(opens.unionByName(closes))
-    if (delta.isEmpty) versions(spark, root).last
-    else commitUpsert(spark, root, delta)
+    // Pinned: the emptiness probe and the commit must see ONE
+    // evaluation of the delta (see withPinned()).
+    withPinned(opens.unionByName(closes)) { delta =>
+      if (delta.isEmpty) versions(spark, root).last
+      else commitUpsert(spark, root, delta)
+    }
   }
 
   /** Append a delete commit: `keys` holds the key columns only; payload
@@ -910,23 +918,24 @@ object VersionedTable {
     * delta write — the table is read, never rewritten. */
   def commitSync(spark: SparkSession, root: String, source: DataFrame,
                  keyCols: Seq[String]): Long = {
-    // Checkpointed so the tombstone anti-join and the write see ONE
+    // Pinned so the tombstone anti-join and the write see ONE
     // evaluation of the source: a key present in the first evaluation
     // but absent from the second would be neither tombstoned nor
     // written — leaving a stale live row that violates the "state
-    // equals source" contract (see pinned()).
-    val src = pinned(source)
-    val gone = readLatest(spark, root, keyCols)
-      .select(keyCols.map(col): _*)
-      .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val tomb = src.schema.fields.foldLeft(gone) { (df, f) =>
-        if (keyCols.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }.select(src.schema.fieldNames.map(col): _*)
-      .withColumn(Deleted, lit(true))
-    write(spark, root,
-      src.withColumn(Deleted, lit(false)).unionByName(tomb),
-      snapshot = false)
+    // equals source" contract (see withPinned()).
+    withPinned(source) { src =>
+      val gone = readLatest(spark, root, keyCols)
+        .select(keyCols.map(col): _*)
+        .join(src.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val tomb = src.schema.fields.foldLeft(gone) { (df, f) =>
+          if (keyCols.contains(f.name)) df
+          else df.withColumn(f.name, lit(null).cast(f.dataType))
+        }.select(src.schema.fieldNames.map(col): _*)
+        .withColumn(Deleted, lit(true))
+      write(spark, root,
+        src.withColumn(Deleted, lit(false)).unionByName(tomb),
+        snapshot = false)
+    }
   }
 
   /** Predicate-scoped atomic overwrite (Delta's `INSERT OVERWRITE ...
@@ -947,32 +956,33 @@ object VersionedTable {
   def commitReplaceWhere(spark: SparkSession, root: String,
                          keyCols: Seq[String], column: String,
                          lo: Any, hi: Any, replacement: DataFrame): Long = {
-    // Checkpointed so the range guard, the tombstone anti-join, and
+    // Pinned so the range guard, the tombstone anti-join, and
     // the write see ONE evaluation of the replacement — separate
     // evaluations of a non-deterministic batch could pass the guard
-    // yet commit rows outside the range (see pinned()).
-    val repl = pinned(replacement)
-    // NULL range values must be REJECTED, not smuggled: a NULL fails
-    // both `between` and its negation, so the naive `!between` guard
-    // would pass rows that the range contract can never expose to
-    // readers (Delta rejects them too). coalesce(…, false) turns
-    // NULL into "outside".
-    require(repl
-      .where(!coalesce(col(column).between(lit(lo), lit(hi)), lit(false)))
-      .isEmpty,
-      s"replacement rows fall outside (or NULL in) $column in [$lo, $hi]")
-    val affected = readAsOfRange(spark, root, keyCols,
-      versions(spark, root).last, column, lo, hi)
-    val gone = affected.select(keyCols.map(col): _*)
-      .join(repl.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val tomb = repl.schema.fields.foldLeft(gone) { (df, f) =>
-        if (keyCols.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }.select(repl.schema.fieldNames.map(col): _*)
-      .withColumn(Deleted, lit(true))
-    write(spark, root,
-      repl.withColumn(Deleted, lit(false)).unionByName(tomb),
-      snapshot = false)
+    // yet commit rows outside the range (see withPinned()).
+    withPinned(replacement) { repl =>
+      // NULL range values must be REJECTED, not smuggled: a NULL fails
+      // both `between` and its negation, so the naive `!between` guard
+      // would pass rows that the range contract can never expose to
+      // readers (Delta rejects them too). coalesce(…, false) turns
+      // NULL into "outside".
+      require(repl
+        .where(!coalesce(col(column).between(lit(lo), lit(hi)), lit(false)))
+        .isEmpty,
+        s"replacement rows fall outside (or NULL in) $column in [$lo, $hi]")
+      val affected = readAsOfRange(spark, root, keyCols,
+        versions(spark, root).last, column, lo, hi)
+      val gone = affected.select(keyCols.map(col): _*)
+        .join(repl.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val tomb = repl.schema.fields.foldLeft(gone) { (df, f) =>
+          if (keyCols.contains(f.name)) df
+          else df.withColumn(f.name, lit(null).cast(f.dataType))
+        }.select(repl.schema.fieldNames.map(col): _*)
+        .withColumn(Deleted, lit(true))
+      write(spark, root,
+        repl.withColumn(Deleted, lit(false)).unionByName(tomb),
+        snapshot = false)
+    }
   }
 
   /** Snapshot state as of version `asOf` (newest-per-key wins,

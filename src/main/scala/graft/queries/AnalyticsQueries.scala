@@ -12,7 +12,7 @@ import graft.core.Tables
   * dimension-history construction. Every operator is a single-shuffle
   * keyed plan (one hash exchange on the entity key serves its windows)
   * and every oracle replays the identical arithmetic, per the
-  * cross-engine pitfalls in .claude/skills/verify/SKILL.md. */
+  * cross-engine pitfalls catalogued in docs/SCALE.md. */
 object AnalyticsQueries extends graft.QueryModule {
 
   /** Merge overlapping activity intervals per user (gaps-and-islands):

@@ -739,7 +739,40 @@ object CurateQueries extends graft.QueryModule {
       |  CAST(sum(h % 1000003) AS BIGINT) AS h_checksum
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Weighted k-sampling without replacement (Efraimidis–Spirakis
+    * A-ES exponential keys — see [[graft.curate.Sampling.weightedSample]]
+    * for the distribution argument): 100 documents sampled with
+    * inclusion biased by n_chars, reproducible as a pure function of
+    * (doc_id, salt). No global sort anywhere: key assignment is a
+    * narrow map and selection is the O(k)-heap BoundedTopK aggregate
+    * (pinned in PlanShapeSpec); the oracle replays the identical
+    * hash → uniform → −ln(u)/w arithmetic and takes the same 100
+    * smallest keys with the engine-cheap ORDER BY … LIMIT spelling —
+    * affordable at oracle scale, the exact spelling the operator
+    * avoids at corpus scale. Keys rounded to 10 decimals on BOTH
+    * engines before ranking so a 1-ulp ln() divergence can't flip the
+    * selection boundary. */
+  def curateWeightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.curate.Sampling.weightedSample(
+        Tables.documents(spark, sfDir), "doc_id", "n_chars", k = 100)
+      .withColumnRenamed("n_chars", "weight")
+      .orderBy("rank")
+  val weightedSampleSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, n_chars AS weight,
+      |    round(-ln((CAST(('0x' || substr(md5('aes:'
+      |          || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+      |          + 1.0) / 1152921504606846976.0)
+      |      / CAST(n_chars AS DOUBLE), 10) + 0.0 AS key
+      |  FROM documents
+      |  WHERE n_chars IS NOT NULL AND n_chars > 0)
+      |SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)
+      |    AS rank,
+      |  doc_id, weight, key
+      |FROM k ORDER BY key, doc_id LIMIT 100""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_weighted_sample" -> (curateWeightedSample _),
     "curate_shuffle_shards" -> (curateShuffleShards _),
     "curate_temperature_mix" -> (curateTemperatureMix _),
     "curate_winsorize" -> (curateWinsorize _),
@@ -762,6 +795,7 @@ object CurateQueries extends graft.QueryModule {
     "curate_pack" -> (curatePack _))
 
   def oracles: Map[String, String] = Map(
+    "curate_weighted_sample" -> weightedSampleSql,
     "curate_shuffle_shards" -> shuffleShardsSql,
     "curate_temperature_mix" -> temperatureMixSql,
     "curate_winsorize" -> winsorizeSql,

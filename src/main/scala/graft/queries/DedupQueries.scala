@@ -559,6 +559,51 @@ object DedupQueries extends graft.QueryModule {
        |FROM ws w JOIN cross_doc USING (wh)
        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
+  /** Distributed exact-substring span dedup (Lee et al. 2021 §4.1,
+    * the training-data ExactSubstr workload): the MAXIMAL duplicated
+    * spans to excise from each document, as runs of cross-document-
+    * duplicated 8-token window positions merged on token-interval
+    * overlap (gap ≤ W) — see [[graft.dedup.SpanDedup.maximalDupSpans]]
+    * for why the run merge costs one doc-keyed exchange with
+    * doc-bounded window state instead of the reference algorithm's
+    * single-machine suffix array. The oracle replays fingerprint →
+    * cross-doc filter → lag-gap islands → run aggregate exactly
+    * (positions and gaps all integral). */
+  def dedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.SpanDedup.maximalDupSpans(
+      Tables.documents(spark, sfDir).select("doc_id", "text"),
+      "doc_id", "text", w = SpanW)
+      .orderBy("doc_id", "start_win")
+
+  val dedupSubstringSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |ws AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ('0x' || substr(md5(array_to_string(tk[i:i+${SpanW - 1}], ' ')),
+       |      1, 15))::BIGINT AS wh
+       |  FROM t, LATERAL (
+       |    SELECT unnest(generate_series(1, len(tk) - ${SpanW - 1})) AS i) g
+       |  WHERE len(tk) >= $SpanW),
+       |cross_doc AS (
+       |  SELECT wh FROM (
+       |    SELECT wh, count(DISTINCT doc_id) AS nd FROM ws GROUP BY wh)
+       |  WHERE nd > 1),
+       |dp AS (SELECT w.doc_id, w.pos FROM ws w JOIN cross_doc USING (wh)),
+       |isl AS (
+       |  SELECT doc_id, pos, sum(CASE WHEN prev IS NULL
+       |        OR pos - prev > $SpanW THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |    FROM dp))
+       |SELECT doc_id, min(pos) AS start_win, max(pos) AS last_win,
+       |  count(*) AS n_windows,
+       |  max(pos) + $SpanW - min(pos) AS cut_tokens
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, start_win""".stripMargin
+
   /** Duplicated-substring doc pairs: documents sharing >= 2 distinct
     * 8-token spans, with the shared-span count. */
   def dedupSpanPairs(spark: SparkSession, sfDir: String): DataFrame =
@@ -919,6 +964,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_url" -> (dedupUrl _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_span_pairs" -> (dedupSpanPairs _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_soft_weights" -> (dedupSoftWeights _),
@@ -943,6 +989,7 @@ object DedupQueries extends graft.QueryModule {
     "dedup_url" -> dedupUrlSql,
     "dedup_incremental_minhash" -> dedupIncMinhashSql,
     "dedup_spans" -> dedupSpansSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_span_pairs" -> dedupSpanPairsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_keep_best" -> dedupKeepBestSql,

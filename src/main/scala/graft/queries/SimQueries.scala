@@ -1553,7 +1553,105 @@ object SimQueries extends graft.QueryModule {
       |FROM embeddings e CROSS JOIN pairs p
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** PCA projection end-to-end — the [[graft.sim.Gram]] sufficient
+    * statistic actually FEEDING a projection (the claim the gram gate
+    * alone doesn't exercise): covariance from one Gram + one mean
+    * pass, top-2 subspace by fixed-T orthogonal iteration from a
+    * deterministic md5-seeded ±1 block (T=3), then one narrow
+    * projection pass — corpus touched exactly twice in, once out; all
+    * d×d and d×k algebra is driver-side and k-bounded (see
+    * [[graft.sim.Pca]]). Cross-engine contract: every multi-row
+    * reduction on BOTH engines is rounded (vector entries 6dp,
+    * reduction scalars 8dp, projections 4dp), so the unspecified SQL
+    * summation order can't leak a reassociation ulp into the basis —
+    * the oracle replays covariance → iteration → Gram-Schmidt →
+    * projection step for step on those rounded checkpoints.
+    * PcaSpec anchors the iterated basis to the true Jacobi
+    * eigendecomposition ([[graft.sim.Pca.eigSym]]). */
+  def simPcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (_, mu, c) = graft.sim.Pca.roundedCovariance(emb, "embedding", 64)
+    val basis = graft.sim.Pca.orthogonalIteration(c, k = 2, iters = 3)
+    graft.sim.Pca.project(emb, "vec_id", "embedding", mu, basis, 4)
+      .orderBy("vec_id")
+  }
+  val pcaProjectSql: String = {
+    val d = 64
+    val iters = 3
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |nn AS (SELECT count(*) AS n FROM e),
+         |dims AS (SELECT unnest(generate_series(0, ${d - 1})) AS i),
+         |mu AS (
+         |  SELECT i, round(sum(v[i + 1]) / (SELECT n FROM nn), 6) + 0.0 AS m
+         |  FROM e CROSS JOIN dims GROUP BY i),
+         |ut AS (
+         |  SELECT p.i, p.j, round(sum(v[p.i + 1] * v[p.j + 1]), 6) + 0.0 AS g
+         |  FROM e CROSS JOIN (
+         |    SELECT a.i AS i, b.i AS j FROM dims a JOIN dims b ON a.i <= b.i) p
+         |  GROUP BY 1, 2),
+         |gf AS (
+         |  SELECT i, j, g FROM ut
+         |  UNION ALL SELECT j, i, g FROM ut WHERE i <> j),
+         |cv AS (
+         |  SELECT gf.i, gf.j,
+         |    round(gf.g / (SELECT n FROM nn) - mi.m * mj.m, 6) + 0.0 AS cval
+         |  FROM gf JOIN mu mi ON mi.i = gf.i JOIN mu mj ON mj.i = gf.j),
+         |bb0 AS (
+         |  SELECT i, cc,
+         |    CASE WHEN ('0x' || substr(md5('pca:' || CAST(i AS VARCHAR)
+         |        || ':' || CAST(cc AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+         |      THEN 1.0 ELSE -1.0 END AS b
+         |  FROM dims CROSS JOIN (SELECT unnest([0, 1]) AS cc) cols),
+         |""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++=
+        s"""y$t AS (
+           |  SELECT b.cc, cv.i, round(sum(cv.cval * b.b), 6) + 0.0 AS y
+           |  FROM cv JOIN bb${t - 1} b ON b.i = cv.j GROUP BY 1, 2),
+           |sa$t AS (SELECT round(sum(y * y), 8) AS ss FROM y$t WHERE cc = 0),
+           |qa$t AS (
+           |  SELECT i, round(y / sqrt((SELECT ss FROM sa$t)), 6) + 0.0 AS q
+           |  FROM y$t WHERE cc = 0),
+           |pr$t AS (
+           |  SELECT round(sum(yy.y * q.q), 8) AS r
+           |  FROM y$t yy JOIN qa$t q USING (i) WHERE yy.cc = 1),
+           |yb$t AS (
+           |  SELECT yy.i, round(yy.y - (SELECT r FROM pr$t) * q.q, 6) + 0.0 AS y
+           |  FROM y$t yy JOIN qa$t q USING (i) WHERE yy.cc = 1),
+           |sb$t AS (SELECT round(sum(y * y), 8) AS ss FROM yb$t),
+           |qb$t AS (
+           |  SELECT i, round(y / sqrt((SELECT ss FROM sb$t)), 6) + 0.0 AS q
+           |  FROM yb$t),
+           |bb$t AS (
+           |  SELECT i, 0 AS cc, q AS b FROM qa$t
+           |  UNION ALL SELECT i, 1, q FROM qb$t),
+           |""".stripMargin
+    }
+    sb ++=
+      s"""ctr AS (
+         |  SELECT b.cc, round(sum(mu.m * b.b), 6) + 0.0 AS bc
+         |  FROM bb$iters b JOIN mu ON mu.i = b.i GROUP BY 1)
+         |SELECT e.vec_id,
+         |  round(sum(e.v[b.i + 1] * b.b) FILTER (WHERE b.cc = 0)
+         |    - (SELECT bc FROM ctr WHERE cc = 0), 4) + 0.0 AS p0,
+         |  round(sum(e.v[b.i + 1] * b.b) FILTER (WHERE b.cc = 1)
+         |    - (SELECT bc FROM ctr WHERE cc = 1), 4) + 0.0 AS p1
+         |FROM e CROSS JOIN bb$iters b
+         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin
+    // Every CTE materialized: DuckDB's default CTE INLINING re-expands
+    // each reference, and the iteration chain references earlier CTEs
+    // multiply — inlined, the parquet scan count grows exponentially
+    // with T (observed: fd exhaustion at T=3). Materialization makes
+    // the replay cost linear in the CTE count, like Spark's plan.
+    sb.toString.replace("AS (", "AS MATERIALIZED (")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pca_project" -> (simPcaProject _),
     "sim_gram_matrix" -> (simGramMatrix _),
     "sim_pq_adc" -> (simPqAdc _),
     "sim_maxsim_multivector" -> (simMaxsimMultivector _),
@@ -1582,6 +1680,7 @@ object SimQueries extends graft.QueryModule {
     "dedup_semantic_capped" -> (dedupSemanticCapped _))
 
   def oracles: Map[String, String] = Map(
+    "sim_pca_project" -> pcaProjectSql,
     "sim_gram_matrix" -> gramSql,
     "sim_pq_adc" -> pqAdcSql,
     "sim_maxsim_multivector" -> maxsimSql,

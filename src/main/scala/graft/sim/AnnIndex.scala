@@ -101,6 +101,17 @@ object AnnIndex {
     * atomic-enough via overwrite. */
   private def writeMeta(spark: SparkSession, path: String,
                         idCol: String, vecCol: String): Unit = {
+    // The names are interpolated into JSON verbatim and parsed back by
+    // a regex — a quote/backslash/control char would corrupt the
+    // sidecar SILENTLY (readMeta would mis-parse and fall back to
+    // positional inference without warning). Fail at build time
+    // instead: such column names are pathological for an index id
+    // anyway, and a loud contract beats a quiet wrong one.
+    Seq("id" -> idCol, "vec" -> vecCol).foreach { case (role, c) =>
+      require(!c.exists(ch => ch == '"' || ch == '\\' || ch < ' '),
+        s"AnnIndex $role column name ${c} contains a quote, backslash " +
+          "or control character — unrepresentable in meta.json")
+    }
     val p = new org.apache.hadoop.fs.Path(s"$path/meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

@@ -53,7 +53,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 352, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 352) // every query oracle-gated
+    assert(SparkEntry.queries.size == 355, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 355) // every query oracle-gated
   }
 }
