@@ -712,16 +712,23 @@ object DedupQueries extends graft.QueryModule {
 
   /** Asymmetric shingle containment (dedup.Containment): the
     * superset/subset near-dup signal Jaccard dilutes — c(A→B) =
-    * |S(A)∩S(B)|/|S(A)| over df-capped trigram shingles (absolute
-    * cap df ≤ 100 — candidates stay linear in postings; see the
-    * Containment scaladoc for the measured quadratic failure of a
-    * fractional cap), both directions reported, pair kept when either
-    * reaches 0.5. Counts are integral on both sides; the oracle
-    * replays postings → df window → intersection → ratio exactly. */
+    * |S(A)∩S(B)|/|S(A)| over trigram shingles, both directions
+    * reported, pair kept when either reaches 0.5. Since r13 this is
+    * the EXACT full-shingle-space form via the PPJoin-style prefix
+    * filter ([[graft.dedup.Containment.pairsExact]]): the df-capped
+    * variant bounded the inverted index by discarding hot shingles
+    * (changing |S(·)| semantics with it); the prefix filter keeps
+    * exactness — smaller doc's rarest-shingle prefix joined against
+    * the full index, positional bound pruning, sorted-hash verify —
+    * with provably complete recall (ContainmentExactSpec audits
+    * against brute-force all-pairs). The oracle is the definitional
+    * all-pairs intersection over the full space — affordable at
+    * oracle scale, exactly what the prefix filter avoids at corpus
+    * scale. Counts integral; division is the only float step. */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame =
-    graft.dedup.Containment.pairs(
+    graft.dedup.Containment.pairsExact(
       Tables.documents(spark, sfDir), "doc_id", "text",
-      threshold = 0.5, n = 3, maxDf = 100)
+      threshold = 0.5, n = 3)
   val dedupContainmentSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
@@ -731,14 +738,10 @@ object DedupQueries extends graft.QueryModule {
       |  FROM toks, LATERAL (
       |    SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
       |  WHERE len(t) >= 3),
-      |kept AS (
-      |  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
-      |  WHERE df BETWEEN 2 AND 100),
-      |p AS (SELECT s.doc_id, s.sh FROM sh s JOIN kept USING (sh)),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM p GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
-      |  FROM p x JOIN p y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2)
       |SELECT a, b,
       |  round(CAST(common AS DOUBLE) / sa.sz, 4) AS c_ab,
