@@ -32,7 +32,9 @@ object SparkEntry {
     graft.queries.SqlSurfaceQueries,
     graft.queries.GraphQueries,
     graft.queries.AnalyticsQueries,
-    graft.queries.StatsQueries)
+    graft.queries.StatsQueries,
+    graft.queries.FeatQueries,
+    graft.queries.GeoQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1042,7 +1042,169 @@ object StatsQueries extends graft.QueryModule {
       |    THEN 1 ELSE 0 END AS BIGINT) AS alarm
       |FROM r ORDER BY d""".stripMargin
 
+  /** Theil–Sen robust regression of monthly order revenue on time:
+    * slope = lower median of all pairwise slopes, intercept = lower
+    * median of the residuals y − slope·x. The fact-sized pass is ONE
+    * keyed aggregation to the calendar-bounded monthly table (≤ ~84
+    * rows at any SF — the x_cusum daily-frame precedent); the O(m²)
+    * pairwise slope set (≤ ~3.5k rows) comes from a broadcast
+    * self-join of that bounded table, never the fact table. Medians
+    * are exact on the bounded sets: slopes are rounded to 8 dp (and
+    * residuals to 6 dp) BEFORE selection so a 1-ulp division
+    * divergence cannot reorder the selection boundary, and the lower
+    * median (index (n+1) div 2 of the ascending sort) is midpoint-free
+    * — no interpolation semantics for the engines to disagree on. */
+  def xTheilSen(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.orders(spark, sfDir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("x"))
+      .agg(sum("o_totalprice").as("y"))
+    val pairs = m.as("a").join(
+        broadcast(m.as("b")), col("a.x") < col("b.x"))
+      .select(scoreRound(
+        (col("b.y") - col("a.y")) / (col("b.x") - col("a.x")), 8).as("slope"))
+    val slopeRow = pairs
+      .agg(sort_array(collect_list("slope")).as("s"))
+      .select(element_at(col("s"), expr("cast((size(s) + 1) div 2 as int)")).as("slope"),
+        size(col("s")).cast("long").as("n_pairs"))
+    val resid = m.crossJoin(broadcast(slopeRow))
+      .select(col("slope"), col("n_pairs"),
+        scoreRound(col("y") - col("slope") * col("x"), 6).as("r"))
+    resid
+      .groupBy("slope", "n_pairs")
+      .agg(count(lit(1)).as("n_points"), sort_array(collect_list("r")).as("rs"))
+      .select(col("n_points"), col("n_pairs"), col("slope"),
+        element_at(col("rs"), expr("cast((size(rs) + 1) div 2 as int)")).as("intercept"))
+  }
+  val theilSenSql: String =
+    """WITH m AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS x,
+      |    sum(o_totalprice) AS y
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT round((b.y - a.y) / (b.x - a.x), 8) + 0.0 AS slope
+      |  FROM m a JOIN m b ON a.x < b.x),
+      |ms AS (
+      |  SELECT slope, n FROM (
+      |    SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+      |      count(*) OVER () AS n
+      |    FROM s) WHERE rn = (n + 1) // 2),
+      |r AS (
+      |  SELECT round(y - (SELECT slope FROM ms) * x, 6) + 0.0 AS resid
+      |  FROM m),
+      |mi AS (
+      |  SELECT resid FROM (
+      |    SELECT resid, row_number() OVER (ORDER BY resid) AS rn,
+      |      count(*) OVER () AS n
+      |    FROM r) WHERE rn = (n + 1) // 2)
+      |SELECT (SELECT count(*) FROM m) AS n_points,
+      |  (SELECT CAST(n AS BIGINT) FROM ms) AS n_pairs,
+      |  (SELECT slope FROM ms) AS slope,
+      |  (SELECT resid FROM mi) AS intercept""".stripMargin
+
+  /** Mann–Kendall trend test on the same monthly revenue series as
+    * x_theil_sen (the classical pairing: MK detects the trend, Sen's
+    * slope sizes it). S = Σ_{i<j} sign(y_j − y_i) over the
+    * calendar-bounded monthly table (≤ ~84 rows), computed by the same
+    * broadcast self-join as the slope set; Var(S) = n(n−1)(2n+5)/18
+    * (no-ties form — the y are continuous revenue sums) and the
+    * normal approximation carries the ±1 continuity correction.
+    * Every intermediate is integer-exact in doubles (S is a sum of
+    * ±1, the variance polynomial is < 2^21), so only the final z is
+    * rounded. */
+  def xMannKendall(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = Tables.orders(spark, sfDir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("x"))
+      .agg(sum("o_totalprice").as("y"))
+    m.as("a").join(broadcast(m.as("b")), col("a.x") < col("b.x"))
+      .agg(sum(signum(col("b.y") - col("a.y"))).as("s"),
+        (countDistinct(col("a.x")) + 1).cast("double").as("n"))
+      .select(col("n").cast("long").as("n_points"),
+        col("s").cast("long").as("s_stat"),
+        scoreRound((col("s") - signum(col("s")))
+          / sqrt(col("n") * (col("n") - 1) * (col("n") * 2 + 5) / 18.0), 6)
+          .as("z"))
+  }
+  val mannKendallSql: String =
+    """WITH m AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS x,
+      |    sum(o_totalprice) AS y
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT sum(sign(b.y - a.y)) AS s,
+      |    CAST(count(DISTINCT a.x) + 1 AS DOUBLE) AS n
+      |  FROM m a JOIN m b ON a.x < b.x)
+      |SELECT CAST(n AS BIGINT) AS n_points, CAST(s AS BIGINT) AS s_stat,
+      |  round((s - sign(s))
+      |    / sqrt(n * (n - 1) * (2 * n + 5) / 18.0), 6) + 0.0 AS z
+      |FROM p""".stripMargin
+
+  /** Isotonic (PAV) calibration of the x_calibration_bins construction
+    * — the sigmoid score of o_totalprice against the F-status outcome,
+    * 10 score bins — fitted NOT by the sequential pool-adjacent-
+    * violators loop but by its minimax CLOSED FORM: fit(k) =
+    * max_{i≤k} min_{j≥k} mean(y over bins i..j) (Robertson–Wright–
+    * Dykstra, Thm 1.4.4). The fact-sized pass is the one calibration
+    * groupBy; the minimax runs on the 10-row bin table via bounded
+    * joins (≤1000 interval rows), so the "recursion" never exists at
+    * any scale — the Holt/CUSUM telescoping doctrine applied to PAV.
+    * Interval means are exact-integer ratios (y ∈ {0,1}, so Σy and n
+    * are integers in doubles): both engines compute bit-identical
+    * means, and only the published fit is rounded. */
+  def xIsotonic(spark: SparkSession, sfDir: String): DataFrame = {
+    val bins = Tables.orders(spark, sfDir)
+      .select((lit(1.0) / (lit(1.0)
+          + exp((lit(150000.0) - col("o_totalprice")) / lit(50000.0))))
+          .as("score"),
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      .withColumn("bin", least(floor(col("score") * 10), lit(9)).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).cast("double").as("nb"), sum("y").as("sb"))
+    val iv = bins.select(col("bin").as("i")).crossJoin(
+        broadcast(bins.select(col("bin").as("j"))))
+      .where(col("i") <= col("j"))
+      .join(broadcast(bins), col("bin").between(col("i"), col("j")))
+      .groupBy("i", "j")
+      .agg((sum("sb") / sum("nb")).as("mean_ij"))
+    val fit = iv.join(broadcast(bins.select(col("bin").as("k"))),
+        col("i") <= col("k") && col("k") <= col("j"))
+      .groupBy("k", "i").agg(min("mean_ij").as("m_ki"))
+      .groupBy("k").agg(max("m_ki").as("fit"))
+    bins.join(fit, col("bin") === col("k"))
+      .select(col("bin"), col("nb").cast("long").as("n"),
+        scoreRound(col("sb") / col("nb"), 6).as("frac_pos"),
+        scoreRound(col("fit"), 6).as("iso_fit"))
+      .orderBy("bin")
+  }
+  val isotonicSql: String =
+    """WITH s AS (
+      |  SELECT 1.0 / (1.0 + exp((150000.0 - o_totalprice) / 50000.0))
+      |      AS score,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM orders),
+      |b AS (
+      |  SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+      |    CAST(count(*) AS DOUBLE) AS nb, sum(y) AS sb
+      |  FROM s GROUP BY 1),
+      |iv AS (
+      |  SELECT i.bin AS i, j.bin AS j,
+      |    sum(b.sb) / sum(b.nb) AS mean_ij
+      |  FROM b i CROSS JOIN b j JOIN b ON b.bin BETWEEN i.bin AND j.bin
+      |  WHERE i.bin <= j.bin GROUP BY 1, 2),
+      |f AS (
+      |  SELECT k.bin AS k, iv.i, min(iv.mean_ij) AS m_ki
+      |  FROM iv JOIN b k ON iv.i <= k.bin AND k.bin <= iv.j
+      |  GROUP BY 1, 2),
+      |ft AS (SELECT k, max(m_ki) AS fit FROM f GROUP BY 1)
+      |SELECT b.bin, CAST(nb AS BIGINT) AS n,
+      |  round(sb / nb, 6) + 0.0 AS frac_pos,
+      |  round(fit, 6) + 0.0 AS iso_fit
+      |FROM b JOIN ft ON b.bin = ft.k
+      |ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_mann_kendall" -> (xMannKendall _),
+    "x_isotonic" -> (xIsotonic _),
+    "x_theil_sen" -> (xTheilSen _),
     "x_anova_f" -> (xAnovaF _),
     "x_mutual_info" -> (xMutualInfo _),
     "x_fdr_bh" -> (xFdrBh _),
@@ -1063,6 +1225,9 @@ object StatsQueries extends graft.QueryModule {
     "ts_sax" -> (tsSax _))
 
   def oracles: Map[String, String] = Map(
+    "x_mann_kendall" -> mannKendallSql,
+    "x_isotonic" -> isotonicSql,
+    "x_theil_sen" -> theilSenSql,
     "x_anova_f" -> anovaSql,
     "x_mutual_info" -> mutualInfoSql,
     "x_fdr_bh" -> fdrBhSql,

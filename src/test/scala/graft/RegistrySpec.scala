@@ -25,7 +25,9 @@ class RegistrySpec extends AnyFunSuite {
     "SqlSurfaceQueries" -> queries.SqlSurfaceQueries,
     "GraphQueries" -> queries.GraphQueries,
     "AnalyticsQueries" -> queries.AnalyticsQueries,
-    "StatsQueries" -> queries.StatsQueries)
+    "StatsQueries" -> queries.StatsQueries,
+    "FeatQueries" -> queries.FeatQueries,
+    "GeoQueries" -> queries.GeoQueries)
 
   test("query names are globally unique (no silent map overwrite)") {
     val all = modules.flatMap { case (m, q) => q.defs.keys.map(_ -> m) }
@@ -53,7 +55,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 355, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 355) // every query oracle-gated
+    assert(SparkEntry.queries.size == 364, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 364) // every query oracle-gated
   }
 }
