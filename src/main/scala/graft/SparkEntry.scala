@@ -34,7 +34,8 @@ object SparkEntry {
     graft.queries.AnalyticsQueries,
     graft.queries.StatsQueries,
     graft.queries.FeatQueries,
-    graft.queries.GeoQueries)
+    graft.queries.GeoQueries,
+    graft.queries.PrivacyQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

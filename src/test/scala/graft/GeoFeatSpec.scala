@@ -113,6 +113,40 @@ class GeoFeatSpec extends SparkSpecBase {
     assert(got.toSeq == Seq("Gldnrd", "A", "A", "Lc"), got.toSeq.toString)
   }
 
+  // --- privacy -------------------------------------------------------
+
+  test("priv_k_anonymity equals a brute-force QI group audit on sf0.001") {
+    val row = graft.queries.PrivacyQueries.privKAnonymity(spark, sfDir).collect()(0)
+    val groups = graft.core.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), math.floor(r.getDouble(2) / 1000.0)))
+      .groupBy(identity).map(_._2.size.toLong).toSeq
+    assert(row.getAs[Long]("n_groups") == groups.size.toLong)
+    assert(row.getAs[Long]("n_rows") == groups.sum)
+    assert(row.getAs[Long]("k_achieved") == groups.min)
+    assert(row.getAs[Long]("groups_below_k") == groups.count(_ < 5).toLong)
+    assert(row.getAs[Long]("rows_suppressed") == groups.filter(_ < 5).sum)
+  }
+
+  test("priv_dp_counts: noise is inverse-CDF Laplace of the salted uniform") {
+    val rows = graft.queries.PrivacyQueries.privDpCounts(spark, sfDir).collect()
+    val truth = graft.core.Tables.customer(spark, sfDir)
+      .groupBy("c_nationkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val nk = r.getInt(0)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dp:" + nk).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 1.152921504606846976e18
+      val noise = -2.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val want = truth(nk) + noise
+      assert(math.abs(r.getDouble(1) - want) < 1e-5, s"nation $nk")
+    }
+  }
+
   // --- theil-sen -----------------------------------------------------
 
   test("x_mann_kendall equals the brute-force S statistic on sf0.001") {

@@ -27,7 +27,8 @@ class RegistrySpec extends AnyFunSuite {
     "AnalyticsQueries" -> queries.AnalyticsQueries,
     "StatsQueries" -> queries.StatsQueries,
     "FeatQueries" -> queries.FeatQueries,
-    "GeoQueries" -> queries.GeoQueries)
+    "GeoQueries" -> queries.GeoQueries,
+    "PrivacyQueries" -> queries.PrivacyQueries)
 
   test("query names are globally unique (no silent map overwrite)") {
     val all = modules.flatMap { case (m, q) => q.defs.keys.map(_ -> m) }
@@ -55,7 +56,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 364, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 364) // every query oracle-gated
+    assert(SparkEntry.queries.size == 366, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 366) // every query oracle-gated
   }
 }
