@@ -474,4 +474,40 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!planOf("curate_shuffle_shards").contains("Join"),
       "shuffle-shard assignment must stay zero-join (a map-side hash)")
   }
+
+  test("geo gates: cell-bucketed broadcast joins, never all-pairs, no window") {
+    for (name <- Seq("geo_radius_join", "geo_knn_cells")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name lost the cell equi-join:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name should broadcast the probe ring:\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$name sorts the point side:\n$p")
+    }
+    assert(!planOf("geo_cell_stats").contains("windowspecdefinition"),
+      "cell stats must stay a keyed aggregation")
+  }
+
+  test("featurization gates are keyed aggregations; fact side never windowed") {
+    for (name <- Seq("feat_hashing_trick", "feat_target_encode",
+        "feat_phonetic_blocking", "priv_k_anonymity", "priv_dp_counts")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
+      assert(!p.contains("windowspecdefinition"), s"$name grew a window:\n$p")
+    }
+  }
+
+  test("round-13 robust stats do pairwise work on the bounded monthly/bin tables") {
+    // same doctrine as the round-12 pin: cartesian banned, no window
+    // over the fact table; the ≤3.5k-pair self-joins sit above
+    // aggregates of the calendar-bounded monthly table
+    for (name <- Seq("x_theil_sen", "x_mann_kendall", "x_isotonic")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$name windows the fact table:\n$p")
+    }
+  }
 }
