@@ -47,6 +47,27 @@ object Bench {
     "sketch_kmv_distinct",   // KMV cardinality (BoundedMinK agg)
     "mm_phash_neardup")      // payload phash banded near-dup
 
+  /** The fixed VM-health calibration gate (r13 judge item 2): timed
+    * best-of-2 immediately BEFORE and AFTER every draw (suite or
+    * isolate) and stamped into the artifact as calib_pre/calib_post.
+    * A draw whose calibration readings disagree with each other or
+    * with the rolling median of prior rounds' readings (>1.2×, see
+    * tools/bench_guard.py) was taken on a sick VM window and must be
+    * rejected and re-drawn, not adjudicated gate by gate. */
+  val calibGate = "q1_pricing_summary"
+
+  private def timeCalib(spark: SparkSession, sfDir: String): Double = {
+    val q = SparkEntry.queries(calibGate)
+    val runs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      q(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }
+    runs.min
+  }
+
   /** Variance-bounded isolated timing (`--isolate g1[,g2…] --reps N`):
     * times each named gate N times back-to-back in one JVM
     * (clearCache + GC between reps, same as the suite) and reports the
@@ -62,6 +83,7 @@ object Bench {
   def isolate(spark: SparkSession, sfDir: String, gates: Seq[String],
               reps: Int): Unit = {
     val queries = SparkEntry.queries
+    val calibPre = timeCalib(spark, sfDir)
     val out = gates.filter(queries.contains).map { name =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -85,8 +107,10 @@ object Bench {
       System.err.println(s"[isolate] $line")
       line
     }
+    val calibPost = timeCalib(spark, sfDir)
     val json = out.mkString(
-      s"""{"mode":"isolate","reps":$reps,"sf":"$sfDir","gates":{""", ",", "}}")
+      f"""{"mode":"isolate","reps":$reps,"sf":"$sfDir","calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"gates":{""",
+      ",", "}}")
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/tmp/graft_isolate.json")
@@ -149,6 +173,10 @@ object Bench {
     // only, guaranteed to fit the tail) while the landed file keeps the
     // full per-query registry. `schema:2` marks the split so old parsers
     // fail loudly instead of comparing a changed `value` silently.
+    // VM-health stamp taken before the suite; the post stamp is filled
+    // in once the suite finishes (−1 in the incremental partial lands)
+    val calibPre = timeCalib(spark, sfDir)
+    var calibPost = -1.0
     def emit(results: Seq[(String, Double)], compact: Boolean): String = {
       val kept = if (compact) results.filter(r => headline.contains(r._1))
                  else results
@@ -162,7 +190,7 @@ object Bench {
         case (k, v) if v >= 0 && headline.contains(k) => v
       }.sum
       val n = results.count(_._2 >= 0)
-      f"""{"metric":"total","schema":2,"value":$total%.3f,"headline_value":$head%.3f,"unit":"sec","n_queries":$n,"queries":$qs,"full_file":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")}","sf":"$sfDir"}"""
+      f"""{"metric":"total","schema":2,"value":$total%.3f,"headline_value":$head%.3f,"unit":"sec","n_queries":$n,"calib_pre":$calibPre%.3f,"calib_post":$calibPost%.3f,"queries":$qs,"full_file":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")}","sf":"$sfDir"}"""
     }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     def land(line: String): Unit =
@@ -199,6 +227,7 @@ object Bench {
       land(emit(done.reverse, compact = false))
       r
     }
+    calibPost = timeCalib(spark, sfDir)
     // The driver greps stdout for a bare JSON line (build.sbt sets
     // run/outputStrategy=StdoutOutput so sbt does not prefix it).
     // Compact (headline-only) so the driver's stdout tail capture

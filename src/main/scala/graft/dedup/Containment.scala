@@ -145,17 +145,22 @@ object Containment {
         greatest(col("x"), col("y")).as("b"))
       .distinct()
     val hs = Shingles.docShingleHashes(ds, idCol)
-    cand
-      .join(hs.select(col(idCol).as("a"), col("n").as("na"),
-        col("hs").as("hs_a")), "a")
-      .join(hs.select(col(idCol).as("b"), col("n").as("nb"),
-        col("hs").as("hs_b")), "b")
-      .withColumn("common",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
-      .select(col("a"), col("b"),
-        round(col("common") / col("na"), 4).as("c_ab"),
-        round(col("common") / col("nb"), 4).as("c_ba"))
-      .where(col("c_ab") >= threshold || col("c_ba") >= threshold)
-      .orderBy("a", "b")
+    // reap: the pair list is output-sized (tiny vs the cached posting
+    // lists); checkpointing it releases both corpus-sized caches at
+    // call exit instead of leaking them for the session (r13 item 3)
+    graft.core.Caching.reap(
+      cand
+        .join(hs.select(col(idCol).as("a"), col("n").as("na"),
+          col("hs").as("hs_a")), "a")
+        .join(hs.select(col(idCol).as("b"), col("n").as("nb"),
+          col("hs").as("hs_b")), "b")
+        .withColumn("common",
+          size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+        .select(col("a"), col("b"),
+          round(col("common") / col("na"), 4).as("c_ab"),
+          round(col("common") / col("nb"), 4).as("c_ba"))
+        .where(col("c_ab") >= threshold || col("c_ba") >= threshold)
+        .orderBy("a", "b"),
+      ds, ranked)
   }
 }

@@ -16,7 +16,9 @@ import graft.functions.ScoreFns.scoreRound
   *  - the POINT side is fact-sized and is touched by exactly one narrow
   *    projection (hash → units → cell) plus one join or one keyed
   *    aggregation — never sorted, never self-joined;
-  *  - the PROBE side is bounded (20 fixed sites) and broadcast after a
+  *  - the PROBE side is bounded (up to 20 sites — `s_suppkey <= 20`
+  *    keeps all suppliers at tiny SFs, e.g. 10 at sf0.001; the bound,
+  *    not the exact count, is what scale needs) and broadcast after a
   *    map-side 9× neighbor-ring explode;
   *  - radius join and kNN read only the probes' 3×3 cell rings. For
   *    radius ≤ 50 km the ring prune is PROVABLY lossless (Geo object

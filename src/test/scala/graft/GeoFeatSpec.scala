@@ -161,6 +161,9 @@ class GeoFeatSpec extends SparkSpecBase {
     val z = (s - math.signum(s.toDouble)) / math.sqrt(n * (n - 1) * (2 * n + 5) / 18.0)
     assert(row.getAs[Long]("n_points") == m.size.toLong)
     assert(row.getAs[Long]("s_stat") == s, s"S ${row.getAs[Long]("s_stat")} vs $s")
+    // the no-ties Var(S) form is only valid when the published tie
+    // count is zero (r13 advice: make a violated assumption visible)
+    assert(row.getAs[Long]("n_ties") == 0L)
     assert(math.abs(row.getAs[Double]("z") - z) < 1e-6)
   }
 

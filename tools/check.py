@@ -6,7 +6,14 @@ graft.Verify via sbt at a given SF dir, then replays each oracle_sql.json
 query in DuckDB over the same parquet tables and compares values
 (columns sorted by name, rows sorted by all columns, exact equality).
 
-Usage: python3 tools/check.py [sfdir] [--skip-verify] [name ...]
+Usage: python3 tools/check.py [sfdir] [--skip-verify] [--json OUT.json] [name ...]
+
+--json OUT.json writes the per-query result in the DRIVER'S
+CORRECTNESS_r*.json schema ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}), so an empty driver
+artifact (the r10/r13 sbt-lock failure mode) can be diffed against
+and backfilled from the local run mechanically instead of from prose
+(r13 judge item 1).
 """
 import json, sys, subprocess, glob, os
 
@@ -53,7 +60,7 @@ def run_verify(sf, out, only=None):
         sys.stderr.write(r.stderr[-4000:])
         sys.exit(1)
 
-def compare(sf, out, only=None):
+def compare(sf, out, only=None, json_out=None):
     import duckdb
     import pandas as pd
     con = duckdb.connect()
@@ -64,17 +71,27 @@ def compare(sf, out, only=None):
     names = sorted(oracle) if not only else [n for n in sorted(oracle) if n in only]
     n_pass = n_fail = 0
     failures = []
+    # driver-schema record per query (written when --json is given)
+    records = {}
+    def record(name, rows_m, schema_m, hash_m, sr, orr, err=None):
+        records[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                         "hash_match": hash_m, "spark_rows": sr,
+                         "oracle_rows": orr, "err": err}
     for name in names:
         sql = oracle[name]
         pdir = f"{out}/{name}"
         files = glob.glob(f"{pdir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; failures.append(name); continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1; failures.append(name)
+            record(name, False, False, False, 0, 0, "no spark output")
+            continue
         try:
             got = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
             want = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; failures.append(name); continue
+            print(f"FAIL {name}: {e}"); n_fail += 1; failures.append(name)
+            record(name, False, False, False, 0, 0, str(e)[:500])
+            continue
         # normalize: sort columns by name, sort rows by all columns
         def norm(df):
             df = df.reindex(sorted(df.columns), axis=1)
@@ -95,7 +112,9 @@ def compare(sf, out, only=None):
                         pass
             return df
         g, w = norm(got), norm(want)
-        ok = list(g.columns) == list(w.columns) and len(g) == len(w)
+        rows_m = len(g) == len(w)
+        cols_m = list(g.columns) == list(w.columns)
+        ok = cols_m and rows_m
         # dtype-sensitive, mirroring the driver's hash: DuckDB sum(INT)
         # widening to HUGEINT (→float64/object) vs Spark BIGINT (int64)
         # must FAIL here even when values are equal. Width is NOT
@@ -107,18 +126,24 @@ def compare(sf, out, only=None):
             if s.startswith("float"): return "float"
             return s
         dtype_note = ""
+        schema_m = cols_m
         if ok:
             gdt = [canondt(t) for t in g.dtypes]
             wdt = [canondt(t) for t in w.dtypes]
             if gdt != wdt:
                 ok = False
+                schema_m = False
                 dtype_note = f" DTYPE got={gdt} want={wdt}"
+        hash_m = False
         if ok:
             try:
                 pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+                hash_m = True
             except AssertionError as e:
                 ok = False
                 err = str(e).split("\n")[0:6]
+        record(name, rows_m, schema_m, hash_m, len(g), len(w),
+               None if ok else f"mismatch{dtype_note}")
         if ok:
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         else:
@@ -130,6 +155,10 @@ def compare(sf, out, only=None):
             except Exception:
                 pass
     print(f"\n{n_pass} pass, {n_fail} fail" + (f": {failures}" if failures else ""))
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"driver-schema record -> {json_out} ({len(records)} queries)")
     return n_fail
 
 if __name__ == "__main__":
@@ -137,10 +166,15 @@ if __name__ == "__main__":
     sf = SF
     skip = False
     only = []
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     for a in args:
         if a == "--skip-verify": skip = True
         elif a.startswith("/"): sf = a
         else: only.append(a)
     if not skip:
         run_verify(sf, out_dir(sf), set(only) or None)
-    sys.exit(1 if compare(sf, out_dir(sf), set(only) or None) else 0)
+    sys.exit(1 if compare(sf, out_dir(sf), set(only) or None, json_out) else 0)

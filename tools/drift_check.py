@@ -10,18 +10,48 @@ round closes, and the iso medians are what adjudicate a real
 regression vs VM contention.
 
 Usage: python3 tools/drift_check.py PREV.json CURR.json [thresh=1.3]
-Exit code 0 = no unexplained movers; 1 = movers listed on stdout.
+                [--iso BENCH_iso_*.json ...]
+Exit code 0 = no UNADJUDICATED movers; 1 = unadjudicated movers listed.
+
+--iso files are graft.Bench --isolate artifacts ({"gates": {name:
+{"median": sec, ...}}}). A mover that appears in any given iso
+artifact is printed with its iso median as ADJUDICATED and does not
+fail the gate — this is the README contract ("exits non-zero until
+the list is empty or every entry has an iso re-draw") made literal
+(r13 advice: the script previously ignored iso artifacts).
 """
 import json, sys
 
 def load(p):
     with open(p) as f:
         d = json.load(f)
+    # accept all three shapes: a bare Bench line, the Bench landed
+    # file, and the driver's BENCH_r*.json wrapper ({"parsed": line})
+    if isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
     return d.get("queries", d)
 
+def load_iso(paths):
+    adjudicated = {}
+    for p in paths:
+        with open(p) as f:
+            d = json.load(f)
+        for name, g in d.get("gates", {}).items():
+            med = g.get("median")
+            if isinstance(med, (int, float)):
+                adjudicated[name] = med
+    return adjudicated
+
 def main():
-    prev, curr = load(sys.argv[1]), load(sys.argv[2])
-    thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    args = sys.argv[1:]
+    iso_paths = []
+    if "--iso" in args:
+        i = args.index("--iso")
+        iso_paths = args[i + 1:]
+        args = args[:i]
+    prev, curr = load(args[0]), load(args[1])
+    thresh = float(args[2]) if len(args) > 2 else 1.3
+    iso = load_iso(iso_paths)
     movers = []
     for name in sorted(set(prev) & set(curr)):
         a, b = prev[name], curr[name]
@@ -36,8 +66,14 @@ def main():
         if r > thresh or r < 1.0 / thresh:
             movers.append((r, name, a, b))
     movers.sort(reverse=True)
+    open_movers = 0
     for r, name, a, b in movers:
-        print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+        if name in iso:
+            print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x) "
+                  f"[ADJUDICATED: iso median {iso[name]:.2f}s]")
+        else:
+            open_movers += 1
+            print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
     new = sorted(set(curr) - set(prev))
     if new:
         print(f"# {len(new)} gates new this round (no comparator): "
@@ -45,7 +81,7 @@ def main():
     gone = sorted(set(prev) - set(curr))
     if gone:
         print(f"# {len(gone)} gates missing vs prev: " + ", ".join(gone))
-    sys.exit(1 if movers else 0)
+    sys.exit(1 if open_movers else 0)
 
 if __name__ == "__main__":
     main()
