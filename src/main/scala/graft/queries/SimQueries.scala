@@ -1147,46 +1147,48 @@ object SimQueries extends graft.QueryModule {
   }
   /** One Lloyd iteration over subspace `s` (CTE-suffix `_s`), the
     * kmIterSql shape with per-subspace names and the 16-wide dimsq
-    * table. */
-  private def pqIterSql(s: Int, n: Int): String = {
-    val (prev, src) = (s"c${n - 1}_$s", s"e_$s")
-    s"""a${n}_$s AS (
+    * table. `sfx` namespaces a second independent pipeline in the
+    * same query (the OPQ gate trains on both the raw and the
+    * permuted corpus); sfx = "" reproduces the original names. */
+  private def pqIterSql(s: Int, n: Int, sfx: String = ""): String = {
+    val (prev, src) = (s"c$sfx${n - 1}_$s", s"e${sfx}_$s")
+    s"""a$sfx${n}_$s AS (
        |  SELECT vec_id, bucket FROM (
        |    SELECT x.vec_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY x.vec_id
        |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM $src x CROSS JOIN $prev c) t WHERE r = 1),
-       |m${n}_$s AS (
-       |  SELECT a${n}_$s.bucket AS cid, dm.i AS dim,
+       |m$sfx${n}_$s AS (
+       |  SELECT a$sfx${n}_$s.bucket AS cid, dm.i AS dim,
        |    CAST(CAST(avg($src.v[dm.i]) AS REAL) AS DOUBLE) AS m
-       |  FROM a${n}_$s JOIN $src ON a${n}_$s.vec_id = $src.vec_id
+       |  FROM a$sfx${n}_$s JOIN $src ON a$sfx${n}_$s.vec_id = $src.vec_id
        |  CROSS JOIN dimsq dm
-       |  GROUP BY a${n}_$s.bucket, dm.i),
-       |c${n}_$s AS (
+       |  GROUP BY a$sfx${n}_$s.bucket, dm.i),
+       |c$sfx${n}_$s AS (
        |  SELECT p.cid, COALESCE(mm.cv, p.cv) AS cv
        |  FROM $prev p LEFT JOIN (
-       |    SELECT cid, list(m ORDER BY dim) AS cv FROM m${n}_$s GROUP BY cid) mm
+       |    SELECT cid, list(m ORDER BY dim) AS cv FROM m$sfx${n}_$s GROUP BY cid) mm
        |    ON p.cid = mm.cid)""".stripMargin
   }
-  private def pqSubSql(s: Int): String = {
+  private def pqSubSql(s: Int, sfx: String = "", from: String = "e"): String = {
     val (lo, hi) = (s * 16 + 1, s * 16 + 16)
-    s"""e_$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
-       |c0_$s AS (SELECT vec_id AS cid, v AS cv FROM e_$s WHERE vec_id < 16),
-       |${pqIterSql(s, 1)},
-       |${pqIterSql(s, 2)},
-       |af_$s AS (
+    s"""e${sfx}_$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM $from),
+       |c${sfx}0_$s AS (SELECT vec_id AS cid, v AS cv FROM e${sfx}_$s WHERE vec_id < 16),
+       |${pqIterSql(s, 1, sfx)},
+       |${pqIterSql(s, 2, sfx)},
+       |af${sfx}_$s AS (
        |  SELECT vec_id, bucket AS code FROM (
        |    SELECT x.vec_id, c.cid AS bucket,
        |      row_number() OVER (PARTITION BY x.vec_id
        |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
-       |    FROM e_$s x CROSS JOIN c2_$s c) t WHERE r = 1)""".stripMargin
+       |    FROM e${sfx}_$s x CROSS JOIN c${sfx}2_$s c) t WHERE r = 1)""".stripMargin
   }
   val pqAdcSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |dimsq AS (SELECT unnest(generate_series(1, 16)) AS i),
-       |${(0 to 3).map(pqSubSql).mkString(",\n")},
+       |${(0 to 3).map(s => pqSubSql(s)).mkString(",\n")},
        |codes AS (
        |${(0 to 3).map(s => s"  SELECT vec_id, $s AS sub, code FROM af_$s")
             .mkString("\n  UNION ALL\n")}),
@@ -1216,6 +1218,151 @@ object SimQueries extends graft.QueryModule {
        |      ORDER BY cos DESC, neighbor_id ASC) AS rank
        |  FROM sc) t
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** OPQ vs plain PQ recall@5 (r13 judge item 7): product-quantize the
+    * corpus twice — once on the raw dimension order, once ROTATED by
+    * the non-parametric OPQ dimension allocation
+    * ([[graft.sim.Pq.varianceAllocation]]: variance-ranked dims dealt
+    * snake-wise to the 4 subspaces; a permutation matrix is an
+    * orthogonal rotation) — and score both against the SAME exact
+    * brute-force top-5 (rotations preserve dot products, so the raw
+    * ground truth is the rotated ground truth too). The oracle
+    * replays BOTH full PQ trainings (8 subspace k-means), the
+    * allocation ladder (rounded per-dim variances → snake deal), the
+    * two ADC searches and the recall intersection — end to end in
+    * SQL. The PARAMETRIC eigenbasis form ([[graft.sim.Pq.opqRotation]]
+    * via Pca.eigSym, the Ge et al. initialization proper) is the
+    * library path, spec-anchored in PqSpec: a d=64 Jacobi
+    * eigendecomposition has data-dependent pivot order and cannot be
+    * replayed by a SQL oracle, which is exactly why the GATE pins the
+    * allocation variant. */
+  def simOpqRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+    val exact = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // plain PQ: the shared trained artifacts (identical to sim_pq_adc)
+    val cb = trainedArtifacts(spark, sfDir)._2
+    val codes = graft.sim.Pq.encode(emb, cb, "vec_id", "embedding",
+      m = 4, subDim = 16)
+    val annPq = graft.sim.Pq.searchAdc(codes, cb, queries,
+        "vec_id", "embedding", m = 4, subDim = 16, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    // OPQ: permute dims by variance allocation, then the same pipeline
+    val perm = graft.sim.Pq.varianceAllocation(emb, "embedding",
+      dim = 64, m = 4)
+    val pemb = emb.select(col("vec_id"),
+      graft.sim.Pq.permuted(col("embedding"), perm).as("pv"))
+    val pcb = graft.sim.Pq.train(pemb, "vec_id", "pv",
+      m = 4, subDim = 16, k = 16, iterations = 2)
+    val pcodes = graft.sim.Pq.encode(pemb, pcb, "vec_id", "pv",
+      m = 4, subDim = 16)
+    val annOpq = graft.sim.Pq.searchAdc(pcodes, pcb,
+        pemb.where(col("vec_id") >= 100 && col("vec_id") < 110),
+        "vec_id", "pv", m = 4, subDim = 16, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val tot = exact.agg(count(lit(1)).as("total"),
+      countDistinct(col("query_id")).as("n_queries"))
+    def recallRow(name: String, ann: DataFrame): DataFrame =
+      ann.join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(tot))
+        .select(lit(name).as("variant"), col("n_queries"), col("hits"),
+          round(col("hits") / col("total"), 4).as("recall"))
+    graft.core.Caching.reap(
+      recallRow("opq", annOpq).unionByName(recallRow("pq", annPq))
+        .orderBy("variant"),
+      exact)
+  }
+  /** ADC search + top-5 CTEs for one PQ variant (`sfx` namespaces the
+    * code/codebook CTEs, `from` is the vector table). */
+  private def adcSql(sfx: String, from: String): String =
+    s"""codes$sfx AS (
+       |${(0 to 3).map(s => s"  SELECT vec_id, $s AS sub, code FROM af${sfx}_$s")
+          .mkString("\n  UNION ALL\n")}),
+       |cb$sfx AS (
+       |${(0 to 3).map(s =>
+          s"  SELECT $s AS sub, cid AS code, cv," +
+            s" list_sum(list_transform(cv, y -> y * y)) AS cn2 FROM c${sfx}2_$s")
+          .mkString("\n  UNION ALL\n")}),
+       |q$sfx AS (
+       |  SELECT vec_id AS query_id, v,
+       |    sqrt(list_sum(list_transform(v, y -> y * y))) AS qn
+       |  FROM $from WHERE vec_id >= 100 AND vec_id < 110),
+       |lut$sfx AS (
+       |  SELECT q.query_id, cb.sub, cb.code, q.qn, cb.cn2,
+       |    list_sum(list_transform(generate_series(1, 16),
+       |      i -> q.v[cb.sub * 16 + i] * cb.cv[i])) AS d
+       |  FROM q$sfx q CROSS JOIN cb$sfx cb),
+       |sc$sfx AS (
+       |  SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    round(sum(l.d) / (min(l.qn) * sqrt(sum(l.cn2))), 4) + 0.0 AS cos
+       |  FROM codes$sfx c JOIN lut$sfx l ON l.sub = c.sub AND l.code = c.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |ann$sfx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |    FROM sc$sfx) t
+       |  WHERE rank <= 5)""".stripMargin
+  val opqRecallSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dimsq AS (SELECT unnest(generate_series(1, 16)) AS i),
+       |dims64 AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |nn AS (SELECT vec_id, v,
+       |  sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM e),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${cosSql("q", "c")}, 4) + 0.0 DESC, c.vec_id) AS rank
+       |    FROM nn q JOIN nn c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t
+       |  WHERE rank <= 5),
+       |dvar AS (
+       |  SELECT d.i,
+       |    round(avg(e.v[d.i] * e.v[d.i]) - avg(e.v[d.i]) * avg(e.v[d.i]),
+       |      6) + 0.0 AS var
+       |  FROM e CROSS JOIN dims64 d GROUP BY d.i),
+       |rk AS (
+       |  SELECT i AS dim,
+       |    row_number() OVER (ORDER BY var DESC, i ASC) - 1 AS r0
+       |  FROM dvar),
+       |alloc AS (
+       |  SELECT dim, r0,
+       |    CASE WHEN (r0 // 4) % 2 = 0 THEN r0 % 4 ELSE 3 - (r0 % 4) END AS sub
+       |  FROM rk),
+       |allocp AS (
+       |  SELECT dim,
+       |    sub * 16 + row_number() OVER (PARTITION BY sub ORDER BY r0) AS p
+       |  FROM alloc),
+       |pe AS (
+       |  SELECT e.vec_id, list(e.v[a.dim] ORDER BY a.p) AS v
+       |  FROM e CROSS JOIN allocp a GROUP BY e.vec_id),
+       |${(0 to 3).map(s => pqSubSql(s)).mkString(",\n")},
+       |${(0 to 3).map(s => pqSubSql(s, "o", "pe")).mkString(",\n")},
+       |${adcSql("", "e")},
+       |${adcSql("o", "pe")},
+       |tot AS (SELECT count(*) AS total,
+       |  count(DISTINCT query_id) AS n_queries FROM exact),
+       |hits AS (
+       |  SELECT 'opq' AS variant, count(*) AS hits
+       |  FROM anno a JOIN exact ex ON a.query_id = ex.query_id
+       |    AND a.neighbor_id = ex.neighbor_id
+       |  UNION ALL
+       |  SELECT 'pq' AS variant, count(*) AS hits
+       |  FROM ann a JOIN exact ex ON a.query_id = ex.query_id
+       |    AND a.neighbor_id = ex.neighbor_id)
+       |SELECT variant, tot.n_queries, hits,
+       |  round(CAST(hits AS DOUBLE) / tot.total, 4) AS recall
+       |FROM hits CROSS JOIN tot
+       |ORDER BY variant""".stripMargin
 
   /** IVF-PQ composition — the full billion-scale serving shape (Jégou
     * et al. 2011): a trained coarse quantizer prunes the corpus to
@@ -1287,7 +1434,7 @@ object SimQueries extends graft.QueryModule {
        |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
        |    FROM e q CROSS JOIN c2 c
        |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4),
-       |${(0 to 3).map(pqSubSql).mkString(",\n")},
+       |${(0 to 3).map(s => pqSubSql(s)).mkString(",\n")},
        |codes AS (
        |${(0 to 3).map(s => s"  SELECT vec_id, $s AS sub, code FROM af_$s")
             .mkString("\n  UNION ALL\n")}),
@@ -1431,7 +1578,7 @@ object SimQueries extends graft.QueryModule {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |dimsq AS (SELECT unnest(generate_series(1, 16)) AS i),
-       |${(0 to 3).map(pqSubSql).mkString(",\n")},
+       |${(0 to 3).map(s => pqSubSql(s)).mkString(",\n")},
        |codes AS (
        |${(0 to 3).map(s => s"  SELECT vec_id, $s AS sub, code FROM af_$s")
             .mkString("\n  UNION ALL\n")}),
@@ -1654,6 +1801,7 @@ object SimQueries extends graft.QueryModule {
     "sim_pca_project" -> (simPcaProject _),
     "sim_gram_matrix" -> (simGramMatrix _),
     "sim_pq_adc" -> (simPqAdc _),
+    "sim_opq_recall" -> (simOpqRecall _),
     "sim_maxsim_multivector" -> (simMaxsimMultivector _),
     "sim_ndcg_eval" -> (simNdcgEval _),
     "sim_sparse_cosine" -> (simSparseCosine _),
@@ -1683,6 +1831,7 @@ object SimQueries extends graft.QueryModule {
     "sim_pca_project" -> pcaProjectSql,
     "sim_gram_matrix" -> gramSql,
     "sim_pq_adc" -> pqAdcSql,
+    "sim_opq_recall" -> opqRecallSql,
     "sim_maxsim_multivector" -> maxsimSql,
     "sim_ndcg_eval" -> ndcgSql,
     "sim_sparse_cosine" -> sparseCosineSql,
