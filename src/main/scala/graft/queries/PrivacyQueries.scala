@@ -209,10 +209,15 @@ object PrivacyQueries extends graft.QueryModule {
     * the fact table. Output: (gen_level, c_nationkey, c_mktsegment,
     * bal_band, n) for the released (kept) groups. */
   def privKRelease(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.customer(spark, sfDir)
-      .groupBy(col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") / 1000.0).as("band0"))
-      .agg(count(lit(1)).as("n0"))
+    // the rung table feeds TWO consumers (the best-rung argmin and the
+    // final release join); reaping the bounded QI base to a checkpoint
+    // keeps the fact pass at exactly one scan instead of one per
+    // consumer (Round14Spec pins the scan count)
+    val base = graft.core.Caching.reap(
+      Tables.customer(spark, sfDir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).as("band0"))
+        .agg(count(lit(1)).as("n0")))
     val rungs = base.crossJoin(
         broadcast(spark.range(0, MaxGenLevel + 1).select(col("id").as("lv"))))
       .groupBy(col("lv"), col("c_nationkey"), col("c_mktsegment"),
