@@ -72,6 +72,48 @@ object PrivacyQueries extends graft.QueryModule {
        |    / CAST(sum(n) AS DOUBLE), 6) + 0.0 AS suppression_rate
        |FROM g""".stripMargin
 
+  /** Distinct-sensitive-values threshold for the l-diversity audit. */
+  private val L = 3
+
+  /** PR5: l-diversity audit — k-anonymity's standard companion
+    * (Machanavajjhala et al. 2007): a group can be k-anonymous yet
+    * leak its sensitive attribute completely if every member shares
+    * the same value, so the release audit also needs the DISTINCT
+    * sensitive-value count per quasi-identifier group. QI here is
+    * (nation, balance band); the sensitive attribute is the market
+    * segment. Reports the achieved l (smallest distinct count), the
+    * groups/rows below L=3, and the homogeneous groups (l = 1 — total
+    * attribute disclosure). Single keyed aggregation to the bounded
+    * QI table, then bounded re-aggregation. */
+  def privLDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).as("bal_band"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_mktsegment")).as("l"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum("n").as("n_rows"),
+        min("l").as("l_achieved"),
+        sum(when(col("l") < L, 1L).otherwise(0L)).as("groups_below_l"),
+        sum(when(col("l") < L, col("n")).otherwise(0L)).as("rows_at_risk"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).as("homogeneous_groups"))
+
+  val lDiversitySql: String =
+    s"""WITH g AS (
+       |  SELECT c_nationkey, floor(c_acctbal / 1000.0) AS bal_band,
+       |    count(*) AS n, count(DISTINCT c_mktsegment) AS l
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT count(*) AS n_groups,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  min(l) AS l_achieved,
+       |  CAST(sum(CASE WHEN l < $L THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS groups_below_l,
+       |  CAST(sum(CASE WHEN l < $L THEN n ELSE 0 END) AS BIGINT)
+       |    AS rows_at_risk,
+       |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS homogeneous_groups
+       |FROM g""".stripMargin
+
   /** Laplace scale b = sensitivity/ε = 1/0.5 for unit-sensitivity
     * counts (one customer contributes to exactly one nation). */
   private val LaplaceB = 2.0
@@ -262,11 +304,13 @@ object PrivacyQueries extends graft.QueryModule {
     "priv_k_anonymity" -> (privKAnonymity _),
     "priv_dp_counts" -> (privDpCounts _),
     "priv_dp_sum" -> (privDpSum _),
-    "priv_k_release" -> (privKRelease _))
+    "priv_k_release" -> (privKRelease _),
+    "priv_l_diversity" -> (privLDiversity _))
 
   def oracles: Map[String, String] = Map(
     "priv_k_anonymity" -> kAnonymitySql,
     "priv_dp_counts" -> dpCountsSql,
     "priv_dp_sum" -> dpSumSql,
-    "priv_k_release" -> kReleaseSql)
+    "priv_k_release" -> kReleaseSql,
+    "priv_l_diversity" -> lDiversitySql)
 }
