@@ -14,35 +14,46 @@ class CacheHygieneSpec extends SparkSpecBase {
   private def docs = graft.core.Tables.documents(spark, sfDir)
     .select("doc_id", "text").where(col("doc_id") < 200)
 
-  private def assertNoResidentBlocks(api: String): Unit = {
-    val left = spark.sparkContext.getPersistentRDDs
-    assert(left.isEmpty,
-      s"$api leaked ${left.size} persisted RDD(s): " +
-        left.values.map(_.toString).mkString("; "))
+  /** Assert `body` leaves no NEW persisted RDDs behind. The snapshot
+    * diff (not an emptiness check) keeps the assertion true under a
+    * full `sbt test` run, where unrelated suites sharing this JVM's
+    * SparkContext may legitimately hold their own cached fixtures. */
+  private def assertNoNewBlocks(api: String)(body: => Unit): Unit = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    body
+    val leaked = spark.sparkContext.getPersistentRDDs -- before
+    assert(leaked.isEmpty,
+      s"$api leaked ${leaked.size} persisted RDD(s): " +
+        leaked.values.map(_.toString).mkString("; "))
   }
 
   test("SpanDedup.dupSpanCounts leaves no persisted blocks") {
-    graft.dedup.SpanDedup.dupSpanCounts(docs, "doc_id", "text", 8).count()
-    assertNoResidentBlocks("dupSpanCounts")
+    assertNoNewBlocks("dupSpanCounts") {
+      graft.dedup.SpanDedup.dupSpanCounts(docs, "doc_id", "text", 8).count()
+    }
   }
 
   test("SpanDedup.maximalDupSpans leaves no persisted blocks") {
-    graft.dedup.SpanDedup.maximalDupSpans(docs, "doc_id", "text", 8).count()
-    assertNoResidentBlocks("maximalDupSpans")
+    assertNoNewBlocks("maximalDupSpans") {
+      graft.dedup.SpanDedup.maximalDupSpans(docs, "doc_id", "text", 8).count()
+    }
   }
 
   test("SpanDedup.excise leaves no persisted blocks") {
-    graft.dedup.SpanDedup.excise(docs, "doc_id", "text", 8).count()
-    assertNoResidentBlocks("excise")
+    assertNoNewBlocks("excise") {
+      graft.dedup.SpanDedup.excise(docs, "doc_id", "text", 8).count()
+    }
   }
 
   test("SpanDedup.spanPairs leaves no persisted blocks") {
-    graft.dedup.SpanDedup.spanPairs(docs, "doc_id", "text", 8).count()
-    assertNoResidentBlocks("spanPairs")
+    assertNoNewBlocks("spanPairs") {
+      graft.dedup.SpanDedup.spanPairs(docs, "doc_id", "text", 8).count()
+    }
   }
 
   test("Containment.pairsExact leaves no persisted blocks") {
-    graft.dedup.Containment.pairsExact(docs, "doc_id", "text", 0.5).count()
-    assertNoResidentBlocks("pairsExact")
+    assertNoNewBlocks("pairsExact") {
+      graft.dedup.Containment.pairsExact(docs, "doc_id", "text", 0.5).count()
+    }
   }
 }
