@@ -159,8 +159,10 @@ object Containment {
         .select(col("a"), col("b"),
           round(col("common") / col("na"), 4).as("c_ab"),
           round(col("common") / col("nb"), 4).as("c_ba"))
-        .where(col("c_ab") >= threshold || col("c_ba") >= threshold)
-        .orderBy("a", "b"),
+        .where(col("c_ab") >= threshold || col("c_ba") >= threshold),
       ds, ranked)
+      // order on the read-back frame: reap's read-back is unordered,
+      // so a sort inside the reaped plan is paid and then lost
+      .orderBy("a", "b")
   }
 }

@@ -41,11 +41,19 @@ object Bfs {
           .select(e("dst").as("node")).distinct()
           .join(visited, Seq("node"), "left_anti")
           .select(col("node"), lit(h.toLong).as("hop"))
+        val prevFrontier = frontier
         frontier = graft.core.Caching.reap(next)
+        // hop 1's frontier IS visited — never release the shared spill
+        if (prevFrontier ne visited) graft.core.Caching.release(prevFrontier)
         if (frontier.isEmpty) exhausted = true
-        else visited = graft.core.Caching.reap(visited.unionByName(frontier))
+        else {
+          val prevVisited = visited
+          visited = graft.core.Caching.reapReplacing(
+            visited.unionByName(frontier), prevVisited)
+        }
         h += 1
       }
+      if (frontier ne visited) graft.core.Caching.release(frontier)
       visited
     } finally e.unpersist(blocking = false)
   }

@@ -59,15 +59,17 @@ object Hits {
       var hub = nodes.select(col("node"), lit(1.0).as("hub"))
       var auth: DataFrame = null
       for (_ <- 1 to iters) {
-        auth = e.join(hub, e("src") === hub("node"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum("hub").as("authority"))
-        hub = e.join(auth, e("dst") === auth("node"))
-          .groupBy(col("src").as("node"))
-          .agg(sum("authority").as("hub"))
-        // cut lineage per round — the plan doubles otherwise
-        auth = graft.core.Caching.reap(auth)
-        hub = graft.core.Caching.reap(hub)
+        // cut lineage per round — the plan doubles otherwise; each
+        // reapReplacing reclaims the previous round's spill (scratch
+        // stays O(1) dirs). hub reads the already-spilled new auth.
+        auth = graft.core.Caching.reapReplacing(
+          e.join(hub, e("src") === hub("node"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum("hub").as("authority")), auth)
+        hub = graft.core.Caching.reapReplacing(
+          e.join(auth, e("dst") === auth("node"))
+            .groupBy(col("src").as("node"))
+            .agg(sum("authority").as("hub")), hub)
       }
       // one final L1 normalize each + the zero-fill onto the node set
       val totals = auth.agg(sum("authority").as("__ta"))
@@ -83,8 +85,12 @@ object Hits {
       // Checkpoint EAGERLY while e/nodes are still cached: the caller's
       // action runs after the finally-unpersist below, so a lazy result
       // would recompute the node set from the raw edge source — the
-      // persists would have bought the final join nothing.
-      graft.core.Caching.reap(result)
+      // persists would have bought the final join nothing. The spill
+      // fully consumed auth/hub, so their scratch is reclaimed here.
+      val out = graft.core.Caching.reap(result)
+      graft.core.Caching.release(auth)
+      graft.core.Caching.release(hub)
+      out
     } finally {
       e.unpersist(blocking = false)
       nodes.unpersist(blocking = false)

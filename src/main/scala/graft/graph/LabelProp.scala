@@ -44,6 +44,7 @@ object LabelProp {
       val byNode = Window.partitionBy("node")
         .orderBy(col("tw").desc, col("label"))
       for (_ <- 1 to iters) {
+        val prev = labels
         val tallied = e.join(labels, e("src") === labels("node"))
           .groupBy(e("dst").as("node"), col("label"))
           .agg(sum("w").as("tw"))
@@ -51,7 +52,7 @@ object LabelProp {
           .withColumn("rn", row_number().over(byNode))
           .where(col("rn") === 1)
           .select(col("node"), col("label"))
-        labels = graft.core.Caching.reap(labels)
+        labels = graft.core.Caching.reapReplacing(labels, prev)
       }
       labels
     } finally e.unpersist(blocking = false)

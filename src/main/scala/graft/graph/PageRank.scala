@@ -49,6 +49,7 @@ object PageRank {
     try {
       var ranks = nodes.select(col("node"), lit(1.0).as("rank"))
       for (_ <- 1 to iters) {
+        val prev = ranks
         val contrib = trans.join(ranks, trans("src") === ranks("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("rank") * col("p")).as("inflow"))
@@ -58,8 +59,10 @@ object PageRank {
             (lit(reset) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
               .as("rank"))
         // cut the lineage each round: the plan doubles per round
-        // without a checkpointed frontier (Clusters learned the same)
-        ranks = graft.core.Caching.reap(ranks)
+        // without a checkpointed frontier (Clusters learned the same);
+        // reapReplacing reclaims round r-1's spill as soon as round r
+        // lands (scratch stays O(1) dirs, not O(iters))
+        ranks = graft.core.Caching.reapReplacing(ranks, prev)
       }
       ranks
     } finally {
@@ -94,6 +97,7 @@ object PageRank {
     try {
       var ranks = nodes.select(col("node"), col("is_seed").as("rank"))
       for (_ <- 1 to iters) {
+        val prev = ranks
         val contrib = trans.join(ranks, trans("src") === ranks("node"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("rank") * col("p")).as("inflow"))
@@ -102,7 +106,7 @@ object PageRank {
           .select(col("node"),
             (lit(reset) * col("is_seed") +
               lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        ranks = graft.core.Caching.reap(ranks)
+        ranks = graft.core.Caching.reapReplacing(ranks, prev)
       }
       ranks
     } finally {

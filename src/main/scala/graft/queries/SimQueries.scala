@@ -385,7 +385,7 @@ object SimQueries extends graft.QueryModule {
       // measured 36 s of planning+re-execution at sf0.1 vs ~2 s with
       // the checkpoint (the PageRank/LabelProp reap idiom; the frame
       // is ≤ 5·queries rows)
-      sel = graft.core.Caching.reap(sel.unionByName(pick))
+      sel = graft.core.Caching.reapReplacing(sel.unionByName(pick), sel)
     }
     sel.select(col("query_id"), col("mmr_rank"), col("neighbor_id"),
         graft.functions.ScoreFns.scoreRound(col("mmr"), 5).as("mmr"))
@@ -828,8 +828,10 @@ object SimQueries extends graft.QueryModule {
     val out = perProbe.crossJoin(totals)
       .select(col("nprobe"), col("n_queries"), col("hits"),
         round(col("hits") / col("total"), 4).as("recall"))
-      .orderBy("nprobe")
-    graft.core.Caching.reap(out, exact)
+    // order on the READ-BACK frame: reap's multi-file read-back does
+    // not preserve the written order (r14 advice — a sort inside the
+    // reaped plan is paid by the write and then lost)
+    graft.core.Caching.reap(out, exact).orderBy("nprobe")
   }
   val ivfRecallSql: String = vecCte +
     """, cents AS (SELECT vec_id AS centroid_id, v, nrm FROM n WHERE vec_id < 16),
@@ -1271,10 +1273,10 @@ object SimQueries extends graft.QueryModule {
         .crossJoin(broadcast(tot))
         .select(lit(name).as("variant"), col("n_queries"), col("hits"),
           round(col("hits") / col("total"), 4).as("recall"))
+    // order on the read-back frame (reap read-back is unordered)
     graft.core.Caching.reap(
-      recallRow("opq", annOpq).unionByName(recallRow("pq", annPq))
-        .orderBy("variant"),
-      exact)
+      recallRow("opq", annOpq).unionByName(recallRow("pq", annPq)),
+      exact).orderBy("variant")
   }
   /** ADC search + top-5 CTEs for one PQ variant (`sfx` namespaces the
     * code/codebook CTEs, `from` is the vector table). */

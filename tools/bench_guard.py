@@ -9,18 +9,27 @@ fixed calibration gate q1_pricing_summary, taken immediately before
 and after the draw). A draw is ACCEPTED only when
 
   1. calib_post is not more than TOL slower than calib_pre (a storm
-     did not develop mid-draw), and
-  2. neither is more than TOL SLOWER than the rolling median of the
-     calibration readings in the given --ref artifacts.
+     did not develop mid-draw),
+  2. calib_pre is not more than ASYM_BOUND slower than calib_post
+     (r14 advice: a storm that covered the FIRST half of the draw
+     leaves a sick pre and a healthy post — post/pre < 1 alone would
+     accept it. The systematic healthy warm-up asymmetry is ~2x
+     (measured 0.687s -> 0.323s); beyond 3x the first half was sick),
+  3. neither is more than TOL slower than the committed rolling
+     median for its OWN edge — pre vs the pre-median, post vs the
+     post-median (r14 advice: pooling them let accumulating warm post
+     readings drag the pooled median down until healthy cold pre
+     readings were spuriously rejected).
 
-  Both checks are ONE-SIDED on purpose: a storm makes calibration
-  SLOW. A post reading FASTER than pre is the systematic warm-up
-  asymmetry (page cache + compiled-plan caches after a full suite;
-  measured on the first guarded draw: pre 0.687s, post 0.323s on a
-  healthy VM), and a draw faster than the rolling median just means
-  the refs were taken on a noisier session (the r13 situation) — in
-  both cases the resulting artifact is conservative, never
-  flattering.
+  Checks 1 and 3 are ONE-SIDED on purpose: a storm makes calibration
+  SLOW; faster than the median is just a warm/healthy VM, and the
+  resulting artifact is conservative, never flattering. Check 2 is
+  the one place "pre much slower than post" is itself the sickness
+  signature.
+
+Reference medians come from tools/calib_median.json (committed, keyed
+by SF, split pre/post) by default; --ref artifacts override it. With
+neither, the only checks are 1 and 2 and the script says so LOUDLY.
 
 Otherwise the draw is rejected and re-drawn (up to --max-tries, with
 a cool-down sleep). If no draw passes, the one with the best (lowest)
@@ -32,29 +41,52 @@ Usage:
       [--ref BENCH_a.json ...] [--tol 1.2] [--max-tries 3] [--sleep 60]
 
 Refs may be older artifacts without calib stamps; for those the
-queries.q1_pricing_summary suite time substitutes (same gate, same
-best-of-2 methodology, just taken mid-suite instead of at the edges).
+queries.q1_pricing_summary suite time substitutes on the PRE side
+(same gate, same best-of-2 methodology, taken mid-suite).
 """
 import json, os, shutil, subprocess, sys, time
 
+ASYM_BOUND = 3.0  # healthy pre/post warm-up asymmetry is ~2x; 3x = sick first half
+
 
 def ref_calibs(paths):
-    vals = []
+    """(pre_readings, post_readings) from --ref artifacts."""
+    pres, posts = [], []
     for p in paths:
         try:
             with open(p) as f:
                 d = json.load(f)
         except Exception:
             continue
-        for k in ("calib_pre", "calib_post"):
-            v = d.get(k)
-            if isinstance(v, (int, float)) and v > 0:
-                vals.append(float(v))
+        if isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        v = d.get("calib_pre")
+        if isinstance(v, (int, float)) and v > 0:
+            pres.append(float(v))
+        v = d.get("calib_post")
+        if isinstance(v, (int, float)) and v > 0:
+            posts.append(float(v))
         if not any(k in d for k in ("calib_pre", "calib_post")):
             q = d.get("queries", {}).get("q1_pricing_summary")
             if isinstance(q, (int, float)) and q > 0:
-                vals.append(float(q))
-    return vals
+                pres.append(float(q))
+    return pres, posts
+
+
+def committed_medians(sf_dir):
+    """(pre, post) medians for this SF from tools/calib_median.json."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "calib_median.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except Exception:
+        return None
+    base = os.path.basename(sf_dir.rstrip("/"))
+    for key in ("sf0.01", "sf0.1", "sf1"):
+        if key in base and key in d:
+            return float(d[key]["pre"]), float(d[key]["post"])
+    return None
 
 
 def median(xs):
@@ -80,10 +112,24 @@ def main():
             else: cool = v
             args = args[:i] + args[i + 2:]
     sf_dir, out_file = args[0], args[1]
-    roll = median(ref_calibs(refs))
-    print(f"[guard] rolling calib median: "
-          f"{f'{roll:.3f}s' if roll else 'none (no refs)'} tol {tol}x",
-          flush=True)
+    if refs:
+        pres, posts = ref_calibs(refs)
+        roll_pre, roll_post = median(pres), median(posts)
+        src = f"{len(refs)} --ref artifacts"
+    else:
+        m = committed_medians(sf_dir)
+        roll_pre, roll_post = (m if m else (None, None))
+        src = "tools/calib_median.json" if m else None
+    if roll_pre is None and roll_post is None:
+        print("[guard] WARNING: no reference medians (no --ref, no "
+              "committed entry for this SF) — only the post/pre and "
+              "asymmetry checks run; a uniformly-sick window would be "
+              "ACCEPTED. Supply --ref or extend calib_median.json.",
+              flush=True)
+    else:
+        print(f"[guard] rolling medians from {src}: "
+              f"pre={roll_pre:.3f}s post={roll_post:.3f}s tol {tol}x",
+              flush=True)
 
     best = None  # (max_dev, tmp_path, draw_index)
     for t in range(1, tries + 1):
@@ -105,13 +151,17 @@ def main():
         if pre <= 0 or post <= 0:
             print(f"[guard] draw {t} missing calib stamps — rejected", flush=True)
             continue
-        # all one-sided: slow = sick, fast = warm/healthy (see module doc)
-        devs = [max(post / pre, 1.0)]
-        if roll:
-            devs += [max(pre / roll, 1.0), max(post / roll, 1.0)]
+        # one-sided vs own-edge medians (slow = sick, fast = warm), plus
+        # the two window-shape checks (post/pre storm, pre/post asymmetry)
+        devs = [max(post / pre, 1.0), max(pre / post / ASYM_BOUND * tol, 1.0)]
+        if roll_pre:
+            devs.append(max(pre / roll_pre, 1.0))
+        if roll_post:
+            devs.append(max(post / roll_post, 1.0))
         dev = max(devs)
         ok = dev <= tol
         print(f"[guard] draw {t}: calib_pre={pre:.3f}s calib_post={post:.3f}s"
+              f" guard={d.get('calib_guard', '?')}"
               f" max_dev={dev:.2f}x -> {'ACCEPT' if ok else 'REJECT'}",
               flush=True)
         if best is None or dev < best[0]:

@@ -71,6 +71,7 @@ def compare(sf, out, only=None, json_out=None):
     names = sorted(oracle) if not only else [n for n in sorted(oracle) if n in only]
     n_pass = n_fail = 0
     failures = []
+    oracle_secs = {}  # per-query DuckDB replay time (drives trim work)
     # driver-schema record per query (written when --json is given)
     records = {}
     def record(name, rows_m, schema_m, hash_m, sr, orr, err=None):
@@ -86,8 +87,11 @@ def compare(sf, out, only=None, json_out=None):
             record(name, False, False, False, 0, 0, "no spark output")
             continue
         try:
+            import time as _t
             got = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+            _o0 = _t.time()
             want = con.execute(sql).df()
+            oracle_secs[name] = _t.time() - _o0
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; failures.append(name)
             record(name, False, False, False, 0, 0, str(e)[:500])
@@ -154,6 +158,11 @@ def compare(sf, out, only=None, json_out=None):
                 print(merged.head(5))
             except Exception:
                 pass
+    if oracle_secs:
+        top = sorted(oracle_secs.items(), key=lambda kv: -kv[1])[:15]
+        tot = sum(oracle_secs.values())
+        print(f"\noracle replay {tot:.1f}s total; slowest: "
+              + " ".join(f"{n}={s:.1f}s" for n, s in top))
     print(f"\n{n_pass} pass, {n_fail} fail" + (f": {failures}" if failures else ""))
     if json_out:
         with open(json_out, "w") as f:

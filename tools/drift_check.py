@@ -14,11 +14,13 @@ Usage: python3 tools/drift_check.py PREV.json CURR.json [thresh=1.3]
 Exit code 0 = no UNADJUDICATED movers; 1 = unadjudicated movers listed.
 
 --iso files are graft.Bench --isolate artifacts ({"gates": {name:
-{"median": sec, ...}}}). A mover that appears in any given iso
-artifact is printed with its iso median as ADJUDICATED and does not
-fail the gate — this is the README contract ("exits non-zero until
-the list is empty or every entry has an iso re-draw") made literal
-(r13 advice: the script previously ignored iso artifacts).
+{"median": sec, ...}}}). A SLOWDOWN mover is ADJUDICATED only when its
+iso median REFUTES the regression (iso_median <= thresh x prev) — an
+iso re-draw that lands at the regressed time CONFIRMS it and the gate
+still fails (r14 advice: presence alone used to excuse the mover). A
+speedup mover with an iso median is adjudicated either way: the iso
+tells you whether the improvement is real or noise, and neither answer
+is a regression.
 """
 import json, sys
 
@@ -69,8 +71,17 @@ def main():
     open_movers = 0
     for r, name, a, b in movers:
         if name in iso:
-            print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x) "
-                  f"[ADJUDICATED: iso median {iso[name]:.2f}s]")
+            med = iso[name]
+            if r > thresh and med / a > thresh:
+                # iso re-draw lands at the regressed time: CONFIRMED
+                open_movers += 1
+                print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x) "
+                      f"[CONFIRMED by iso median {med:.2f}s = "
+                      f"{med / a:.2f}x prev — real regression]")
+            else:
+                print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x) "
+                      f"[ADJUDICATED: iso median {med:.2f}s = "
+                      f"{med / a:.2f}x prev]")
         else:
             open_movers += 1
             print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
