@@ -117,7 +117,9 @@ class Round14Spec extends SparkSpecBase {
     got.foreach { case (nk, noisySum, noisyMean) =>
       val (cents, n) = byNation(nk)
       val ws = cents / 100.0 + lap("dpsum:", 100000.0 / 0.5, nk)
-      val wm = ws / (n + lap("dpn:", 1.0 / 0.5, nk))
+      // denominator floored at 1 since r15 (small-group safety; at
+      // TPC-H nation sizes the floor never actually engages here)
+      val wm = ws / math.max(n + lap("dpn:", 1.0 / 0.5, nk), 1.0)
       assert(math.abs(noisySum - ws) < 1e-4, s"nation $nk sum")
       assert(math.abs(noisyMean - wm) < 1e-4, s"nation $nk mean")
     }
