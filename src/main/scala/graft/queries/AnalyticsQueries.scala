@@ -122,6 +122,170 @@ object AnalyticsQueries extends graft.QueryModule {
        |FROM sm WHERE rn = 1 ORDER BY user_id""".stripMargin
   }
 
+  /** Two-sample log-rank test over the x_survival_km life table — the
+    * inferential companion to the KM curve: does cohort 1 (md5-parity
+    * arm of the customer key) churn at a different hazard than cohort
+    * 0? At every distinct event time t the observed group-1 deaths are
+    * compared to the hypergeometric expectation d_t·n1_t/n_t given the
+    * at-risk margins; χ² = (Σ(d1−E1))²/ΣV with the standard variance
+    * term (Mantel 1966). Same censoring rule and shapes as
+    * x_survival_km: ONE keyed aggregation to the duration-bounded life
+    * table, reverse-cumulative at-risk windows over that bounded frame
+    * (whitelisted), exact-integer cells in doubles, Σ rounded at 6. */
+  def xLogrank(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val life = orders.groupBy("o_custkey")
+      .agg(min("o_orderdate").as("fd"), max("o_orderdate").as("ld"))
+      .crossJoin(broadcast(orders.agg(max("o_orderdate").as("maxd"))))
+      .select(
+        (graft.sketch.Sketches.hash60(col("o_custkey").cast("string")) % 2)
+          .as("g"),
+        datediff(to_date(col("ld")), to_date(col("fd"))).cast("long")
+          .as("dur"),
+        (col("ld") < col("maxd") - expr("INTERVAL 90 DAYS")).cast("long")
+          .as("ev"))
+    val byDur = life.groupBy("dur").agg(
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("g") === 0, col("ev")).otherwise(0L)).as("d0"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("g") === 1, col("ev")).otherwise(0L)).as("d1"))
+    val atRisk = Window.orderBy("dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val t = byDur
+      .withColumn("n0", sum("c0").over(atRisk).cast("double"))
+      .withColumn("n1", sum("c1").over(atRisk).cast("double"))
+      .where(col("d0") + col("d1") > 0)
+      .withColumn("nn", col("n0") + col("n1"))
+      .withColumn("d", (col("d0") + col("d1")).cast("double"))
+      .withColumn("e1", col("d") * col("n1") / col("nn"))
+      .withColumn("v", when(col("nn") > 1,
+        col("d") * (col("n1") / col("nn"))
+          * (lit(1.0) - col("n1") / col("nn"))
+          * (col("nn") - col("d")) / (col("nn") - lit(1.0)))
+        .otherwise(lit(0.0)))
+    val users = life.agg(
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_users0"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_users1"))
+    val lr = t.agg(
+      sum("d0").as("events0"),
+      sum("d1").as("events1"),
+      graft.functions.ScoreFns.scoreRound(sum("e1"), 6).as("expected1"),
+      graft.functions.ScoreFns.scoreRound(
+        (sum(col("d1")).cast("double") - sum("e1"))
+          * (sum(col("d1")).cast("double") - sum("e1")) / sum("v"), 6)
+        .as("logrank_chi2"))
+    users.crossJoin(lr)
+  }
+  val logrankSql: String =
+    """WITH l AS (
+      |  SELECT o_custkey, min(o_orderdate) AS fd, max(o_orderdate) AS ld
+      |  FROM orders GROUP BY 1),
+      |m AS (SELECT max(o_orderdate) AS maxd FROM orders),
+      |life AS (
+      |  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+      |      1, 15))::BIGINT % 2 AS g,
+      |    CAST(date_diff('day', CAST(fd AS DATE), CAST(ld AS DATE))
+      |      AS BIGINT) AS dur,
+      |    CASE WHEN ld < maxd - INTERVAL 90 DAY THEN 1 ELSE 0 END AS ev
+      |  FROM l, m),
+      |bd AS (
+      |  SELECT dur,
+      |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN g = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0,
+      |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1
+      |  FROM life GROUP BY 1),
+      |rk AS (
+      |  SELECT dur, d0, d1,
+      |    CAST(sum(c0) OVER wf AS DOUBLE) AS n0,
+      |    CAST(sum(c1) OVER wf AS DOUBLE) AS n1
+      |  FROM bd
+      |  WINDOW wf AS (ORDER BY dur
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |t AS (
+      |  SELECT d0, d1, n0, n1, n0 + n1 AS nn,
+      |    CAST(d0 + d1 AS DOUBLE) AS d
+      |  FROM rk WHERE d0 + d1 > 0),
+      |s AS (
+      |  SELECT d0, d1, d * n1 / nn AS e1,
+      |    CASE WHEN nn > 1 THEN d * (n1 / nn) * (1.0 - n1 / nn)
+      |      * (nn - d) / (nn - 1.0) ELSE 0.0 END AS v
+      |  FROM t),
+      |u AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_users0,
+      |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_users1
+      |  FROM life),
+      |lr AS (
+      |  SELECT CAST(sum(d0) AS BIGINT) AS events0,
+      |    CAST(sum(d1) AS BIGINT) AS events1,
+      |    round(sum(e1), 6) + 0.0 AS expected1,
+      |    round((CAST(sum(d1) AS DOUBLE) - sum(e1))
+      |      * (CAST(sum(d1) AS DOUBLE) - sum(e1)) / sum(v), 6) + 0.0
+      |      AS logrank_chi2
+      |  FROM s)
+      |SELECT n_users0, n_users1, events0, events1, expected1,
+      |  logrank_chi2
+      |FROM u CROSS JOIN lr""".stripMargin
+
+  /** Page–Hinkley drift allowance δ (tolerated per-day deviation from
+    * the running mean before mass accumulates). */
+  private val PhDelta = 0.05
+
+  /** Page–Hinkley alarm threshold λ on the cumulative deviation mass
+    * (daily-mean scale; the series std-error is ≈1.1 at sf0.01). */
+  private val PhLambda = 3.0
+
+  /** Page–Hinkley drift detector over the daily mean of event value —
+    * the STREAMING change detector that complements the retrospective
+    * x_cusum/ts_changepoint pair: it accumulates deviations of each
+    * new observation from the RUNNING mean (not a fixed reference), so
+    * it flags slow drifts a fixed-k CUSUM tuned to the global mean
+    * misses. m_t = Σ_{i≤t}(x_i − x̄_i − δ), PH_t = m_t − min_{i≤t}m_i,
+    * alarm when PH > λ (Page 1954; the streaming form in Gama et al.,
+    * "A survey on concept drift adaptation", 2014). Shape: ONE keyed
+    * aggregation of the fact table to the ≤31-row daily frame
+    * (per-day means rounded at 6 so both engines agree), then
+    * cumulative windows over that bounded frame — the x_cusum class. */
+  def tsPageHinkley(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(round(avg("value"), 6).as("x"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("mu", round(avg("x").over(w), 6))
+      .withColumn("m", round(sum(col("x") - col("mu") - lit(PhDelta))
+        .over(w), 6))
+      .withColumn("ph", round(col("m") - min("m").over(w), 6))
+      .select(col("d"), col("x"), col("m"), col("ph"),
+        (col("ph") > PhLambda).as("alarm"))
+      .orderBy("d")
+  }
+  val pageHinkleySql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, round(avg(value), 6) AS x
+       |  FROM events GROUP BY 1),
+       |mu AS (
+       |  SELECT d, x, round(avg(x) OVER w, 6) AS mu
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |m AS (
+       |  SELECT d, x, round(sum(x - mu - $PhDelta) OVER w, 6) AS m
+       |  FROM mu
+       |  WINDOW w AS (ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |ph AS (
+       |  SELECT d, x, m, round(m - min(m) OVER w, 6) AS ph
+       |  FROM m
+       |  WINDOW w AS (ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT d, x, m, ph, ph > $PhLambda AS alarm
+       |FROM ph ORDER BY d""".stripMargin
+
   /** Market-basket association: brand co-purchase lift over orders.
     * The itemset universe is collapsed to the 25 part BRANDS before
     * pairing, so the per-order pair expansion is ≤ C(25,2) regardless
@@ -2057,6 +2221,8 @@ object AnalyticsQueries extends graft.QueryModule {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_two_proportion_z" -> (xTwoProportionZ _),
+    "ts_page_hinkley" -> (tsPageHinkley _),
+    "x_logrank" -> (xLogrank _),
     "x_mann_whitney" -> (xMannWhitney _),
     "x_cuped" -> (xCuped _),
     "x_bootstrap_ci" -> (xBootstrapCi _),
@@ -2116,6 +2282,8 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_longest_streak" -> longestStreakSql,
     "ts_merge_intervals" -> mergeIntervalsSql,
     "ts_ewma" -> ewmaSql,
+    "ts_page_hinkley" -> pageHinkleySql,
+    "x_logrank" -> logrankSql,
     "x_hhi_concentration" -> hhiSql,
     "x_category_entropy" -> categoryEntropySql,
     "x_cramers_v" -> cramersVSql,

@@ -111,12 +111,70 @@ object FeatQueries extends graft.QueryModule {
       |SELECT key, n_words, (n_words * (n_words - 1)) // 2 AS n_pairs
       |FROM g ORDER BY n_words DESC, key LIMIT 30""".stripMargin
 
+  /** FE4: weight-of-evidence encoding + information value — the
+    * credit-scoring companion to [[featTargetEncode]]: for each
+    * feature bin (order priority) against a binary target (order
+    * status F = "bad"), WoE = ln(p(bin|good)/p(bin|bad)) with the
+    * standard 0.5 Laplace correction, and the feature's predictive
+    * power summarized as IV = Σ (p_g − p_b)·WoE. Unlike target
+    * encoding (mean response), WoE is symmetric in the class odds and
+    * is additive in naive-Bayes log-odds — the form scorecard models
+    * consume. Shape: ONE keyed aggregation of the fact table to the
+    * 5-row bin table; totals and IV assembled on that bounded table
+    * via a broadcast cross join. ln through scoreRound. */
+  def featWoe(spark: SparkSession, sfDir: String): DataFrame = {
+    val bins = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("n_bad"))
+      .withColumn("n_good", col("n") - col("n_bad"))
+    val tot = bins.agg(sum("n_good").cast("double").as("tg"),
+      sum("n_bad").cast("double").as("tb"))
+    val woe = bins.crossJoin(broadcast(tot))
+      .withColumn("p_good", (col("n_good") + 0.5) / col("tg"))
+      .withColumn("p_bad", (col("n_bad") + 0.5) / col("tb"))
+      .withColumn("woe", scoreRound(log(col("p_good") / col("p_bad")), 6))
+      .withColumn("iv_term",
+        scoreRound((col("p_good") - col("p_bad")) * col("woe"), 6))
+    val iv = woe.agg(scoreRound(sum("iv_term"), 6).as("iv"))
+    woe.crossJoin(broadcast(iv))
+      .select(col("bin"), col("n"), col("n_bad"), col("n_good"),
+        col("woe"), col("iv_term"), col("iv"))
+      .orderBy("bin")
+  }
+
+  val woeSql: String =
+    """WITH bins AS (
+      |  SELECT o_orderpriority AS bin, count(*) AS n,
+      |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_bad
+      |  FROM orders GROUP BY 1),
+      |b2 AS (SELECT bin, n, n_bad, n - n_bad AS n_good FROM bins),
+      |tot AS (
+      |  SELECT CAST(sum(n_good) AS DOUBLE) AS tg,
+      |    CAST(sum(n_bad) AS DOUBLE) AS tb
+      |  FROM b2),
+      |woe AS (
+      |  SELECT bin, n, n_bad, n_good,
+      |    round(ln(((n_good + 0.5) / tg) / ((n_bad + 0.5) / tb)), 6) + 0.0
+      |      AS woe,
+      |    round(((n_good + 0.5) / tg - (n_bad + 0.5) / tb)
+      |      * (round(ln(((n_good + 0.5) / tg) / ((n_bad + 0.5) / tb)), 6)
+      |         + 0.0), 6) + 0.0 AS iv_term
+      |  FROM b2 CROSS JOIN tot),
+      |iv AS (SELECT round(sum(iv_term), 6) + 0.0 AS iv FROM woe)
+      |SELECT bin, n, n_bad, n_good, woe, iv_term, iv
+      |FROM woe CROSS JOIN iv ORDER BY bin""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feat_woe" -> (featWoe _),
     "feat_hashing_trick" -> (featHashingTrick _),
     "feat_target_encode" -> (featTargetEncode _),
     "feat_phonetic_blocking" -> (featPhoneticBlocking _))
 
   def oracles: Map[String, String] = Map(
+    "feat_woe" -> woeSql,
     "feat_hashing_trick" -> hashingTrickSql,
     "feat_target_encode" -> targetEncodeSql,
     "feat_phonetic_blocking" -> phoneticBlockingSql)

@@ -739,7 +739,79 @@ object GraphQueries extends graft.QueryModule {
       |  GROUP BY 1)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One synchronous Louvain sweep ([[graft.graph.Louvain]]) over the
+    * co-purchase graph, audited by its own objective: the gate reports
+    * how many nodes moved, how many communities the sweep produced,
+    * and the NEWMAN MODULARITY of the resulting partition — the
+    * number a curation pipeline reads before trusting the communities
+    * for near-dup cluster splitting or topic bucketing. The oracle
+    * replays the closed-form singleton gains, the synchronous argmax
+    * adoption and the modularity audit. Shapes: keyed aggregations
+    * and equi-joins only (argmax is a max(struct) aggregate, not a
+    * window); see the module doc for the 100 TB argument. */
+  def graphLouvain(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = coEdges(spark, sfDir)
+    val assign = graft.graph.Louvain.sweep(edges)
+    val terms = graft.graph.Louvain.modularity(edges, assign)
+    val moved = assign.agg(count(lit(1)).as("n_nodes"),
+      sum(when(col("community") =!= col("node"), 1L).otherwise(0L))
+        .as("n_moved"))
+    val q = terms.agg(count(lit(1)).as("n_communities"),
+      graft.functions.ScoreFns.scoreRound(sum("q_term"), 6)
+        .as("modularity"))
+    moved.crossJoin(q)
+  }
+
+  val graphLouvainSql: String =
+    """WITH el AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |deg AS (SELECT src AS node, sum(w) AS k FROM el GROUP BY 1),
+      |mm AS (SELECT sum(k) / 2.0 AS m FROM deg),
+      |gains AS (
+      |  SELECT e.src, e.dst,
+      |    round(e.w / m - (ki.k * kj.k) / (2.0 * m * m), 8) AS gain
+      |  FROM el e JOIN deg ki ON ki.node = e.src
+      |  JOIN deg kj ON kj.node = e.dst CROSS JOIN mm),
+      |best AS (
+      |  SELECT src AS node,
+      |    CASE WHEN gain > 0 THEN dst ELSE src END AS community
+      |  FROM (
+      |    SELECT src, dst, gain, row_number() OVER (PARTITION BY src
+      |      ORDER BY gain DESC, dst) AS rn
+      |    FROM gains) t
+      |  WHERE rn = 1),
+      |mm2 AS (SELECT sum(k) AS m2 FROM deg),
+      |intra AS (
+      |  SELECT a1.community, sum(e.w) AS wc
+      |  FROM el e JOIN best a1 ON a1.node = e.src
+      |  JOIN best a2 ON a2.node = e.dst AND a2.community = a1.community
+      |  GROUP BY 1),
+      |mass AS (
+      |  SELECT b.community, sum(d.k) AS kc, count(*) AS n_nodes
+      |  FROM deg d JOIN best b ON b.node = d.node GROUP BY 1),
+      |terms AS (
+      |  SELECT m.community,
+      |    coalesce(i.wc, 0.0) / m2 - (m.kc / m2) * (m.kc / m2) AS q_term
+      |  FROM mass m LEFT JOIN intra i ON i.community = m.community
+      |  CROSS JOIN mm2),
+      |moved AS (
+      |  SELECT count(*) AS n_nodes,
+      |    CAST(sum(CASE WHEN community <> node THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_moved
+      |  FROM best),
+      |qq AS (
+      |  SELECT count(*) AS n_communities,
+      |    round(sum(q_term), 6) + 0.0 AS modularity
+      |  FROM terms)
+      |SELECT n_nodes, n_moved, n_communities, modularity
+      |FROM moved CROSS JOIN qq""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_louvain" -> (graphLouvain _),
     "graph_bfs_levels" -> (graphBfsLevels _),
     "graph_adamic_adar" -> (graphAdamicAdar _),
     "graph_assortativity" -> (graphAssortativity _),
@@ -754,6 +826,7 @@ object GraphQueries extends graft.QueryModule {
     "graph_triangles" -> (graphTriangles _))
 
   def oracles: Map[String, String] = Map(
+    "graph_louvain" -> graphLouvainSql,
     "graph_bfs_levels" -> graphBfsLevelsSql,
     "graph_adamic_adar" -> graphAdamicAdarSql,
     "graph_assortativity" -> graphAssortativitySql,

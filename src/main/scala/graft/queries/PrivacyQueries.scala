@@ -369,7 +369,90 @@ object PrivacyQueries extends graft.QueryModule {
        |FROM bud b LEFT JOIN spent s ON b.source = s.source
        |ORDER BY 1""".stripMargin
 
+  /** Max total-variation distance a QI group's sensitive-attribute
+    * distribution may sit from the corpus-wide distribution before the
+    * t-closeness audit flags it. */
+  private val TClose = 0.35
+
+  /** PR7: t-closeness audit — the third rung of the release-audit
+    * ladder (Li, Li & Venkatasubramanian, ICDE 2007): a group can be
+    * k-anonymous AND l-diverse yet still leak (e.g. 3 distinct
+    * sensitive values split 98/1/1 when the population is uniform), so
+    * the audit also bounds the DISTANCE between each group's sensitive
+    * distribution and the global one. For a categorical sensitive
+    * attribute with the uniform ground metric, the earth-mover distance
+    * reduces to total variation: t = ½·Σ_s |p_g(s) − p(s)|. Segments
+    * ABSENT from a group still contribute their global mass, folded in
+    * without a fill join via ½·(Σ_present |p_gs − p_s| + 1 − Σ_present
+    * p_s). QI = (nation, balance band); sensitive = market segment.
+    *
+    * Shape: ONE keyed aggregation of the fact table to the bounded
+    * (QI × segment) cell table; everything after is joins and
+    * re-aggregations of bounded tables (the global segment table is
+    * broadcast). Per-group t rounded at 6 BEFORE the threshold compare
+    * so both engines classify identically. */
+  def privTCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).as("bal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_qs"))
+    val groups = cells.groupBy("c_nationkey", "bal_band")
+      .agg(sum("n_qs").as("n_q"))
+    val global = cells.groupBy("c_mktsegment").agg(sum("n_qs").as("n_s"))
+    val total = global.agg(sum("n_s").cast("double").as("n_total"))
+    val per = cells
+      .join(groups, Seq("c_nationkey", "bal_band"))
+      .join(broadcast(global), "c_mktsegment")
+      .crossJoin(broadcast(total))
+      .groupBy("c_nationkey", "bal_band")
+      .agg(max("n_q").as("n_q"),
+        sum(abs(col("n_qs") / col("n_q").cast("double")
+          - col("n_s") / col("n_total"))).as("d_present"),
+        sum(col("n_s") / col("n_total")).as("p_present"))
+      .select(col("n_q"),
+        scoreRound((col("d_present") + lit(1.0) - col("p_present"))
+          * 0.5, 6).as("t"))
+    per.agg(count(lit(1)).as("n_groups"),
+      sum("n_q").as("n_rows"),
+      scoreRound(max(col("t")), 6).as("t_max"),
+      scoreRound(avg(col("t")), 6).as("t_avg"),
+      sum(when(col("t") > TClose, 1L).otherwise(0L)).as("groups_above_t"),
+      sum(when(col("t") > TClose, col("n_q")).otherwise(0L))
+        .as("rows_at_risk"))
+  }
+
+  val tClosenessSql: String =
+    s"""WITH cells AS (
+       |  SELECT c_nationkey, floor(c_acctbal / 1000.0) AS bal_band,
+       |    c_mktsegment, count(*) AS n_qs
+       |  FROM customer GROUP BY 1, 2, 3),
+       |grp AS (
+       |  SELECT c_nationkey, bal_band, sum(n_qs) AS n_q
+       |  FROM cells GROUP BY 1, 2),
+       |gseg AS (SELECT c_mktsegment, sum(n_qs) AS n_s FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_s) AS DOUBLE) AS n_total FROM gseg),
+       |per AS (
+       |  SELECT c.c_nationkey, c.bal_band, max(g.n_q) AS n_q,
+       |    round((sum(abs(c.n_qs / CAST(g.n_q AS DOUBLE) - s.n_s / t.n_total))
+       |      + 1.0 - sum(s.n_s / t.n_total)) * 0.5, 6) + 0.0 AS t
+       |  FROM cells c
+       |  JOIN grp g USING (c_nationkey, bal_band)
+       |  JOIN gseg s USING (c_mktsegment)
+       |  CROSS JOIN tot t
+       |  GROUP BY 1, 2)
+       |SELECT count(*) AS n_groups,
+       |  CAST(sum(n_q) AS BIGINT) AS n_rows,
+       |  round(max(t), 6) + 0.0 AS t_max,
+       |  round(avg(t), 6) + 0.0 AS t_avg,
+       |  CAST(sum(CASE WHEN t > $TClose THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS groups_above_t,
+       |  CAST(sum(CASE WHEN t > $TClose THEN n_q ELSE 0 END) AS BIGINT)
+       |    AS rows_at_risk
+       |FROM per""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "priv_t_closeness" -> (privTCloseness _),
     "priv_k_anonymity" -> (privKAnonymity _),
     "priv_dp_counts" -> (privDpCounts _),
     "priv_dp_sum" -> (privDpSum _),
@@ -378,6 +461,7 @@ object PrivacyQueries extends graft.QueryModule {
     "priv_budget_audit" -> (privBudgetAudit _))
 
   def oracles: Map[String, String] = Map(
+    "priv_t_closeness" -> tClosenessSql,
     "priv_k_anonymity" -> kAnonymitySql,
     "priv_dp_counts" -> dpCountsSql,
     "priv_dp_sum" -> dpSumSql,

@@ -1799,7 +1799,115 @@ object SimQueries extends graft.QueryModule {
     sb.toString.replace("AS (", "AS MATERIALIZED (")
   }
 
+  /** Matryoshka prefix-dimension retrieval (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022 — the serving
+    * trick: an MRL-trained embedding's FIRST p dimensions are
+    * themselves a usable embedding, so stage 1 scans a p/d-cost prefix
+    * index and stage 2 reranks the shortlist with full vectors).
+    * Here: stage 1 ranks by cosine on the first 16 of 64 dims (¼ the
+    * scan bytes and FLOPs — at 100 TB that is the difference between
+    * reading 25 TB and 100 TB per query batch), stage 2 reranks the
+    * top-m shortlist with full-dimension cosine, and the gate reports
+    * exact-top-5 recall for m ∈ {5, 10, 20} — the quality/cost curve a
+    * serving team reads before picking the shortlist size. Shapes:
+    * both ground truth and stage 1 are ONE bounded-probe-side scan
+    * each (10 broadcast queries), computed once, persisted, reaped;
+    * stage 2 touches |Q|·m rows via an id equi-join. */
+  def simMatryoshkaRerank(spark: SparkSession, sfDir: String): DataFrame =
+    matryoshkaRecall(spark, sfDir, prefixDims = 16)
+
+  /** [[simMatryoshkaRerank]] with the prefix width exposed: at
+    * prefixDims = d the stage-1 ranking IS the exact ranking, so
+    * recall must be 1.0 for every shortlist size — the identity
+    * Round15bSpec pins. */
+  private[graft] def matryoshkaRecall(spark: SparkSession, sfDir: String,
+                                      prefixDims: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+    val exact = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pfx = (df: DataFrame) => df.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+    val stage1 = Similarity.bruteForceTopK(
+        pfx(emb), pfx(queries), "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fullC = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), Similarity.norm(col("embedding")).as("cn"))
+    val fullQ = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+    val perM = Seq(5, 10, 20).map { m =>
+      val cand = stage1.where(col("rank") <= m)
+        .join(fullC, "neighbor_id")
+        .join(broadcast(fullQ), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          graft.functions.ScoreFns.scoreRound(
+            Similarity.dot(col("qv"), col("cv"))
+              / (col("qn") * col("cn")), 4).as("cos"))
+      Similarity.rankTopK(cand, 5)
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(m).as("shortlist"), col("hits"))
+    }.reduce(_ unionByName _)
+    val totals = exact.agg(count(lit(1)).as("total"),
+      countDistinct(col("query_id")).as("n_queries"))
+    val out = perM.crossJoin(totals)
+      .select(col("shortlist"), col("n_queries"), col("hits"),
+        round(col("hits") / col("total"), 4).as("recall"))
+    graft.core.Caching.reap(out, exact, stage1).orderBy("shortlist")
+  }
+
+  val matryoshkaSql: String = vecCte +
+    """, p AS (
+      |  SELECT vec_id, v[1:16] AS v,
+      |    sqrt(list_sum(list_transform(v[1:16], x -> x * x))) AS nrm
+      |  FROM e),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(""".stripMargin + cosSql("q", "c") +
+    """, 4) + 0.0 DESC, c.vec_id) AS rank
+      |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t
+      |  WHERE rank <= 5),
+      |stage1 AS (
+      |  SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(""".stripMargin + cosSql("q", "c") +
+    """, 4) + 0.0 DESC, c.vec_id) AS rank
+      |    FROM p q JOIN p c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t
+      |  WHERE rank <= 20),
+      |ms(m) AS (VALUES (5), (10), (20)),
+      |rr AS (
+      |  SELECT m, query_id, neighbor_id FROM (
+      |    SELECT ms.m, s.query_id, s.neighbor_id,
+      |      row_number() OVER (PARTITION BY ms.m, s.query_id
+      |        ORDER BY round(""".stripMargin + cosSql("q", "c") +
+    """, 4) + 0.0 DESC, s.neighbor_id) AS rr
+      |    FROM ms JOIN stage1 s ON s.rank <= ms.m
+      |    JOIN n q ON q.vec_id = s.query_id
+      |    JOIN n c ON c.vec_id = s.neighbor_id) t
+      |  WHERE rr <= 5),
+      |hits AS (
+      |  SELECT m AS shortlist, count(*) AS hits
+      |  FROM rr JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+      |tot AS (
+      |  SELECT count(*) AS total, count(DISTINCT query_id) AS n_queries
+      |  FROM exact)
+      |SELECT CAST(ms.m AS INT) AS shortlist,
+      |  CAST(n_queries AS BIGINT) AS n_queries,
+      |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+      |  round(CAST(coalesce(hits, 0) AS DOUBLE) / total, 4) AS recall
+      |FROM ms LEFT JOIN hits ON hits.shortlist = ms.m CROSS JOIN tot
+      |ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_matryoshka_rerank" -> (simMatryoshkaRerank _),
     "sim_pca_project" -> (simPcaProject _),
     "sim_gram_matrix" -> (simGramMatrix _),
     "sim_pq_adc" -> (simPqAdc _),
@@ -1854,6 +1962,7 @@ object SimQueries extends graft.QueryModule {
     "sim_hard_negatives" -> hardNegativesSql,
     "sim_quantized_topk" -> quantizedSql,
     "sim_ivf_recall" -> ivfRecallSql,
+    "sim_matryoshka_rerank" -> matryoshkaSql,
     "sim_quantized_recall" -> quantizedRecallSql,
     "sim_rhp_pairs" -> rhpSql,
     "dedup_semantic" -> semanticSql,

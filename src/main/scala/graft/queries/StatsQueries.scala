@@ -1212,7 +1212,352 @@ object StatsQueries extends graft.QueryModule {
       |FROM b JOIN ft ON b.bin = ft.k
       |ORDER BY 1""".stripMargin
 
+  /** Huber tuning constant on the account-balance scale (data spans
+    * roughly [-1000, 10000]; residuals beyond ±1000 are downweighted). */
+  private val HuberK = 1000.0
+
+  /** ST: Huber M-estimator of location per nation — the robust mean
+    * that the plain average family (x_anova_f, x_eb_shrinkage) lacks:
+    * outliers beyond K get weight K/|x−m| instead of dragging the
+    * estimate linearly. Solved by THREE unrolled IRLS steps from the
+    * plain mean (the estimator contracts geometrically; on this data
+    * step 3 moves < 1e-3). Each step is ONE map-side-combinable keyed
+    * aggregation of the fact table against the broadcast 25-row
+    * estimate of the previous step — IRLS is inherently iterative, so
+    * the 100 TB cost is (steps+2) linear scans, never a sort or a
+    * data-sized window. Every per-row weight product is written
+    * (K/|x−m|)·x in BOTH engines (same association ⇒ bit-identical
+    * rows); sums round at 6 per the accepted precedent. */
+  def xHuberMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").as("nat"), col("c_acctbal").as("x"))
+    val m0 = base.groupBy("nat").agg(scoreRound(avg("x"), 6).as("m"))
+    def step(prev: DataFrame): DataFrame = {
+      val a = abs(col("x") - col("m"))
+      val wgt = when(a <= HuberK, lit(1.0)).otherwise(lit(HuberK) / a)
+      base.join(broadcast(prev), "nat")
+        .groupBy("nat")
+        .agg(scoreRound(sum(wgt * col("x")) / sum(wgt), 6).as("m"))
+    }
+    val m3 = step(step(step(m0)))
+    base
+      .join(broadcast(m0.withColumnRenamed("m", "mean_plain")), "nat")
+      .join(broadcast(m3.withColumnRenamed("m", "huber_mean")), "nat")
+      .groupBy("nat")
+      .agg(count(lit(1)).as("n"),
+        max("mean_plain").as("mean_plain"),
+        max("huber_mean").as("huber_mean"),
+        sum(when(abs(col("x") - col("huber_mean")) > HuberK, 1L)
+          .otherwise(0L)).as("n_downweighted"))
+      .orderBy("nat")
+  }
+
+  val huberMeanSql: String = {
+    // per-row weight·x written with the same association as the Spark
+    // side: (K/|x−m|)·x — NOT x·K/|x−m| (different rounding path)
+    def stepSql(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT b.nat, round(sum(CASE WHEN abs(x - m) <= $HuberK
+         |      THEN x ELSE ($HuberK / abs(x - m)) * x END)
+         |    / sum(CASE WHEN abs(x - m) <= $HuberK
+         |      THEN 1.0 ELSE $HuberK / abs(x - m) END), 6) + 0.0 AS m
+         |  FROM base b JOIN $prev USING (nat) GROUP BY 1)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT c_nationkey AS nat, c_acctbal AS x FROM customer),
+       |m0 AS (SELECT nat, round(avg(x), 6) + 0.0 AS m FROM base GROUP BY 1),
+       |${stepSql("m0", "m1")},
+       |${stepSql("m1", "m2")},
+       |${stepSql("m2", "m3")}
+       |SELECT b.nat, count(*) AS n,
+       |  max(m0.m) AS mean_plain, max(m3.m) AS huber_mean,
+       |  CAST(sum(CASE WHEN abs(b.x - m3.m) > $HuberK THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_downweighted
+       |FROM base b JOIN m0 USING (nat) JOIN m3 USING (nat)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Miscoverage level for the conformal gate (target coverage 90%). */
+  private val ConfAlpha = 0.9
+
+  /** ST: Mondrian split-conformal prediction intervals (Vovk et al.;
+    * Papadopoulos 2002 split form) — the distribution-free uncertainty
+    * audit a model-serving pipeline runs before shipping point
+    * predictions: per order priority (the Mondrian taxonomy), fit the
+    * "model" (train-split mean) on splits 0–2, take the conformal
+    * quantile q̂ of absolute calibration residuals on split 3 at level
+    * ⌈(n+1)·0.9⌉, and audit empirical coverage of ±q̂ on held-out
+    * split 4. The calibration quantile is computed EXACTLY on the
+    * BINNED residual table (1000-wide bins, ceil ⇒ the binned q̂ is an
+    * upper bound, preserving the ≥90% finite-sample guarantee) — the
+    * x_ks_binned doctrine: order statistics at 100 TB are exact on
+    * bounded bins, never a fact-table sort. Splits are the portable
+    * md5 hash of the order key, so both engines assign identically. */
+  def xConformalInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("y"),
+        (graft.sketch.Sketches.hash60(col("o_orderkey").cast("string"))
+          % 5).as("split"))
+    val train = base.where(col("split") < 3)
+      .groupBy("prio").agg(scoreRound(avg("y"), 6).as("yhat"))
+    val binned = base.where(col("split") === 3)
+      .join(broadcast(train), "prio")
+      .select(col("prio"),
+        ceil(abs(col("y") - col("yhat")) / 1000.0).cast("long").as("bin"))
+      .groupBy("prio", "bin").agg(count(lit(1)).as("nb"))
+    val w = Window.partitionBy("prio").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = binned
+      .join(binned.groupBy("prio").agg(sum("nb").as("n_cal")), "prio")
+      .withColumn("cum", sum("nb").over(w))
+      .where(col("cum") >= ceil((col("n_cal") + 1) * lit(ConfAlpha)))
+      .groupBy("prio").agg(min("bin").as("qbin"), max("n_cal").as("n_cal"))
+    base.where(col("split") === 4)
+      .join(broadcast(train), "prio")
+      .join(broadcast(q), "prio")
+      .groupBy("prio")
+      .agg(max("n_cal").as("n_cal"),
+        max(col("qbin") * 1000L).as("q_hat"),
+        count(lit(1)).as("n_test"),
+        sum(when(abs(col("y") - col("yhat")) <= col("qbin") * 1000.0, 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("prio"), col("n_cal"), col("q_hat"), col("n_test"),
+        col("n_covered"),
+        scoreRound(col("n_covered") / col("n_test").cast("double"), 6)
+          .as("coverage"))
+      .orderBy("prio")
+  }
+
+  val conformalSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS prio, o_totalprice AS y,
+       |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+       |      % 5 AS split
+       |  FROM orders),
+       |train AS (
+       |  SELECT prio, round(avg(y), 6) + 0.0 AS yhat
+       |  FROM base WHERE split < 3 GROUP BY 1),
+       |binned AS (
+       |  SELECT b.prio, CAST(ceil(abs(y - yhat) / 1000.0) AS BIGINT) AS bin,
+       |    count(*) AS nb
+       |  FROM base b JOIN train USING (prio)
+       |  WHERE split = 3 GROUP BY 1, 2),
+       |ncal AS (
+       |  SELECT prio, CAST(sum(nb) AS BIGINT) AS n_cal
+       |  FROM binned GROUP BY 1),
+       |cum AS (
+       |  SELECT b.prio, b.bin, n_cal,
+       |    sum(nb) OVER (PARTITION BY b.prio ORDER BY b.bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM binned b JOIN ncal USING (prio)),
+       |q AS (
+       |  SELECT prio, min(bin) AS qbin, max(n_cal) AS n_cal
+       |  FROM cum WHERE cum >= ceil((n_cal + 1) * $ConfAlpha) GROUP BY 1)
+       |SELECT t.prio, max(q.n_cal) AS n_cal, max(q.qbin * 1000) AS q_hat,
+       |  count(*) AS n_test,
+       |  CAST(sum(CASE WHEN abs(t.y - tr.yhat) <= q.qbin * 1000.0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |  round(CAST(sum(CASE WHEN abs(t.y - tr.yhat) <= q.qbin * 1000.0
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) + 0.0 AS coverage
+       |FROM base t JOIN train tr USING (prio) JOIN q USING (prio)
+       |WHERE t.split = 4
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** mSPRT mixture variance τ² (prior scale of the mean difference). */
+  private val MsprtTau2 = 1.0
+
+  /** ST: mixture sequential probability ratio test (mSPRT — Johari,
+    * Koomen, Pekelis & Walsh, "Peeking at A/B tests", KDD 2017): the
+    * always-valid p-value stream that lets an experimenter peek daily
+    * without inflating false positives — the sequential companion to
+    * the fixed-horizon x_welch_ttest/x_two_proportion_z. Arms are the
+    * portable md5 parity of user_id; the statistic is the running
+    * mean difference of event value; Λ_n is the normal-mixture
+    * likelihood ratio with τ²=1 and p_n = min(1, min_{m≤n} 1/Λ_m) is
+    * monotone by construction. Shape: ONE keyed aggregation of the
+    * fact table to the ≤31-row (day × arm) table (per-day sufficient
+    * statistics rounded at 6 so both engines agree bit-for-bit), then
+    * cumulative windows over that bounded daily frame — the x_cusum
+    * class. */
+  def xMsprt(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .select(col("ts").cast("date").as("d"), col("value"),
+        (graft.sketch.Sketches.hash60(col("user_id").cast("string")) % 2)
+          .as("arm"))
+      .groupBy("d")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        round(sum(when(col("arm") === 0, col("value")).otherwise(0.0)), 6)
+          .as("s0"),
+        round(sum(when(col("arm") === 0, col("value") * col("value"))
+          .otherwise(0.0)), 6).as("q0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        round(sum(when(col("arm") === 1, col("value")).otherwise(0.0)), 6)
+          .as("s1"),
+        round(sum(when(col("arm") === 1, col("value") * col("value"))
+          .otherwise(0.0)), 6).as("q1"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cumulative sufficient statistics re-rounded at 6: the running
+    // windows accumulate in frame order in both engines, but rounding
+    // pins the downstream algebra to identical inputs regardless
+    val cum = daily
+      .withColumn("cn0", sum("n0").over(w))
+      .withColumn("cs0", round(sum("s0").over(w), 6))
+      .withColumn("cq0", round(sum("q0").over(w), 6))
+      .withColumn("cn1", sum("n1").over(w))
+      .withColumn("cs1", round(sum("s1").over(w), 6))
+      .withColumn("cq1", round(sum("q1").over(w), 6))
+    val theta = col("cs1") / col("cn1") - col("cs0") / col("cn0")
+    val sig2 = ((col("cq0") - col("cs0") * col("cs0") / col("cn0")
+      + col("cq1") - col("cs1") * col("cs1") / col("cn1"))
+      / (col("cn0") + col("cn1") - lit(2.0)))
+    val vn = sig2 * (lit(1.0) / col("cn0") + lit(1.0) / col("cn1"))
+    val lam = sqrt(col("vn") / (col("vn") + MsprtTau2)) *
+      exp(col("theta") * col("theta") * MsprtTau2
+        / (lit(2.0) * col("vn") * (col("vn") + MsprtTau2)))
+    val scored = cum
+      .withColumn("theta", theta)
+      .withColumn("vn", vn)
+      .withColumn("lam", lam)
+      .withColumn("p_raw", least(lit(1.0), lit(1.0) / col("lam")))
+      .withColumn("p_av", min("p_raw").over(w))
+    scored.select(col("d"), col("cn0").as("n0"), col("cn1").as("n1"),
+      scoreRound(col("theta"), 6).as("theta"),
+      scoreRound(col("lam"), 6).as("lambda"),
+      scoreRound(col("p_av"), 6).as("p_always_valid"),
+      (round(col("p_av"), 6) < 0.05).as("significant"))
+      .orderBy("d")
+  }
+
+  val msprtSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    round(sum(CASE WHEN arm = 0 THEN value ELSE 0.0 END), 6) AS s0,
+       |    round(sum(CASE WHEN arm = 0 THEN value * value ELSE 0.0 END), 6)
+       |      AS q0,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    round(sum(CASE WHEN arm = 1 THEN value ELSE 0.0 END), 6) AS s1,
+       |    round(sum(CASE WHEN arm = 1 THEN value * value ELSE 0.0 END), 6)
+       |      AS q1
+       |  FROM (SELECT ts, value,
+       |      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |        % 2 AS arm
+       |    FROM events)
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT d,
+       |    CAST(sum(n0) OVER w AS BIGINT) AS cn0,
+       |    round(sum(s0) OVER w, 6) AS cs0,
+       |    round(sum(q0) OVER w, 6) AS cq0,
+       |    CAST(sum(n1) OVER w AS BIGINT) AS cn1,
+       |    round(sum(s1) OVER w, 6) AS cs1,
+       |    round(sum(q1) OVER w, 6) AS cq1
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |st AS (
+       |  SELECT d, cn0, cn1,
+       |    cs1 / cn1 - cs0 / cn0 AS theta,
+       |    ((cq0 - cs0 * cs0 / cn0 + cq1 - cs1 * cs1 / cn1)
+       |      / (cn0 + cn1 - 2.0))
+       |      * (1.0 / cn0 + 1.0 / cn1) AS vn
+       |  FROM cum),
+       |lamt AS (
+       |  SELECT d, cn0, cn1, theta,
+       |    sqrt(vn / (vn + $MsprtTau2))
+       |      * exp(theta * theta * $MsprtTau2
+       |        / (2.0 * vn * (vn + $MsprtTau2))) AS lam
+       |  FROM st),
+       |pt AS (
+       |  SELECT d, cn0, cn1, theta, lam,
+       |    min(least(1.0, 1.0 / lam)) OVER (ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_av
+       |  FROM lamt)
+       |SELECT d, cn0 AS n0, cn1 AS n1,
+       |  round(theta, 6) + 0.0 AS theta,
+       |  round(lam, 6) + 0.0 AS lambda,
+       |  round(p_av, 6) + 0.0 AS p_always_valid,
+       |  round(p_av, 6) < 0.05 AS significant
+       |FROM pt ORDER BY d""".stripMargin
+
+  /** ST: Cochran–Mantel–Haenszel stratified 2×2 test + Mantel–Haenszel
+    * common odds ratio — the confounder-adjusted association test the
+    * plain x_chisq_dow family cannot do: exposure (BUILDING segment) vs
+    * outcome (positive balance) associated WITHIN each nation stratum,
+    * so a nation-level mix shift (Simpson's paradox) cannot fake or
+    * mask the effect. Shape: ONE keyed aggregation of the fact table
+    * to the 25-row stratum table of (a,b,c,d) cells, then a 1-row
+    * reduction — all cell algebra on exact integer counts carried as
+    * doubles (casts BEFORE the four-way product so the V numerator
+    * cannot overflow long at any scale). */
+  def xCmhTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").as("stratum"),
+        (col("c_mktsegment") === "BUILDING").as("e"),
+        (col("c_acctbal") > 0).as("o"))
+      .groupBy("stratum")
+      .agg(
+        sum(when(col("e") && col("o"), 1L).otherwise(0L))
+          .cast("double").as("a"),
+        sum(when(col("e") && !col("o"), 1L).otherwise(0L))
+          .cast("double").as("b"),
+        sum(when(!col("e") && col("o"), 1L).otherwise(0L))
+          .cast("double").as("c"),
+        sum(when(!col("e") && !col("o"), 1L).otherwise(0L))
+          .cast("double").as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .where(col("n") > 1)
+    cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum("a").cast("long").as("a_total"),
+      scoreRound(sum((col("a") + col("b")) * (col("a") + col("c"))
+        / col("n")), 6).as("e_total"),
+      scoreRound(
+        (sum("a") - sum((col("a") + col("b")) * (col("a") + col("c"))
+          / col("n")))
+          * (sum("a") - sum((col("a") + col("b")) * (col("a") + col("c"))
+            / col("n")))
+          / sum(((col("a") + col("b")) * (col("c") + col("d")))
+            * ((col("a") + col("c")) * (col("b") + col("d")))
+            / ((col("n") * col("n")) * (col("n") - 1.0))), 6)
+        .as("cmh_chi2"),
+      scoreRound(sum(col("a") * col("d") / col("n"))
+        / sum(col("b") * col("c") / col("n")), 6).as("or_mh"))
+  }
+
+  val cmhSql: String =
+    """WITH cells AS (
+      |  SELECT c_nationkey AS stratum,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0
+      |      THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+      |    CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' AND NOT c_acctbal > 0
+      |      THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+      |    CAST(sum(CASE WHEN c_mktsegment <> 'BUILDING' AND c_acctbal > 0
+      |      THEN 1 ELSE 0 END) AS DOUBLE) AS c,
+      |    CAST(sum(CASE WHEN c_mktsegment <> 'BUILDING'
+      |        AND NOT c_acctbal > 0
+      |      THEN 1 ELSE 0 END) AS DOUBLE) AS d
+      |  FROM customer GROUP BY 1),
+      |k AS (SELECT a, b, c, d, a + b + c + d AS n FROM cells WHERE
+      |  a + b + c + d > 1)
+      |SELECT count(*) AS n_strata,
+      |  CAST(sum(a) AS BIGINT) AS a_total,
+      |  round(sum((a + b) * (a + c) / n), 6) + 0.0 AS e_total,
+      |  round((sum(a) - sum((a + b) * (a + c) / n))
+      |      * (sum(a) - sum((a + b) * (a + c) / n))
+      |      / sum(((a + b) * (c + d)) * ((a + c) * (b + d))
+      |        / ((n * n) * (n - 1.0))), 6) + 0.0 AS cmh_chi2,
+      |  round(sum(a * d / n) / sum(b * c / n), 6) + 0.0 AS or_mh
+      |FROM k""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cmh_test" -> (xCmhTest _),
+    "x_huber_mean" -> (xHuberMean _),
+    "x_conformal_interval" -> (xConformalInterval _),
+    "x_msprt" -> (xMsprt _),
     "x_mann_kendall" -> (xMannKendall _),
     "x_isotonic" -> (xIsotonic _),
     "x_theil_sen" -> (xTheilSen _),
@@ -1236,6 +1581,10 @@ object StatsQueries extends graft.QueryModule {
     "ts_sax" -> (tsSax _))
 
   def oracles: Map[String, String] = Map(
+    "x_cmh_test" -> cmhSql,
+    "x_huber_mean" -> huberMeanSql,
+    "x_conformal_interval" -> conformalSql,
+    "x_msprt" -> msprtSql,
     "x_mann_kendall" -> mannKendallSql,
     "x_isotonic" -> isotonicSql,
     "x_theil_sen" -> theilSenSql,

@@ -1397,6 +1397,43 @@ object TextQueries extends graft.QueryModule {
       |FROM bi JOIN bc USING (a, b) JOIN uc ON bi.a = uc.w
       |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram LM score per document
+    * ([[graft.text.Vocab.kneserNeyLogProb]]) — the strongest classical
+    * n-gram smoother, complementing the add-V text_bigram_lm: absolute
+    * discounting plus a continuation-probability backoff that prices
+    * how many distinct contexts a word follows. Same tokenization and
+    * shapes as text_bigram_lm (vocabulary-sized aggregations only);
+    * the oracle replays the full KN algebra with the identical
+    * association order. */
+  def textKneserNey(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.Vocab.kneserNeyLogProb(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy("doc_id")
+  val kneserNeySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+      |    '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id, t[i] AS a, t[i + 1] AS b, count(*) AS cnt
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      |  WHERE len(t) >= 2 GROUP BY 1, 2, 3),
+      |bc AS (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cab
+      |       FROM bi GROUP BY 1, 2),
+      |ctx AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ctxa,
+      |         count(*) AS n1f
+      |       FROM bc GROUP BY 1),
+      |cont AS (SELECT b, count(*) AS n1b FROM bc GROUP BY 1),
+      |bt AS (SELECT count(*) AS bb FROM bc)
+      |SELECT bi.doc_id,
+      |  round(sum(bi.cnt * ln((bc.cab - 0.75) / ctxa
+      |      + ((0.75 * n1f) / ctxa) * (CAST(n1b AS DOUBLE) / bb)))
+      |    / sum(bi.cnt), 6) + 0.0 AS kn_logprob
+      |FROM bi JOIN bc USING (a, b) JOIN ctx USING (a)
+      |JOIN cont USING (b) CROSS JOIN bt
+      |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
+
   /** Hashed-feature linear classifier inference (fastText-style):
     * logistic over mean-pooled md5-bucket weights. */
   def textQualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
@@ -1571,6 +1608,7 @@ object TextQueries extends graft.QueryModule {
     "text_quality_classifier" -> (textQualityClassifier _),
     "text_lm_score" -> (textLmScore _),
     "text_bigram_lm" -> (textBigramLm _),
+    "text_kneser_ney" -> (textKneserNey _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_entropy" -> (textEntropy _),
     "text_jsd_drift" -> (textJsdDrift _),
@@ -1619,6 +1657,7 @@ object TextQueries extends graft.QueryModule {
     "text_quality_classifier" -> classifierSql,
     "text_lm_score" -> lmScoreSql,
     "text_bigram_lm" -> bigramLmSql,
+    "text_kneser_ney" -> kneserNeySql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "text_entropy" -> entropySql,
     "text_jsd_drift" -> jsdDriftSql,

@@ -120,6 +120,50 @@ object Vocab {
         .as("bigram_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram log-probability per document
+    * (Kneser & Ney 1995; the interpolated form of Chen & Goodman 1999
+    * §2.7): P(b|a) = (c(ab)−D)/c(a·) + D·N₁₊(a·)/c(a·) · N₁₊(·b)/B,
+    * where c(a·) is a's count as a bigram CONTEXT (so probabilities
+    * sum to 1 exactly), N₁₊(a·)/N₁₊(·b) are the forward/backward
+    * continuation type counts, and B is the number of distinct bigram
+    * types. The continuation distribution prices how PROMISCUOUSLY a
+    * word follows new contexts — the property that makes KN the
+    * strongest classical n-gram smoother, vs the add-V baseline in
+    * [[bigramLogProb]]. Scoring is in-corpus, so c(ab) ≥ 1 > D and the
+    * max(·,0) clamp never engages. All statistics are vocabulary-sized
+    * keyed aggregations; the per-(a)/(b) tables ride broadcast. */
+  def kneserNeyLogProb(docs: DataFrame, idCol: String, textCol: String,
+                       d: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol),
+      expr(s"filter(split(trim(lower($textCol)), '\\\\s+')," +
+        " x -> x != '')").as("t"))
+    val biPerDoc = toks.where(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+        .as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col(idCol), col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val bc = biPerDoc.groupBy("a", "b").agg(sum("cnt").as("cab"))
+    val ctx = bc.groupBy("a").agg(sum("cab").as("ctxa"),
+      count(lit(1)).as("n1f"))
+    val cont = bc.groupBy("b").agg(count(lit(1)).as("n1b"))
+    val btypes = bc.agg(count(lit(1)).as("bb"))
+    biPerDoc.join(bc, Seq("a", "b"))
+      .join(broadcast(ctx), "a")
+      .join(broadcast(cont), "b")
+      .crossJoin(broadcast(btypes))
+      .groupBy(col(idCol))
+      .agg(graft.functions.ScoreFns.scoreRound(
+        sum(col("cnt") * log(
+          (col("cab") - d) / col("ctxa")
+            + ((lit(d) * col("n1f")) / col("ctxa"))
+            * (col("n1b").cast("double") / col("bb"))))
+          / sum(col("cnt")), 6)
+        .as("kn_logprob"))
+  }
+
   /** Top-`perDoc` terms per document by tf·idf with natural-log idf
     * over the FULL corpus (`nDocs` passed in so callers control the
     * count pass); `docFilter` restricts which docs are scored without

@@ -33,6 +33,13 @@ import graft.core.GraftSession
   *                         (≤ days-in-range rows).
   *  - x_cusum            — prefix-sum/running-min windows over the
   *                         ≤31-row daily frame (the telescoped form).
+  *  - x_msprt            — cumulative sufficient-statistic windows
+  *                         over the ≤31-row daily frame.
+  *  - ts_page_hinkley    — running-mean/prefix-sum/running-min windows
+  *                         over the ≤31-row daily frame.
+  *  - x_logrank          — reverse-cumulative at-risk windows over the
+  *                         duration-bounded life table (the
+  *                         x_survival_km frame).
   */
 class WindowPartitionSpec extends SparkSpecBase {
 
@@ -40,7 +47,8 @@ class WindowPartitionSpec extends SparkSpecBase {
     "sim_hybrid_rrf", "sql_null_ordering", "ts_changepoint",
     "x_auc_roc", "x_ks_binned", "x_pareto_curve", "x_runs_test",
     "x_survival_km", "x_mann_whitney", "x_decile_lift",
-    "ts_decompose", "x_cusum")
+    "ts_decompose", "x_cusum", "x_msprt", "ts_page_hinkley",
+    "x_logrank")
 
   test("every unpartitioned window in the registry is whitelisted as plan-bounded") {
     GraftSession.tune(spark)
