@@ -122,6 +122,91 @@ object AnalyticsQueries extends graft.QueryModule {
        |FROM sm WHERE rn = 1 ORDER BY user_id""".stripMargin
   }
 
+  /** Channel → bitmask for the Shapley exposure universe (k = 4
+    * non-conversion event types; conversion = purchase). */
+  private val ShapleyChannels: Seq[(String, Int)] =
+    Seq(("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+
+  /** Exact Shapley-value channel attribution (Shapley 1953; the
+    * marketing form in Dalessandro et al. 2012) — the order-free
+    * division of conversion credit that last-touch and linear
+    * attribution approximate: channel c earns the coalition-weighted
+    * average of its marginal contributions v(S∪{c})−v(S) over all
+    * 2^{k−1} coalitions. The characteristic function is monotone by
+    * construction — v(S) = conversions among users whose exposure set
+    * ⊆ S — which buys the conservation law Σφ_c = v(full) − v(∅) that
+    * Round15cSpec pins. Shape: ONE keyed pass folds each user to a
+    * 4-bit exposure mask + converted flag; EVERYTHING afterwards lives
+    * on the 16-row mask table (subset-sum join, coalition enumeration,
+    * factorial weights as a popcount CASE) — exact Shapley is 2^k and
+    * k is the channel count, never the data. */
+  def xShapleyAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"),
+        ShapleyChannels.map { case (ch, bit) =>
+          max(when(col("event_type") === ch, bit).otherwise(0))
+        }.reduce(_ + _).as("mask"))
+    val byMask = u.groupBy("mask").agg(sum("conv").as("convs"))
+    val sets = spark.range(16).select(col("id").cast("int").as("s"))
+    val v = sets.join(byMask,
+        col("mask").bitwiseAND(col("s")) === col("mask"), "left")
+      .groupBy("s")
+      .agg(coalesce(sum("convs"), lit(0L)).as("vv"))
+    val channels = {
+      import spark.implicits._
+      ShapleyChannels.toDF("channel", "bit")
+    }
+    // coalition weights |S|!(k−1−|S|)!/k! for k = 4, keyed by popcount
+    val w = when(expr("bit_count(s0)") === 0, lit(6.0) / 24.0)
+      .when(expr("bit_count(s0)") === 3, lit(6.0) / 24.0)
+      .otherwise(lit(2.0) / 24.0)
+    val phi = channels
+      .crossJoin(v.select(col("s").as("s0"), col("vv").as("v0")))
+      .where(col("s0").bitwiseAND(col("bit")) === 0)
+      .join(v.select(col("s").as("s1"), col("vv").as("v1")),
+        col("s1") === col("s0").bitwiseOR(col("bit")))
+      .groupBy("channel")
+      .agg(graft.functions.ScoreFns.scoreRound(
+        sum(w * (col("v1") - col("v0"))), 6).as("shapley"))
+    val tot = v.agg(
+      max(when(col("s") === 15, col("vv"))).as("total_conversions"),
+      max(when(col("s") === 0, col("vv"))).as("baseline_conversions"))
+    phi.crossJoin(broadcast(tot)).orderBy("channel")
+  }
+  val shapleySql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      + max(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END)
+      |      + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+      |      + max(CASE WHEN event_type = 'view' THEN 8 ELSE 0 END) AS mask
+      |  FROM events GROUP BY 1),
+      |bm AS (SELECT mask, sum(conv) AS convs FROM u GROUP BY 1),
+      |sets AS (SELECT unnest(generate_series(0, 15)) AS s),
+      |v AS (
+      |  SELECT s, CAST(coalesce(sum(convs), 0) AS BIGINT) AS vv
+      |  FROM sets LEFT JOIN bm ON (mask & s) = mask
+      |  GROUP BY 1),
+      |ch(channel, bit) AS (VALUES
+      |  ('click', 1), ('error', 2), ('signup', 4), ('view', 8)),
+      |phi AS (
+      |  SELECT channel,
+      |    round(sum((CASE WHEN bit_count(v0.s) IN (0, 3) THEN 6.0 / 24.0
+      |      ELSE 2.0 / 24.0 END) * (v1.vv - v0.vv)), 6) + 0.0 AS shapley
+      |  FROM ch
+      |  JOIN v v0 ON (v0.s & ch.bit) = 0
+      |  JOIN v v1 ON v1.s = (v0.s | ch.bit)
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT max(CASE WHEN s = 15 THEN vv END) AS total_conversions,
+      |    max(CASE WHEN s = 0 THEN vv END) AS baseline_conversions
+      |  FROM v)
+      |SELECT channel, shapley, total_conversions, baseline_conversions
+      |FROM phi CROSS JOIN tot ORDER BY channel""".stripMargin
+
   /** Two-sample log-rank test over the x_survival_km life table — the
     * inferential companion to the KM curve: does cohort 1 (md5-parity
     * arm of the customer key) churn at a different hazard than cohort
@@ -2223,6 +2308,7 @@ object AnalyticsQueries extends graft.QueryModule {
     "x_two_proportion_z" -> (xTwoProportionZ _),
     "ts_page_hinkley" -> (tsPageHinkley _),
     "x_logrank" -> (xLogrank _),
+    "x_shapley_attribution" -> (xShapleyAttribution _),
     "x_mann_whitney" -> (xMannWhitney _),
     "x_cuped" -> (xCuped _),
     "x_bootstrap_ci" -> (xBootstrapCi _),
@@ -2284,6 +2370,7 @@ object AnalyticsQueries extends graft.QueryModule {
     "ts_ewma" -> ewmaSql,
     "ts_page_hinkley" -> pageHinkleySql,
     "x_logrank" -> logrankSql,
+    "x_shapley_attribution" -> shapleySql,
     "x_hhi_concentration" -> hhiSql,
     "x_category_entropy" -> categoryEntropySql,
     "x_cramers_v" -> cramersVSql,

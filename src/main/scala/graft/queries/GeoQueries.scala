@@ -162,12 +162,118 @@ object GeoQueries extends graft.QueryModule {
       |FROM g CROSS JOIN m
       |ORDER BY n_points DESC, cell_y, cell_x LIMIT 25""".stripMargin
 
+  /** Number of Gi* hotspot rows emitted. */
+  private val HotspotK = 20
+
+  /** GE4: Getis–Ord Gi* hotspot detection over the customer density
+    * grid — the spatial-autocorrelation statistic (Getis & Ord 1992;
+    * Ord & Getis 1995 for the * variant, self included) that separates
+    * a genuinely clustered hotspot from a lone dense cell: Gi* z-scores
+    * the 3×3-neighborhood SUM against its expectation under spatial
+    * randomness, so one hot cell with cold neighbors scores far lower
+    * than a hot ring. Computed on the COMPLETE bounded grid (12×36
+    * cells, zero-filled — empty cells are real observations for a
+    * density statistic), binary weights over the longitude-wrapped
+    * 3×3 ring (latitude band does not wrap, mirroring the Geo ring
+    * semantics). Shape: ONE fact pass to the cell counts; everything
+    * after lives on the 432-row grid (offset explode ×9, two keyed
+    * aggs, broadcast global moments). */
+  def geoHotspots(spark: SparkSession, sfDir: String): DataFrame = {
+    val (latu, lonu) = Geo.syntheticPoint(col("c_custkey"), "cust")
+    val counts = Tables.customer(spark, sfDir)
+      .select(latu.as("latu"), lonu.as("lonu"))
+      .withColumn("cell_y", expr(s"latu div ${Geo.CellUnits}"))
+      .withColumn("cell_x", expr(s"lonu div ${Geo.CellUnits}"))
+      .groupBy("cell_y", "cell_x")
+      .agg(count(lit(1)).as("c"))
+    val yCells = (Geo.LatUnits / Geo.CellUnits).toInt // 12
+    val xCells = Geo.LonCells.toInt                   // 36
+    val grid = spark.range(yCells).select(col("id").as("cell_y"))
+      .crossJoin(spark.range(xCells).select(col("id").as("cell_x")))
+    val full = grid.join(counts, Seq("cell_y", "cell_x"), "left")
+      .na.fill(0L, Seq("c"))
+    val moments = full.agg(count(lit(1)).cast("double").as("nn"),
+      sum("c").as("sx"),
+      sum(col("c").cast("double") * col("c")).as("sxx"))
+    val off = spark.range(3).select((col("id") - 1).as("dy"))
+      .crossJoin(spark.range(3).select((col("id") - 1).as("dx")))
+    // each source cell credits its 9 targets; latitude clips, longitude
+    // wraps (pmod) — identical ((x+dx)+36)%36 value in the oracle
+    val contrib = full.crossJoin(off)
+      .select((col("cell_y") + col("dy")).as("ty"),
+        pmod(col("cell_x") + col("dx"), lit(xCells.toLong)).as("tx"),
+        col("c"))
+      .where(col("ty") >= 0 && col("ty") < yCells)
+      .groupBy(col("ty").as("cell_y"), col("tx").as("cell_x"))
+      .agg(sum("c").as("swx"), count(lit(1)).as("wi"))
+    full.join(contrib, Seq("cell_y", "cell_x"))
+      .crossJoin(broadcast(moments))
+      .select(col("cell_y"), col("cell_x"), col("c").as("n_points"),
+        col("wi").as("w_neighbors"),
+        scoreRound((col("swx") - (col("sx") / col("nn")) * col("wi"))
+          / (sqrt((col("sxx") - (col("sx").cast("double") * col("sx"))
+            / col("nn")) / col("nn"))
+            * sqrt((col("nn") * col("wi") - col("wi") * col("wi"))
+              / (col("nn") - lit(1.0)))), 6).as("gi_star"))
+      .orderBy(desc("gi_star"), col("cell_y"), col("cell_x"))
+      .limit(HotspotK)
+  }
+
+  val hotspotsSql: String =
+    s"""WITH pts AS (
+       |  SELECT
+       |    ('0x' || substr(md5('lat:cust:' || CAST(c_custkey AS VARCHAR)),
+       |      1, 15))::BIGINT % 120000 AS latu,
+       |    ('0x' || substr(md5('lon:cust:' || CAST(c_custkey AS VARCHAR)),
+       |      1, 15))::BIGINT % 360000 AS lonu
+       |  FROM customer),
+       |cnt AS (
+       |  SELECT latu // 10000 AS cell_y, lonu // 10000 AS cell_x,
+       |    count(*) AS c
+       |  FROM pts GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT y.cell_y, x.cell_x
+       |  FROM (SELECT unnest(generate_series(0, 11)) AS cell_y) y
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 35)) AS cell_x) x),
+       |full_g AS (
+       |  SELECT g.cell_y, g.cell_x,
+       |    CAST(coalesce(c, 0) AS BIGINT) AS c
+       |  FROM grid g LEFT JOIN cnt USING (cell_y, cell_x)),
+       |mom AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS nn,
+       |    CAST(sum(c) AS BIGINT) AS sx,
+       |    sum(CAST(c AS DOUBLE) * c) AS sxx
+       |  FROM full_g),
+       |off AS (
+       |  SELECT dy.dy, dx.dx
+       |  FROM (SELECT unnest(generate_series(-1, 1)) AS dy) dy
+       |  CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS dx) dx),
+       |contrib AS (
+       |  SELECT ty AS cell_y, tx AS cell_x,
+       |    CAST(sum(c) AS BIGINT) AS swx, count(*) AS wi
+       |  FROM (
+       |    SELECT f.cell_y + o.dy AS ty,
+       |      ((f.cell_x + o.dx) + 36) % 36 AS tx, f.c
+       |    FROM full_g f CROSS JOIN off o) t
+       |  WHERE ty >= 0 AND ty < 12
+       |  GROUP BY 1, 2)
+       |SELECT f.cell_y, f.cell_x, f.c AS n_points, wi AS w_neighbors,
+       |  round((swx - (sx / nn) * wi)
+       |    / (sqrt((sxx - (CAST(sx AS DOUBLE) * sx) / nn) / nn)
+       |      * sqrt((nn * wi - wi * wi) / (nn - 1.0))), 6) + 0.0
+       |    AS gi_star
+       |FROM full_g f JOIN contrib USING (cell_y, cell_x)
+       |CROSS JOIN mom
+       |ORDER BY gi_star DESC, f.cell_y, f.cell_x LIMIT $HotspotK""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "geo_hotspots" -> (geoHotspots _),
     "geo_radius_join" -> (geoRadiusJoin _),
     "geo_knn_cells" -> (geoKnnCells _),
     "geo_cell_stats" -> (geoCellStats _))
 
   def oracles: Map[String, String] = Map(
+    "geo_hotspots" -> hotspotsSql,
     "geo_radius_join" -> radiusJoinSql,
     "geo_knn_cells" -> knnCellsSql,
     "geo_cell_stats" -> cellStatsSql)

@@ -1553,7 +1553,137 @@ object StatsQueries extends graft.QueryModule {
       |  round(sum(a * d / n) / sum(b * c / n), 6) + 0.0 AS or_mh
       |FROM k""".stripMargin
 
+  /** Standard-normal quantiles for α=0.05 two-sided and power 0.8 —
+    * fixed literals so both engines share the identical constants. */
+  private val Za2 = 1.959963985
+  private val Zb = 0.8416212336
+
+  /** ST: two-sample power analysis — required n per arm to detect a
+    * 5%-of-control-mean lift at α=0.05 / power 0.8, from the observed
+    * variance: n = 2σ²(z_{α/2}+z_β)²/δ² (the experiment-sizing formula
+    * every A/B platform exposes next to its tests). Closes the design
+    * loop the inference gates (x_welch_ttest, x_msprt) start: the same
+    * sufficient statistics that test a finished experiment size the
+    * next one. ONE keyed aggregation to the 2-row arm table (per-arm
+    * sums rounded at 6 — the x_msprt discipline), then a 1-row closed
+    * form. */
+  def xPowerAnalysis(spark: SparkSession, sfDir: String): DataFrame = {
+    val arms = Tables.events(spark, sfDir)
+      .select(col("value"),
+        (graft.sketch.Sketches.hash60(col("user_id").cast("string")) % 2)
+          .as("arm"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 6).as("s"),
+        round(sum(col("value") * col("value")), 6).as("q"))
+    val one = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("s"))).as("s0"),
+      max(when(col("arm") === 0, col("q"))).as("q0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("s"))).as("s1"),
+      max(when(col("arm") === 1, col("q"))).as("q1"))
+    val sig2 = ((col("q0") - col("s0") * col("s0") / col("n0")
+      + col("q1") - col("s1") * col("s1") / col("n1"))
+      / (col("n0") + col("n1") - lit(2.0)))
+    val m0 = col("s0") / col("n0")
+    val mde = m0 * lit(0.05)
+    one.select(col("n0"), col("n1"),
+      scoreRound(m0, 6).as("control_mean"),
+      scoreRound(sig2, 6).as("sigma2_pooled"),
+      scoreRound(mde, 6).as("mde"),
+      ceil(lit(2.0) * sig2 * ((lit(Za2) + lit(Zb)) * (lit(Za2) + lit(Zb)))
+        / (mde * mde)).cast("long").as("n_required_per_arm"))
+  }
+
+  val powerAnalysisSql: String =
+    s"""WITH a AS (
+       |  SELECT arm, count(*) AS n, round(sum(value), 6) AS s,
+       |    round(sum(value * value), 6) AS q
+       |  FROM (SELECT value,
+       |      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |        % 2 AS arm
+       |    FROM events)
+       |  GROUP BY 1),
+       |o AS (SELECT
+       |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+       |    max(CASE WHEN arm = 0 THEN s END) AS s0,
+       |    max(CASE WHEN arm = 0 THEN q END) AS q0,
+       |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+       |    max(CASE WHEN arm = 1 THEN s END) AS s1,
+       |    max(CASE WHEN arm = 1 THEN q END) AS q1
+       |  FROM a)
+       |SELECT n0, n1,
+       |  round(s0 / n0, 6) + 0.0 AS control_mean,
+       |  round((q0 - s0 * s0 / n0 + q1 - s1 * s1 / n1)
+       |    / (n0 + n1 - 2.0), 6) + 0.0 AS sigma2_pooled,
+       |  round(s0 / n0 * 0.05, 6) + 0.0 AS mde,
+       |  CAST(ceil(2.0 * ((q0 - s0 * s0 / n0 + q1 - s1 * s1 / n1)
+       |      / (n0 + n1 - 2.0))
+       |    * (($Za2 + $Zb) * ($Za2 + $Zb))
+       |    / ((s0 / n0 * 0.05) * (s0 / n0 * 0.05))) AS BIGINT)
+       |    AS n_required_per_arm
+       |FROM o""".stripMargin
+
+  /** Dispersion-index threshold above which a count series is flagged
+    * overdispersed (Poisson ⇒ VMR = 1; >1.5 ⇒ clumping). */
+  private val VmrFlag = 1.5
+
+  /** ST: overdispersion audit of daily event counts per type — the
+    * count-data health check behind every "can I model this as
+    * Poisson?" decision (VMR = σ²/μ; Cox 1983): template bursts, bot
+    * storms and retry loops all show up as VMR ≫ 1 long before any
+    * mean shift. ONE keyed aggregation to the (type × day) table
+    * (exact integer counts), then a per-type moment reduction with the
+    * population-variance identity on exact sums. */
+  def xOverdispersion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("c").as("sc"),
+        // c and sc squared through doubles: long*long overflows once a
+        // type-day exceeds ~3e9 events (a 100 TB regime, not a bug on
+        // test SFs — fixed at the source)
+        sum(col("c").cast("double") * col("c")).as("sq"))
+      .select(col("event_type"), col("n_days"), col("sc").as("n_events"),
+        scoreRound(col("sc") / col("n_days").cast("double"), 6)
+          .as("mean_daily"),
+        scoreRound((col("sq") - col("sc").cast("double") * col("sc")
+          / col("n_days")) / col("n_days"), 6)
+          .as("var_daily"),
+        scoreRound(((col("sq") - col("sc").cast("double") * col("sc")
+          / col("n_days")) / col("n_days"))
+          / (col("sc") / col("n_days").cast("double")), 6).as("vmr"),
+        (round(((col("sq") - col("sc").cast("double") * col("sc")
+          / col("n_days")) / col("n_days"))
+          / (col("sc") / col("n_days").cast("double")), 6) > VmrFlag)
+          .as("overdispersed"))
+      .orderBy("event_type")
+
+  val overdispersionSql: String =
+    s"""WITH dc AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type, count(*) AS n_days,
+       |    CAST(sum(c) AS BIGINT) AS sc,
+       |    sum(CAST(c AS DOUBLE) * c) AS sq
+       |  FROM dc GROUP BY 1)
+       |SELECT event_type, n_days, sc AS n_events,
+       |  round(sc / CAST(n_days AS DOUBLE), 6) + 0.0 AS mean_daily,
+       |  round((sq - CAST(sc AS DOUBLE) * sc / n_days) / n_days, 6) + 0.0
+       |    AS var_daily,
+       |  round(((sq - CAST(sc AS DOUBLE) * sc / n_days) / n_days)
+       |    / (sc / CAST(n_days AS DOUBLE)), 6) + 0.0 AS vmr,
+       |  round(((sq - CAST(sc AS DOUBLE) * sc / n_days) / n_days)
+       |    / (sc / CAST(n_days AS DOUBLE)), 6) > $VmrFlag AS overdispersed
+       |FROM m ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_power_analysis" -> (xPowerAnalysis _),
+    "x_overdispersion" -> (xOverdispersion _),
     "x_cmh_test" -> (xCmhTest _),
     "x_huber_mean" -> (xHuberMean _),
     "x_conformal_interval" -> (xConformalInterval _),
@@ -1581,6 +1711,8 @@ object StatsQueries extends graft.QueryModule {
     "ts_sax" -> (tsSax _))
 
   def oracles: Map[String, String] = Map(
+    "x_power_analysis" -> powerAnalysisSql,
+    "x_overdispersion" -> overdispersionSql,
     "x_cmh_test" -> cmhSql,
     "x_huber_mean" -> huberMeanSql,
     "x_conformal_interval" -> conformalSql,

@@ -1397,6 +1397,61 @@ object TextQueries extends graft.QueryModule {
       |FROM bi JOIN bc USING (a, b) JOIN uc ON bi.a = uc.w
       |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
 
+  /** Minimum corpus frequency for a term to enter the burstiness
+    * ranking (below this the Poisson expectation is too grainy). */
+  private val BurstMinTf = 20
+
+  /** Term burstiness profile (Church & Gale 1995): compare each term's
+    * OBSERVED document frequency to the Poisson expectation
+    * E[df] = D·(1 − e^(−tf/D)) given its corpus frequency. A term that
+    * appears 100 times spread over ~100 docs is function-like; one
+    * that appears 100 times inside 4 docs is bursty — topical,
+    * template, or spam — and burstiness = E[df]/df ≫ 1 surfaces it
+    * without any per-doc model. The top-30 bursty terms are the
+    * dictionary a template-detection pass seeds from. Shape: one
+    * explode → (token, doc) keyed agg → vocabulary-sized term table;
+    * ranking and the exp() live on that bounded table. */
+  def textBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val td = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+    val terms = td.groupBy("token")
+      .agg(sum("c").as("tf"), count(lit(1)).as("df"))
+    val d = Tables.documents(spark, sfDir).agg(count(lit(1)).as("docs"))
+    terms.crossJoin(broadcast(d))
+      .where(col("tf") >= BurstMinTf)
+      .select(col("token"), col("tf"), col("df"), col("docs"),
+        graft.functions.ScoreFns.scoreRound(col("docs") * (lit(1.0)
+          - exp(-(col("tf").cast("double")) / col("docs"))), 4)
+          .as("expected_df"),
+        graft.functions.ScoreFns.scoreRound((col("docs") * (lit(1.0)
+          - exp(-(col("tf").cast("double")) / col("docs"))))
+          / col("df"), 6).as("burstiness"))
+      .orderBy(desc("burstiness"), col("token"))
+      .limit(30)
+  }
+  val burstinessSql: String =
+    s"""WITH td AS (
+       |  SELECT token, doc_id, count(*) AS c FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |    FROM documents) t
+       |  WHERE token <> '' GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+       |  FROM td GROUP BY 1),
+       |dd AS (SELECT count(*) AS docs FROM documents)
+       |SELECT token, tf, df, docs,
+       |  round(docs * (1.0 - exp(-CAST(tf AS DOUBLE) / docs)), 4) + 0.0
+       |    AS expected_df,
+       |  round((docs * (1.0 - exp(-CAST(tf AS DOUBLE) / docs))) / df, 6)
+       |    + 0.0 AS burstiness
+       |FROM terms CROSS JOIN dd
+       |WHERE tf >= $BurstMinTf
+       |ORDER BY burstiness DESC, token LIMIT 30""".stripMargin
+
   /** Interpolated Kneser–Ney bigram LM score per document
     * ([[graft.text.Vocab.kneserNeyLogProb]]) — the strongest classical
     * n-gram smoother, complementing the add-V text_bigram_lm: absolute
@@ -1609,6 +1664,7 @@ object TextQueries extends graft.QueryModule {
     "text_lm_score" -> (textLmScore _),
     "text_bigram_lm" -> (textBigramLm _),
     "text_kneser_ney" -> (textKneserNey _),
+    "text_burstiness" -> (textBurstiness _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_entropy" -> (textEntropy _),
     "text_jsd_drift" -> (textJsdDrift _),
@@ -1658,6 +1714,7 @@ object TextQueries extends graft.QueryModule {
     "text_lm_score" -> lmScoreSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_kneser_ney" -> kneserNeySql,
+    "text_burstiness" -> burstinessSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "text_entropy" -> entropySql,
     "text_jsd_drift" -> jsdDriftSql,
