@@ -1681,7 +1681,160 @@ object StatsQueries extends graft.QueryModule {
        |    / (sc / CAST(n_days AS DOUBLE)), 6) > $VmrFlag AS overdispersed
        |FROM m ORDER BY 1""".stripMargin
 
+  /** ST: quantile treatment effects — the distributional view a mean
+    * test (x_welch_ttest) flattens: at each probed quantile q, the
+    * difference between arm-1's and arm-0's q-th order statistic,
+    * which localizes WHERE in the outcome distribution an effect
+    * lives (heavy-spender tail vs median mover). Quantiles are exact
+    * on ceil-binned values (1000-wide bins — the x_conformal_interval
+    * doctrine: order statistics at 100 TB are exact on bounded bins,
+    * never a fact sort), index ⌈q·n⌉, quantile = bin upper edge so
+    * both arms share the same conservative rounding and the
+    * DIFFERENCE is integer-exact. Arms = md5 parity of the order key.
+    * Shape: one keyed pass to the per-arm bin table, cumulative
+    * windows partitioned by arm over that bounded table. */
+  def xQte(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = Tables.orders(spark, sfDir)
+      .select(
+        (graft.sketch.Sketches.hash60(col("o_orderkey").cast("string")) % 2)
+          .as("arm"),
+        ceil(col("o_totalprice") / 1000.0).cast("long").as("bin"))
+      .groupBy("arm", "bin").agg(count(lit(1)).as("nb"))
+    val w = Window.partitionBy("arm").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .join(binned.groupBy("arm").agg(sum("nb").as("n")), "arm")
+      .withColumn("cum", sum("nb").over(w))
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val perQ = qs.map { q =>
+      cum.where(col("cum") >= ceil(col("n") * lit(q)))
+        .groupBy("arm")
+        .agg(min(col("bin") * 1000L).as("quant"), max("n").as("n"))
+        .select(lit(q).as("q"), col("arm"), col("quant"), col("n"))
+    }.reduce(_ unionByName _)
+    perQ.groupBy("q")
+      .agg(max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 0, col("quant"))).as("quantile_control"),
+        max(when(col("arm") === 1, col("quant"))).as("quantile_treated"))
+      .select(col("q"), col("n0"), col("n1"),
+        col("quantile_control"), col("quantile_treated"),
+        (col("quantile_treated") - col("quantile_control")).as("qte"))
+      .orderBy("q")
+  }
+
+  val qteSql: String =
+    """WITH b AS (
+      |  SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+      |      1, 15))::BIGINT % 2 AS arm,
+      |    CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS bin,
+      |    count(*) AS nb
+      |  FROM orders GROUP BY 1, 2),
+      |na AS (SELECT arm, CAST(sum(nb) AS BIGINT) AS n FROM b GROUP BY 1),
+      |cum AS (
+      |  SELECT b.arm, b.bin, n,
+      |    sum(nb) OVER (PARTITION BY b.arm ORDER BY b.bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM b JOIN na USING (arm)),
+      |qs AS (
+      |  SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS q),
+      |perq AS (
+      |  SELECT q, arm, min(bin * 1000) AS quant, max(n) AS n
+      |  FROM qs JOIN cum ON cum.cum >= ceil(cum.n * qs.q)
+      |  GROUP BY 1, 2)
+      |SELECT q,
+      |  max(CASE WHEN arm = 0 THEN n END) AS n0,
+      |  max(CASE WHEN arm = 1 THEN n END) AS n1,
+      |  max(CASE WHEN arm = 0 THEN quant END) AS quantile_control,
+      |  max(CASE WHEN arm = 1 THEN quant END) AS quantile_treated,
+      |  max(CASE WHEN arm = 1 THEN quant END)
+      |    - max(CASE WHEN arm = 0 THEN quant END) AS qte
+      |FROM perq GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Critical |z| for the unrolled ESD rounds (the practical
+    * monitoring variant with a FIXED cut instead of the per-round
+    * t-quantile λ_i of Rosner 1983 — documented simplification; the
+    * chain semantics below are the ESD ones). */
+  private val EsdCrit = 3.0
+
+  /** ST: generalized-ESD-style repeated outlier detection on the
+    * daily-mean series (Rosner 1983; the shape behind Twitter's S-ESD
+    * monitoring): up to 3 rounds, each recomputing mean/sd on the
+    * REMAINING days and removing the largest |z| if it exceeds the
+    * cut — the recomputation is the point, a single-pass z-score
+    * (x_anomaly_zscore) masks a second outlier behind the variance the
+    * first one inflates. The chain rule (stop after a quiet round) is
+    * automatic: a round that removes nothing leaves the set unchanged,
+    * so every later round reproduces the same sub-cut maximum. Shape:
+    * ONE keyed fact pass to the ≤31-row daily frame; each round is an
+    * aggregate + argmax-as-max(struct) on that bounded frame. */
+  def xEsdAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("ts").cast("date").as("d"))
+      .agg(round(avg("value"), 6).as("x"))
+      .withColumn("dd", datediff(col("d"), lit("2020-01-01").cast("date")))
+      .withColumn("rem", lit(0))
+    def esdRound(df: DataFrame, i: Int): DataFrame = {
+      val live = df.where(col("rem") === 0)
+      val s = live.agg(count(lit(1)).cast("double").as("n"),
+        round(sum("x"), 6).as("sx"),
+        round(sum(col("x") * col("x")), 6).as("sxx"))
+      val zed = live.crossJoin(broadcast(s))
+        .select(col("dd"),
+          round(abs(col("x") - col("sx") / col("n"))
+            / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+              / (col("n") - lit(1.0))), 6).as("z"))
+      val cand = zed.agg(max(struct(col("z"), (-col("dd")).as("nd")))
+        .as("c"))
+        .select(col("c.z").as("zmax"), (-col("c.nd")).as("ddsel"))
+      df.crossJoin(broadcast(cand))
+        .withColumn("rem",
+          when(col("rem") > 0, col("rem"))
+            .when(col("dd") === col("ddsel") && col("zmax") > EsdCrit,
+              lit(i))
+            .otherwise(lit(0)))
+        .drop("zmax", "ddsel")
+    }
+    val out = esdRound(esdRound(esdRound(daily, 1), 2), 3)
+    out.select(col("d"), col("x"), col("rem").as("removed_round"))
+      .orderBy("d")
+  }
+
+  val esdSql: String = {
+    def roundSql(prev: String, i: Int): String =
+      s"""s$i AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, round(sum(x), 6) AS sx,
+         |    round(sum(x * x), 6) AS sxx
+         |  FROM $prev WHERE rem = 0),
+         |z$i AS (
+         |  SELECT dd, round(abs(x - sx / n)
+         |    / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS z
+         |  FROM $prev CROSS JOIN s$i WHERE rem = 0),
+         |c$i AS (
+         |  SELECT z AS zmax, dd AS ddsel FROM z$i
+         |  ORDER BY z DESC, dd LIMIT 1),
+         |r$i AS (
+         |  SELECT d, dd, x,
+         |    CASE WHEN rem > 0 THEN rem
+         |      WHEN dd = (SELECT ddsel FROM c$i)
+         |        AND (SELECT zmax FROM c$i) > $EsdCrit THEN $i
+         |      ELSE 0 END AS rem
+         |  FROM $prev)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(ts AS DATE) AS d,
+       |    date_diff('day', DATE '2020-01-01', CAST(ts AS DATE)) AS dd,
+       |    round(avg(value), 6) AS x, 0 AS rem
+       |  FROM events GROUP BY 1, 2),
+       |${roundSql("base", 1)},
+       |${roundSql("r1", 2)},
+       |${roundSql("r2", 3)}
+       |SELECT d, x, rem AS removed_round FROM r3 ORDER BY d""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_qte" -> (xQte _),
+    "x_esd_anomalies" -> (xEsdAnomalies _),
     "x_power_analysis" -> (xPowerAnalysis _),
     "x_overdispersion" -> (xOverdispersion _),
     "x_cmh_test" -> (xCmhTest _),
@@ -1711,6 +1864,8 @@ object StatsQueries extends graft.QueryModule {
     "ts_sax" -> (tsSax _))
 
   def oracles: Map[String, String] = Map(
+    "x_qte" -> qteSql,
+    "x_esd_anomalies" -> esdSql,
     "x_power_analysis" -> powerAnalysisSql,
     "x_overdispersion" -> overdispersionSql,
     "x_cmh_test" -> cmhSql,

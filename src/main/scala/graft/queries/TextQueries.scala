@@ -1397,6 +1397,100 @@ object TextQueries extends graft.QueryModule {
       |FROM bi JOIN bc USING (a, b) JOIN uc ON bi.a = uc.w
       |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin
 
+  /** RAKE phrase-boundary stopwords (fixed literal list shared with
+    * the oracle; '' handles split artifacts). */
+  private val RakeStops =
+    Seq("the", "a", "of", "and", "to", "is", "in", "on", "for", "")
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-delimited token runs; each word scores
+    * degree/frequency (degree = Σ lengths of phrases containing it —
+    * words that live in LONG phrases beat words that appear alone),
+    * and a phrase scores the sum of its member-word scores. The
+    * document-free companion to text_textrank (no graph iteration, one
+    * pass over positions). Shapes: the fact-sized work is one
+    * posexplode + per-doc prefix-sum islands (windows partitioned by
+    * doc — peer groups bounded by doc length); word statistics are
+    * vocabulary-sized; the ranking is on the distinct-phrase table. */
+  def textRake(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+"))
+          .as(Seq("pos", "token")))
+      .withColumn("stop", col("token").isin(RakeStops: _*))
+    val wIsl = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val members = toks
+      .withColumn("island", sum(when(col("stop"), 1L).otherwise(0L))
+        .over(wIsl))
+      .where(!col("stop"))
+    val phrases = members.groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("n_words"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, token)))," +
+            " s -> s.token)")).as("phrase"))
+    val wordStats = members
+      .join(phrases.select(col("doc_id"), col("island"), col("n_words")),
+        Seq("doc_id", "island"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"), sum("n_words").as("degree"))
+    val scored = members
+      .join(broadcast(wordStats), "token")
+      .groupBy("doc_id", "island")
+      .agg(sum(col("degree") / col("freq").cast("double")).as("score"))
+      .join(phrases, Seq("doc_id", "island"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        graft.functions.ScoreFns.scoreRound(max(col("score")), 4)
+          .as("score"),
+        max("n_words").as("n_words"))
+    scored.orderBy(desc("score"), col("phrase")).limit(20)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        col("score"))
+  }
+  val rakeSql: String = {
+    val stops = RakeStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, t[i] AS token,
+       |    t[i] IN ($stops) AS stop
+       |  FROM (
+       |    SELECT doc_id,
+       |      string_split_regex(trim(lower(text)), '\\s+') AS t
+       |    FROM documents) d,
+       |  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g),
+       |isl AS (
+       |  SELECT doc_id, pos, token, stop,
+       |    sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM toks),
+       |members AS (
+       |  SELECT doc_id, pos, token, island FROM isl WHERE NOT stop),
+       |phr AS (
+       |  SELECT doc_id, island, count(*) AS n_words,
+       |    string_agg(token, ' ' ORDER BY pos) AS phrase
+       |  FROM members GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT token, count(*) AS freq,
+       |    CAST(sum(n_words) AS BIGINT) AS degree
+       |  FROM members JOIN phr USING (doc_id, island)
+       |  GROUP BY 1),
+       |sc AS (
+       |  SELECT m.doc_id, m.island,
+       |    sum(degree / CAST(freq AS DOUBLE)) AS score
+       |  FROM members m JOIN ws USING (token)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT phrase, max(p.n_words) AS n_words,
+       |    count(*) AS n_occurrences,
+       |    round(max(score), 4) + 0.0 AS score
+       |  FROM sc JOIN phr p USING (doc_id, island)
+       |  GROUP BY 1)
+       |SELECT phrase, n_words, n_occurrences, score
+       |FROM ranked ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+  }
+
   /** Minimum corpus frequency for a term to enter the burstiness
     * ranking (below this the Poisson expectation is too grainy). */
   private val BurstMinTf = 20
@@ -1665,6 +1759,7 @@ object TextQueries extends graft.QueryModule {
     "text_bigram_lm" -> (textBigramLm _),
     "text_kneser_ney" -> (textKneserNey _),
     "text_burstiness" -> (textBurstiness _),
+    "text_rake" -> (textRake _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_entropy" -> (textEntropy _),
     "text_jsd_drift" -> (textJsdDrift _),
@@ -1715,6 +1810,7 @@ object TextQueries extends graft.QueryModule {
     "text_bigram_lm" -> bigramLmSql,
     "text_kneser_ney" -> kneserNeySql,
     "text_burstiness" -> burstinessSql,
+    "text_rake" -> rakeSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "text_entropy" -> entropySql,
     "text_jsd_drift" -> jsdDriftSql,

@@ -103,6 +103,75 @@ class Round15cSpec extends SparkSpecBase {
     assert(out("bursty").getAs[Long]("n_events") == 200L)
   }
 
+  test("QTE is zero at every quantile on a constant outcome, sane on real data") {
+    val rows = (1L to 400L).map(k => (k, "O", 5000.0, "1-URGENT"))
+    val dir = tmpDir("graft-qte-")
+    rows.toDF("o_orderkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val flat = graft.queries.StatsQueries.xQte(spark, dir).collect()
+    assert(flat.length == 5)
+    flat.foreach { r =>
+      assert(r.getAs[Long]("qte") == 0L, r.toString)
+      assert(r.getAs[Long]("quantile_control") == 5000L)
+    }
+    // real data: quantiles are nondecreasing in q within each arm and
+    // the hash arms are exchangeable, so |qte| stays a small fraction
+    // of the quantile itself
+    val real = graft.queries.StatsQueries.xQte(spark, sfDir)
+      .orderBy("q").collect()
+    val qc = real.map(_.getAs[Long]("quantile_control"))
+    val qt = real.map(_.getAs[Long]("quantile_treated"))
+    assert(qc.sliding(2).forall(w => w(1) >= w(0)))
+    assert(qt.sliding(2).forall(w => w(1) >= w(0)))
+    real.foreach { r =>
+      assert(math.abs(r.getAs[Long]("qte")) <
+        r.getAs[Long]("quantile_control") / 2, r.toString)
+    }
+  }
+
+  test("ESD unmasks a second outlier a single-pass z-score would hide") {
+    val rows = (0 until 30).flatMap { day =>
+      val v = if (day == 28) 1000.0 else if (day == 29) 900.0
+              else 10.0 + (day % 3)
+      Seq(((day * 10 + 1).toLong, ts(day, 1), 1L, "view", v, "{}"))
+    }
+    val dir = tmpDir("graft-esd-")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.StatsQueries.xEsdAnomalies(spark, dir)
+      .orderBy("d").collect()
+    assert(out.length == 30)
+    assert(out(28).getAs[Int]("removed_round") == 1, out(28).toString)
+    assert(out(29).getAs[Int]("removed_round") == 2, out(29).toString)
+    assert(out.take(28).forall(_.getAs[Int]("removed_round") == 0))
+    // real data must not mark more than the 3-round budget
+    val real = graft.queries.StatsQueries.xEsdAnomalies(spark, sfDir)
+      .collect()
+    assert(real.count(_.getAs[Int]("removed_round") > 0) <= 3)
+  }
+
+  test("RAKE scores a repeated two-word phrase above its member words") {
+    // doc1: "deep learning of deep learning" -> phrase "deep learning"
+    // twice; doc2: "learning the rate" -> "learning", "rate".
+    // freq: deep 2, learning 3, rate 1
+    // degree: deep 4, learning 5, rate 1
+    // score("deep learning") = 4/2 + 5/3 = 3.6667 (top)
+    val docs = Seq((1L, "deep learning of deep learning"),
+      (2L, "learning the rate"))
+    val dir = tmpDir("graft-rake-")
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.textRake(spark, dir).collect()
+    assert(out.head.getString(0) == "deep learning", out.head.toString)
+    assert(out.head.getAs[Long]("n_occurrences") == 2L)
+    assert(math.abs(out.head.getAs[Double]("score") - 3.6667) < 1e-4)
+    val byPhrase = out.map(r => r.getString(0) -> r.getAs[Double]("score"))
+      .toMap
+    assert(byPhrase("learning") < byPhrase("deep learning"))
+    assert(byPhrase("rate") == 1.0)
+  }
+
   test("burstiness ranks a one-doc burst far above an evenly spread term") {
     // 'zzz': 50 occurrences inside ONE doc  => E[df]/df ~ 34
     // 'the': once in each of 60 docs        => E[df]/df ~ 0.63
