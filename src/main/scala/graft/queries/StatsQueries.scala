@@ -1276,7 +1276,8 @@ object StatsQueries extends graft.QueryModule {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  /** Miscoverage level for the conformal gate (target coverage 90%). */
+  /** Coverage level (1 − α) for the conformal gate: the quantile rank
+    * ⌈(n+1)·0.9⌉ targets 90% coverage, i.e. miscoverage α = 0.1. */
   private val ConfAlpha = 0.9
 
   /** ST: Mondrian split-conformal prediction intervals (Vovk et al.;

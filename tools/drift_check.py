@@ -10,8 +10,15 @@ round closes, and the iso medians are what adjudicate a real
 regression vs VM contention.
 
 Usage: python3 tools/drift_check.py PREV.json CURR.json [thresh=1.3]
-                [--iso BENCH_iso_*.json ...]
+                [--min-abs [SECS]] [--iso BENCH_iso_*.json ...]
 Exit code 0 = no UNADJUDICATED movers; 1 = unadjudicated movers listed.
+
+--min-abs SECS (default 0.5 when the flag is given, 0 otherwise) is an
+absolute-delta floor (r15 judge item 5): a mover whose |curr - prev| is
+below the floor is still PRINTED (tagged "below --min-abs floor") but
+does not fail the gate — sub-half-second ratio movers are scheduling
+noise at suite scale and each used to cost a sentence of human
+adjudication without ever being a real regression.
 
 --iso files are graft.Bench --isolate artifacts ({"gates": {name:
 {"median": sec, ...}}}). A SLOWDOWN mover is ADJUDICATED only when its
@@ -51,6 +58,16 @@ def main():
         i = args.index("--iso")
         iso_paths = args[i + 1:]
         args = args[:i]
+    min_abs = 0.0
+    if "--min-abs" in args:
+        i = args.index("--min-abs")
+        nxt = args[i + 1] if i + 1 < len(args) else None
+        try:
+            min_abs = float(nxt)
+            del args[i:i + 2]
+        except (TypeError, ValueError):
+            min_abs = 0.5
+            del args[i]
     prev, curr = load(args[0]), load(args[1])
     thresh = float(args[2]) if len(args) > 2 else 1.3
     iso = load_iso(iso_paths)
@@ -70,21 +87,26 @@ def main():
     movers.sort(reverse=True)
     open_movers = 0
     for r, name, a, b in movers:
+        below_floor = abs(b - a) < min_abs
+        floor_tag = (f" [below --min-abs floor {min_abs:g}s — informational]"
+                     if below_floor else "")
         if name in iso:
             med = iso[name]
             if r > thresh and med / a > thresh:
                 # iso re-draw lands at the regressed time: CONFIRMED
-                open_movers += 1
+                if not below_floor:
+                    open_movers += 1
                 print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x) "
                       f"[CONFIRMED by iso median {med:.2f}s = "
-                      f"{med / a:.2f}x prev — real regression]")
+                      f"{med / a:.2f}x prev — real regression]{floor_tag}")
             else:
                 print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x) "
                       f"[ADJUDICATED: iso median {med:.2f}s = "
                       f"{med / a:.2f}x prev]")
         else:
-            open_movers += 1
-            print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x)")
+            if not below_floor:
+                open_movers += 1
+            print(f"{name}: {a:.2f}s -> {b:.2f}s ({r:.2f}x){floor_tag}")
     new = sorted(set(curr) - set(prev))
     if new:
         print(f"# {len(new)} gates new this round (no comparator): "
