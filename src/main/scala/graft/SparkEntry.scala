@@ -70,7 +70,8 @@ object SparkEntry {
     "asof_join", "curate_cluster_split", "curate_pack",
     "dedup_clusters", "dedup_semantic", "dedup_soft_weights",
     "graph_adamic_adar", "graph_clustering_coeff", "graph_edge_jaccard",
-    "graph_hits", "graph_kcore", "graph_pagerank", "graph_ppr_seeds",
+    "graph_hits", "graph_kcore", "graph_louvain_multilevel",
+    "graph_pagerank", "graph_ppr_seeds",
     "graph_triangles", "sim_ann_append", "sim_ivf_pq",
     "sim_mmr_diversify", "sim_opq_recall", "sim_pq_adc",
     "sim_quantized_recall", "sim_two_stage_rerank", "x_markov_stationary")

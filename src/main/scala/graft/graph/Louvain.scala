@@ -3,11 +3,11 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** One synchronous Louvain sweep from singleton communities — the
-  * modularity-greedy step between [[LabelProp]] (no objective) and a
-  * full multi-level Louvain (inherently sequential; Blondel et al.
-  * 2008 §2). With every community a singleton, the gain of moving
-  * node i into neighbor j's community reduces to the closed form
+/** Louvain community detection (Blondel et al. 2008), Spark-shaped:
+  * a synchronous modularity-greedy sweep plus the phase-2 community
+  * CONTRACTION that makes it multi-level. With every community a
+  * singleton, the gain of moving node i into neighbor j's community
+  * reduces to the closed form
   *
   *   ΔQ(i→j) = w_ij/m − k_i·k_j/(2m²)
   *
@@ -18,26 +18,46 @@ import org.apache.spark.sql.functions._
   * oracle-replayable, exactly the LabelProp rationale (the classic
   * asynchronous sweep is visit-order-dependent and unverifiable).
   *
+  * Synchronous-adoption artifacts, and what the sweep does about them
+  * (r15 advice): (1) two nodes can adopt EACH OTHER (equal-weight
+  * clique: 1→2 while 2,3,4→1); left unresolved the mutual pair lands
+  * in two different output communities forever — contraction preserves
+  * a symmetric 2-super-node swap at every level — so the sweep
+  * resolves mutual pairs to community = min(node, adopted), mirrored
+  * in the oracle. (2) a node adopting j receives j's PRE-sweep label
+  * even when j itself moved (chain i→j→k): deterministic, replayable,
+  * and healed by the next level's contraction sweep — this one is the
+  * documented semantics, not resolved, because resolving chains is
+  * iterative (it IS the next level).
+  *
   * Execution shape: degrees are ONE keyed aggregation of the edge
   * list; the gain table is the edge list joined twice to the V-row
   * degree table (keyed equi-joins); the per-node argmax is a
   * max(struct) aggregation (partial, map-side — no window, no sort);
-  * the modularity audit is two more keyed aggregations (intra-weight
-  * per community via an assignment join, degree mass per community).
-  * Nothing is ∝ V² and nothing sorts the edge list at any scale.
+  * the mutual-pair resolution is one V-row self-join; the modularity
+  * audit is two more keyed aggregations (intra-weight per community
+  * via an assignment join, degree mass per community); contraction is
+  * the edge list joined twice to the V-row assignment then one keyed
+  * re-aggregation to the super-edge list. Nothing is ∝ V² and nothing
+  * sorts the edge list at any scale.
   */
 object Louvain {
 
   /** Community assignment after one synchronous singleton sweep over
     * a SYMMETRIC weighted edge list (both directions present).
     * Output: (node, community) — community is the ORIGINAL id of the
-    * adopted neighbor (or the node itself when no positive gain).
+    * adopted neighbor (mutual adoptions collapsed to the smaller id;
+    * the node itself when no positive gain). Self-loops (present in
+    * CONTRACTED graphs: a community's internal weight) count toward
+    * degrees and m but are never adoption candidates, and a node
+    * whose only edges are self-loops keeps its own community.
     * Gains are rounded to 8 dp before the argmax so engines agree. */
   def sweep(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src").as("node"))
       .agg(sum("w").as("k"))
     val m = deg.agg((sum("k") / 2.0).as("m"))
     val gains = edges
+      .where(col("src") =!= col("dst"))
       .join(deg.select(col("node").as("src"), col("k").as("ki")), "src")
       .join(deg.select(col("node").as("dst"), col("k").as("kj")), "dst")
       .crossJoin(broadcast(m))
@@ -48,12 +68,69 @@ object Louvain {
           .as("gain"))
     // argmax as max(struct(gain, -dst)): partial-aggregable, ties to
     // the smallest neighbor id (the Ivf.assign discipline)
-    val best = gains.groupBy("src")
+    val adopt = gains.groupBy("src")
       .agg(max(struct(col("gain"), (-col("dst")).as("nd"))).as("b"))
       .select(col("src").as("node"),
         when(col("b.gain") > 0, -col("b.nd")).otherwise(col("src"))
-          .as("community"))
-    best
+          .as("adopt"))
+    // self-loop-only nodes have no gain rows; they keep themselves
+    val adoptAll = deg.select(col("node"))
+      .join(adopt, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("adopt"), col("node")).as("adopt"))
+    // mutual-adoption resolution: i⇄j collapse to min(i, j). The
+    // adopted target is always a node of the graph, so the self-join
+    // is total (inner).
+    val back = adoptAll
+      .select(col("node").as("adopt"), col("adopt").as("adopt2"))
+    adoptAll.join(back, "adopt")
+      .select(col("node"),
+        when(col("adopt2") === col("node") && col("adopt") =!= col("node"),
+          least(col("node"), col("adopt")))
+          .otherwise(col("adopt")).as("community"))
+  }
+
+  /** Phase-2 contraction: collapse each community to a super-node.
+    * Intra-community weight becomes a self-loop (both directions
+    * folded into one (c, c) row), so super-degrees satisfy
+    * k_c = Σ_{i∈c} k_i and m is preserved — the invariants the next
+    * [[sweep]]'s gain form needs. Two keyed joins of the edge list to
+    * the V-row assignment, one keyed re-aggregation; the output is
+    * at most min(E, C²) rows and shrinks geometrically per level. */
+  def contract(edges: DataFrame, assign: DataFrame): DataFrame =
+    edges
+      .join(assign.select(col("node").as("src"), col("community").as("cs")),
+        "src")
+      .join(assign.select(col("node").as("dst"), col("community").as("cd")),
+        "dst")
+      .groupBy(col("cs").as("src"), col("cd").as("dst"))
+      .agg(sum("w").as("w"))
+
+  /** Multi-level Louvain: sweep → contract → sweep …, `levels` times,
+    * returning the COMPOSED assignment (node → final community) over
+    * the original node set. Each level contracts the ORIGINAL edge
+    * list by the current composed assignment (associativity of the
+    * weight sum makes this identical to contracting the contracted
+    * graph) so scratch stays O(1) spill dirs via the reapReplacing
+    * doctrine: the returned frame owns the only live spill; the
+    * caller releases it via `Caching.release` when done. */
+  def multilevel(edges: DataFrame, levels: Int = 2): DataFrame = {
+    require(levels >= 1, s"levels must be >= 1, got $levels")
+    var assign = graft.core.Caching.reap(sweep(edges))
+    var lvl = 1
+    while (lvl < levels) {
+      val sup = graft.core.Caching.reap(contract(edges, assign))
+      val next = sweep(sup)
+      val composed = assign
+        .select(col("node"), col("community").as("__c"))
+        .join(next.select(col("node").as("__c"),
+          col("community")), "__c")
+        .select("node", "community")
+      assign = graft.core.Caching.reapReplacing(composed, assign)
+      graft.core.Caching.release(sup)
+      lvl += 1
+    }
+    assign
   }
 
   /** Newman modularity of an assignment over the same symmetric edge

@@ -762,8 +762,39 @@ object GraphQueries extends graft.QueryModule {
     moved.crossJoin(q)
   }
 
+  /** The oracle spelling of ONE [[graft.graph.Louvain.sweep]] over
+    * CTEs `el` (symmetric edge list) / `deg` / `mm`, ending in `best`
+    * (node, community) — shared verbatim by the single-level and
+    * multi-level oracles so the two replays cannot drift. Mirrors the
+    * Spark sweep exactly: self-edges excluded from candidacy (adopt1),
+    * gain-less nodes keep themselves (adopta), mutual adoptions
+    * collapse to the smaller id (best — the r15-advice resolution). */
+  private val louvainSweepSql: String =
+    """gains AS (
+      |  SELECT e.src, e.dst,
+      |    round(e.w / m - (ki.k * kj.k) / (2.0 * m * m), 8) AS gain
+      |  FROM el e JOIN deg ki ON ki.node = e.src
+      |  JOIN deg kj ON kj.node = e.dst CROSS JOIN mm
+      |  WHERE e.src <> e.dst),
+      |adopt1 AS (
+      |  SELECT src AS node,
+      |    CASE WHEN gain > 0 THEN dst ELSE src END AS adopt
+      |  FROM (
+      |    SELECT src, dst, gain, row_number() OVER (PARTITION BY src
+      |      ORDER BY gain DESC, dst) AS rn
+      |    FROM gains) t
+      |  WHERE rn = 1),
+      |adopta AS (
+      |  SELECT d.node, coalesce(a.adopt, d.node) AS adopt
+      |  FROM deg d LEFT JOIN adopt1 a ON a.node = d.node),
+      |best AS (
+      |  SELECT a.node,
+      |    CASE WHEN b.adopt = a.node AND a.adopt <> a.node
+      |      THEN least(a.node, a.adopt) ELSE a.adopt END AS community
+      |  FROM adopta a JOIN adopta b ON b.node = a.adopt),""".stripMargin
+
   val graphLouvainSql: String =
-    """WITH el AS (
+    s"""WITH el AS (
       |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
       |    CAST(count(*) AS DOUBLE) AS w
       |  FROM lineitem a JOIN lineitem b
@@ -771,19 +802,7 @@ object GraphQueries extends graft.QueryModule {
       |  GROUP BY 1, 2),
       |deg AS (SELECT src AS node, sum(w) AS k FROM el GROUP BY 1),
       |mm AS (SELECT sum(k) / 2.0 AS m FROM deg),
-      |gains AS (
-      |  SELECT e.src, e.dst,
-      |    round(e.w / m - (ki.k * kj.k) / (2.0 * m * m), 8) AS gain
-      |  FROM el e JOIN deg ki ON ki.node = e.src
-      |  JOIN deg kj ON kj.node = e.dst CROSS JOIN mm),
-      |best AS (
-      |  SELECT src AS node,
-      |    CASE WHEN gain > 0 THEN dst ELSE src END AS community
-      |  FROM (
-      |    SELECT src, dst, gain, row_number() OVER (PARTITION BY src
-      |      ORDER BY gain DESC, dst) AS rn
-      |    FROM gains) t
-      |  WHERE rn = 1),
+      |$louvainSweepSql
       |mm2 AS (SELECT sum(k) AS m2 FROM deg),
       |intra AS (
       |  SELECT a1.community, sum(e.w) AS wc
@@ -810,8 +829,125 @@ object GraphQueries extends graft.QueryModule {
       |SELECT n_nodes, n_moved, n_communities, modularity
       |FROM moved CROSS JOIN qq""".stripMargin
 
+  /** GQ14 (r15 judge item 2): TWO-level Louvain — the single sweep
+    * plus Blondel phase 2: contract each community to a super-node
+    * (intra weight → self-loop, preserving k_c = Σk_i and m), re-run
+    * the same sweep on the contracted graph, and compose the
+    * assignments. Two unrolled levels (the BPE/k-means unrolled-
+    * iteration doctrine); the oracle replays BOTH sweeps through the
+    * shared CTE block so the engines cannot drift per level. Output:
+    * one row per level with the community count and the modularity of
+    * that level's COMPOSED assignment on the ORIGINAL edge list —
+    * non-decreasing across levels on communities the first sweep
+    * fragmented (pair chains, resolved swaps).
+    *
+    * Scale shape: level 1 is the graph_louvain plan; the level-1
+    * assignment and the composed assignment are reaped (bounded V-row
+    * frames, multi-consumer); the contracted graph is C-node/≤E-edge
+    * and shrinks geometrically, so level 2 costs less than level 1;
+    * the transient super-edge spill is released as soon as the
+    * composition lands (reap lifecycle doctrine). */
+  def graphLouvainMultilevel(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.graph.Louvain
+    val edges = coEdges(spark, sfDir)
+    val a1 = graft.core.Caching.reap(Louvain.sweep(edges))
+    val sup = graft.core.Caching.reap(Louvain.contract(edges, a1))
+    val a2 = Louvain.sweep(sup)
+    val composed = graft.core.Caching.reap(
+      a1.select(col("node"), col("community").as("__c"))
+        .join(a2.select(col("node").as("__c"), col("community")), "__c")
+        .select("node", "community"))
+    graft.core.Caching.release(sup)
+    def levelRow(level: Int, assign: DataFrame): DataFrame =
+      Louvain.modularity(edges, assign)
+        .agg(count(lit(1)).as("n_communities"),
+          graft.functions.ScoreFns.scoreRound(sum("q_term"), 6)
+            .as("modularity"))
+        .select(lit(level.toLong).as("level"),
+          col("n_communities"), col("modularity"))
+    levelRow(1, a1).unionByName(levelRow(2, composed)).orderBy("level")
+  }
+
+  val graphLouvainMultilevelSql: String =
+    s"""WITH el AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |deg AS (SELECT src AS node, sum(w) AS k FROM el GROUP BY 1),
+      |mm AS (SELECT sum(k) / 2.0 AS m FROM deg),
+      |$louvainSweepSql
+      |mm2 AS (SELECT sum(k) AS m2 FROM deg),
+      |t1i AS (
+      |  SELECT a1.community, sum(e.w) AS wc
+      |  FROM el e JOIN best a1 ON a1.node = e.src
+      |  JOIN best a2 ON a2.node = e.dst AND a2.community = a1.community
+      |  GROUP BY 1),
+      |t1m AS (
+      |  SELECT b.community, sum(d.k) AS kc
+      |  FROM deg d JOIN best b ON b.node = d.node GROUP BY 1),
+      |t1 AS (
+      |  SELECT m.community,
+      |    coalesce(i.wc, 0.0) / m2 - (m.kc / m2) * (m.kc / m2) AS q_term
+      |  FROM t1m m LEFT JOIN t1i i ON i.community = m.community
+      |  CROSS JOIN mm2),
+      |sel AS (
+      |  SELECT b1.community AS src, b2.community AS dst, sum(e.w) AS w
+      |  FROM el e JOIN best b1 ON b1.node = e.src
+      |  JOIN best b2 ON b2.node = e.dst
+      |  GROUP BY 1, 2),
+      |deg2 AS (SELECT src AS node, sum(w) AS k FROM sel GROUP BY 1),
+      |mmb AS (SELECT sum(k) / 2.0 AS m FROM deg2),
+      |gains2 AS (
+      |  SELECT e.src, e.dst,
+      |    round(e.w / m - (ki.k * kj.k) / (2.0 * m * m), 8) AS gain
+      |  FROM sel e JOIN deg2 ki ON ki.node = e.src
+      |  JOIN deg2 kj ON kj.node = e.dst CROSS JOIN mmb
+      |  WHERE e.src <> e.dst),
+      |adopt2 AS (
+      |  SELECT src AS node,
+      |    CASE WHEN gain > 0 THEN dst ELSE src END AS adopt
+      |  FROM (
+      |    SELECT src, dst, gain, row_number() OVER (PARTITION BY src
+      |      ORDER BY gain DESC, dst) AS rn
+      |    FROM gains2) t
+      |  WHERE rn = 1),
+      |adoptb AS (
+      |  SELECT d.node, coalesce(a.adopt, d.node) AS adopt
+      |  FROM deg2 d LEFT JOIN adopt2 a ON a.node = d.node),
+      |best2 AS (
+      |  SELECT a.node,
+      |    CASE WHEN b.adopt = a.node AND a.adopt <> a.node
+      |      THEN least(a.node, a.adopt) ELSE a.adopt END AS community
+      |  FROM adoptb a JOIN adoptb b ON b.node = a.adopt),
+      |comp AS (
+      |  SELECT b1.node, b2.community
+      |  FROM best b1 JOIN best2 b2 ON b2.node = b1.community),
+      |t2i AS (
+      |  SELECT a1.community, sum(e.w) AS wc
+      |  FROM el e JOIN comp a1 ON a1.node = e.src
+      |  JOIN comp a2 ON a2.node = e.dst AND a2.community = a1.community
+      |  GROUP BY 1),
+      |t2m AS (
+      |  SELECT b.community, sum(d.k) AS kc
+      |  FROM deg d JOIN comp b ON b.node = d.node GROUP BY 1),
+      |t2 AS (
+      |  SELECT m.community,
+      |    coalesce(i.wc, 0.0) / m2 - (m.kc / m2) * (m.kc / m2) AS q_term
+      |  FROM t2m m LEFT JOIN t2i i ON i.community = m.community
+      |  CROSS JOIN mm2),
+      |l1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS level, count(*) AS n_communities,
+      |    round(sum(q_term), 6) + 0.0 AS modularity FROM t1),
+      |l2 AS (
+      |  SELECT CAST(2 AS BIGINT) AS level, count(*) AS n_communities,
+      |    round(sum(q_term), 6) + 0.0 AS modularity FROM t2)
+      |SELECT * FROM l1 UNION ALL SELECT * FROM l2 ORDER BY level""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_louvain" -> (graphLouvain _),
+    "graph_louvain_multilevel" -> (graphLouvainMultilevel _),
     "graph_bfs_levels" -> (graphBfsLevels _),
     "graph_adamic_adar" -> (graphAdamicAdar _),
     "graph_assortativity" -> (graphAssortativity _),
@@ -827,6 +963,7 @@ object GraphQueries extends graft.QueryModule {
 
   def oracles: Map[String, String] = Map(
     "graph_louvain" -> graphLouvainSql,
+    "graph_louvain_multilevel" -> graphLouvainMultilevelSql,
     "graph_bfs_levels" -> graphBfsLevelsSql,
     "graph_adamic_adar" -> graphAdamicAdarSql,
     "graph_assortativity" -> graphAssortativitySql,
