@@ -73,6 +73,7 @@ object SparkEntry {
     "graph_hits", "graph_kcore", "graph_louvain_multilevel",
     "graph_pagerank", "graph_ppr_seeds",
     "graph_triangles", "sim_ann_append", "sim_ivf_pq",
+    "sim_matryoshka_ivf",
     "sim_mmr_diversify", "sim_opq_recall", "sim_pq_adc",
     "sim_quantized_recall", "sim_two_stage_rerank", "x_markov_stationary")
 

@@ -1824,15 +1824,25 @@ object SimQueries extends graft.QueryModule {
                                       prefixDims: Int): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
-    val exact = Similarity.bruteForceTopK(
-        emb, queries, "vec_id", "embedding", k = 5)
-      .select(col("query_id"), col("neighbor_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pfx = (df: DataFrame) => df.select(col("vec_id"),
       slice(col("embedding"), 1, prefixDims).as("embedding"))
     val stage1 = Similarity.bruteForceTopK(
         pfx(emb), pfx(queries), "vec_id", "embedding", k = 20)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    matryoshkaCurve(emb, queries, stage1)
+  }
+
+  /** Shared Matryoshka stage 2: full-dimension rerank of a prefix-
+    * space top-20 shortlist at m ∈ {5, 10, 20}, scored against the
+    * exact full-dim top-5 — the recall curve both Matryoshka gates
+    * report. `stage1` must be persisted; it is unpersisted via the
+    * reap. */
+  private def matryoshkaCurve(emb: DataFrame, queries: DataFrame,
+                              stage1: DataFrame): DataFrame = {
+    val exact = Similarity.bruteForceTopK(
+        emb, queries, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fullC = emb.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"), Similarity.norm(col("embedding")).as("cn"))
@@ -1857,6 +1867,43 @@ object SimQueries extends graft.QueryModule {
       .select(col("shortlist"), col("n_queries"), col("hits"),
         round(col("hits") / col("total"), 4).as("recall"))
     graft.core.Caching.reap(out, exact, stage1).orderBy("shortlist")
+  }
+
+  /** SM16 (r15 judge item 4): Matryoshka × IVF — the production
+    * serving composition. Stage 1 is a PREFIX-DIMENSION IVF: the
+    * coarse quantizer is TRAINED on the first-16-dim prefixes
+    * (deterministic Lloyd, k = 16, 2 iterations, lowest-id init —
+    * the sim_kmeans_ivf discipline), the corpus is prefix-assigned,
+    * and each query probes nprobe = 4 of the 16 buckets — so the
+    * ¼-scan-bytes Matryoshka claim now holds in PLAN shape (the
+    * stage-1 scan reads 16 of 64 dims AND only ~nprobe/k of the
+    * rows), not just in FLOPs as in sim_matryoshka_rerank's
+    * bounded-probe brute force. Stage 2 reranks the top-20 shortlist
+    * with full vectors; the output is the same recall curve, directly
+    * comparable against the brute-force gate's. With nprobe = k the
+    * probe is exhaustive and the shortlist is EXACTLY the brute-force
+    * prefix shortlist (Round16Spec pins that identity). The oracle
+    * replays Lloyd-on-prefixes, assign, probe, prefix ranking and
+    * full-dim rerank end-to-end. */
+  def simMatryoshkaIvf(spark: SparkSession, sfDir: String): DataFrame =
+    matryoshkaIvfRecall(spark, sfDir, prefixDims = 16, nprobe = 4)
+
+  private[graft] def matryoshkaIvfRecall(spark: SparkSession, sfDir: String,
+                                         prefixDims: Int,
+                                         nprobe: Int): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") >= 100 && col("vec_id") < 110)
+    val pfx = (df: DataFrame) => df.select(col("vec_id"),
+      slice(col("embedding"), 1, prefixDims).as("embedding"))
+    val pEmb = pfx(emb)
+    val cents = graft.sim.KMeans.train(pEmb, "vec_id", "embedding",
+      k = 16, iterations = 2)
+    val assigned = Similarity.Ivf.assign(pEmb, cents, "vec_id", "embedding")
+    val stage1 = Similarity.Ivf.search(assigned, cents, pfx(queries),
+        "vec_id", "embedding", k = 20, nprobe = nprobe)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    matryoshkaCurve(emb, queries, stage1)
   }
 
   val matryoshkaSql: String = vecCte +
@@ -1906,8 +1953,81 @@ object SimQueries extends graft.QueryModule {
       |FROM ms LEFT JOIN hits ON hits.shortlist = ms.m CROSS JOIN tot
       |ORDER BY 1""".stripMargin
 
+  /** Replays [[simMatryoshkaIvf]]: Lloyd-on-prefixes (2 iterations,
+    * lowest-id init — the kmeansIvfSql discipline with src = the
+    * 16-dim prefix table), prefix assign + nprobe=4 probe, prefix
+    * top-20 ranking, then the matryoshkaSql full-dimension rerank
+    * tail over the IVF shortlist. */
+  val matryoshkaIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pe AS (SELECT vec_id, v[1:16] AS v FROM e),
+       |dims AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM pe))) AS i),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM pe WHERE vec_id < 16),
+       |${kmIterSql("c0", 1, "pe")},
+       |${kmIterSql("c1", 2, "pe")},
+       |af AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT x.vec_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY round(${kmCos("x.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
+       |    FROM pe x CROSS JOIN c2 c) t WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, bucket FROM (
+       |    SELECT q.vec_id AS query_id, c.cid AS bucket,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${kmCos("q.v", "c.cv")}, 4) + 0.0 DESC, c.cid ASC) AS r
+       |    FROM pe q CROSS JOIN c2 c
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t WHERE r <= 4),
+       |stage1 AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT p.query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY round(${kmCos("q.v", "x.v")}, 4) + 0.0 DESC, x.vec_id ASC) AS rank
+       |    FROM probes p
+       |    JOIN af a ON a.bucket = p.bucket
+       |    JOIN pe x ON x.vec_id = a.vec_id
+       |    JOIN pe q ON q.vec_id = p.query_id
+       |    WHERE x.vec_id <> p.query_id) t
+       |  WHERE rank <= 20),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM e),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${cosSql("q", "c")}, 4) + 0.0 DESC, c.vec_id) AS rank
+       |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id >= 100 AND q.vec_id < 110) t
+       |  WHERE rank <= 5),
+       |ms AS (SELECT unnest([5, 10, 20]) AS m),
+       |rr AS (
+       |  SELECT m, query_id, neighbor_id FROM (
+       |    SELECT ms.m, s.query_id, s.neighbor_id,
+       |      row_number() OVER (PARTITION BY ms.m, s.query_id
+       |        ORDER BY round(${cosSql("q", "c")}, 4) + 0.0 DESC, s.neighbor_id) AS rr
+       |    FROM ms JOIN stage1 s ON s.rank <= ms.m
+       |    JOIN n q ON q.vec_id = s.query_id
+       |    JOIN n c ON c.vec_id = s.neighbor_id) t
+       |  WHERE rr <= 5),
+       |hits AS (
+       |  SELECT m AS shortlist, count(*) AS hits
+       |  FROM rr JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+       |tot AS (
+       |  SELECT count(*) AS total, count(DISTINCT query_id) AS n_queries
+       |  FROM exact)
+       |SELECT CAST(ms.m AS INT) AS shortlist,
+       |  CAST(n_queries AS BIGINT) AS n_queries,
+       |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(coalesce(hits, 0) AS DOUBLE) / total, 4) AS recall
+       |FROM ms LEFT JOIN hits ON hits.shortlist = ms.m CROSS JOIN tot
+       |ORDER BY 1""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_matryoshka_rerank" -> (simMatryoshkaRerank _),
+    "sim_matryoshka_ivf" -> (simMatryoshkaIvf _),
     "sim_pca_project" -> (simPcaProject _),
     "sim_gram_matrix" -> (simGramMatrix _),
     "sim_pq_adc" -> (simPqAdc _),
@@ -1963,6 +2083,7 @@ object SimQueries extends graft.QueryModule {
     "sim_quantized_topk" -> quantizedSql,
     "sim_ivf_recall" -> ivfRecallSql,
     "sim_matryoshka_rerank" -> matryoshkaSql,
+    "sim_matryoshka_ivf" -> matryoshkaIvfSql,
     "sim_quantized_recall" -> quantizedRecallSql,
     "sim_rhp_pairs" -> rhpSql,
     "dedup_semantic" -> semanticSql,

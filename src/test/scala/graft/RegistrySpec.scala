@@ -56,7 +56,7 @@ class RegistrySpec extends AnyFunSuite {
   }
 
   test("registry size matches expectation (update when adding queries)") {
-    assert(SparkEntry.queries.size == 392, s"got ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size == 392) // every query oracle-gated
+    assert(SparkEntry.queries.size == 393, s"got ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size == 393) // every query oracle-gated
   }
 }
