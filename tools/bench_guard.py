@@ -94,6 +94,23 @@ def median(xs):
     return s[len(s) // 2] if s else None
 
 
+def calib_dev(d, roll_pre, roll_post, tol):
+    """Max calibration deviation of a landed Bench artifact dict, or
+    None if the calib stamps are missing. Shared with bench_pair.py so
+    the pair protocol accepts draws by EXACTLY the same rule."""
+    pre, post = d.get("calib_pre", -1), d.get("calib_post", -1)
+    if pre <= 0 or post <= 0:
+        return None
+    # one-sided vs own-edge medians (slow = sick, fast = warm), plus
+    # the two window-shape checks (post/pre storm, pre/post asymmetry)
+    devs = [max(post / pre, 1.0), max(pre / post / ASYM_BOUND * tol, 1.0)]
+    if roll_pre:
+        devs.append(max(pre / roll_pre, 1.0))
+    if roll_post:
+        devs.append(max(post / roll_post, 1.0))
+    return max(devs)
+
+
 def main():
     args = sys.argv[1:]
     refs, tol, tries, cool = [], 1.2, 3, 60
@@ -147,18 +164,11 @@ def main():
             continue
         with open(tmp) as f:
             d = json.load(f)
-        pre, post = d.get("calib_pre", -1), d.get("calib_post", -1)
-        if pre <= 0 or post <= 0:
+        dev = calib_dev(d, roll_pre, roll_post, tol)
+        if dev is None:
             print(f"[guard] draw {t} missing calib stamps — rejected", flush=True)
             continue
-        # one-sided vs own-edge medians (slow = sick, fast = warm), plus
-        # the two window-shape checks (post/pre storm, pre/post asymmetry)
-        devs = [max(post / pre, 1.0), max(pre / post / ASYM_BOUND * tol, 1.0)]
-        if roll_pre:
-            devs.append(max(pre / roll_pre, 1.0))
-        if roll_post:
-            devs.append(max(post / roll_post, 1.0))
-        dev = max(devs)
+        pre, post = d.get("calib_pre", -1), d.get("calib_post", -1)
         ok = dev <= tol
         print(f"[guard] draw {t}: calib_pre={pre:.3f}s calib_post={post:.3f}s"
               f" guard={d.get('calib_guard', '?')}"
