@@ -129,6 +129,17 @@ object PrivacyLedger {
                   budgets: DataFrame): DataFrame =
     audit(readLedger(spark, root), budgets)
 
+  /** Time-travel audit: the spend AS OF ledger version `asOf` — "what
+    * had this pipeline released when commit V landed?" The question
+    * every incident review asks, answered by VersionedTable's
+    * snapshot resolution (versions beyond `asOf` are never opened),
+    * because the ledger IS a versioned table. One register call = one
+    * version, so `asOf` indexes release batches in commit order. */
+  def auditAsOf(spark: SparkSession, root: String, budgets: DataFrame,
+                asOf: Long): DataFrame =
+    audit(graft.etl.VersionedTable.readAsOf(spark, root, LedgerKey, asOf),
+      budgets)
+
   /** Sequential-composition audit: spent (Σε, Σδ) and release count
     * per source, against the budget. Sources with a budget but no
     * releases still appear (zero spend) — an auditor needs the full
