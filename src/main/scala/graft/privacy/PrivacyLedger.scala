@@ -100,16 +100,18 @@ object PrivacyLedger {
   def register(spark: SparkSession, root: String,
                releases: Seq[Release]): Long = registerLock.synchronized {
     graft.etl.VersionedTable.commitWithRetry() {
-      val empty = graft.etl.VersionedTable.versions(spark, root).isEmpty
-      val seq0 =
-        if (empty) 0L
-        else graft.etl.VersionedTable
-          .readLatest(spark, root, LedgerKey).count()
+      // sequence ids off the driver-side manifest listing, not a
+      // merge-on-read count: a mechanism call must not pay a ledger
+      // SCAN job to append (measured: the count job tripled the DP
+      // gates' wall time). Monotone under the single-writer lock —
+      // successive successful commits always see a larger version.
+      val next = graft.etl.VersionedTable.versions(spark, root)
+        .maxOption.fold(0L)(_ + 1)
       val rows = releases.zipWithIndex.map { case (r, i) =>
-        r.copy(release_id = s"${r.release_id}#${seq0 + i}")
+        r.copy(release_id = s"${r.release_id}#$next.$i")
       }
-      graft.etl.VersionedTable
-        .commitUpsert(spark, root, spark.createDataFrame(rows))
+      graft.etl.VersionedTable.commitUpsert(spark, root,
+        spark.createDataFrame(rows).coalesce(1))
     }
   }
 
