@@ -114,20 +114,32 @@ object Louvain {
     * graph) so scratch stays O(1) spill dirs via the reapReplacing
     * doctrine: the returned frame owns the only live spill; the
     * caller releases it via `Caching.release` when done. */
+  /** One additional Louvain level on top of an existing REAPED
+    * assignment: contract the original edges by `assign`, sweep the
+    * contracted graph, compose, and return the reaped composed
+    * assignment. The transient super-edge spill is released before
+    * returning; `assign` is left alive — the caller owns its
+    * lifecycle (the gate keeps level 1 for its stats; [[multilevel]]
+    * releases it). */
+  def nextLevel(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val sup = graft.core.Caching.reap(contract(edges, assign))
+    val next = sweep(sup)
+    val composed = graft.core.Caching.reap(
+      assign.select(col("node"), col("community").as("__c"))
+        .join(next.select(col("node").as("__c"), col("community")), "__c")
+        .select("node", "community"))
+    graft.core.Caching.release(sup)
+    composed
+  }
+
   def multilevel(edges: DataFrame, levels: Int = 2): DataFrame = {
     require(levels >= 1, s"levels must be >= 1, got $levels")
     var assign = graft.core.Caching.reap(sweep(edges))
     var lvl = 1
     while (lvl < levels) {
-      val sup = graft.core.Caching.reap(contract(edges, assign))
-      val next = sweep(sup)
-      val composed = assign
-        .select(col("node"), col("community").as("__c"))
-        .join(next.select(col("node").as("__c"),
-          col("community")), "__c")
-        .select("node", "community")
-      assign = graft.core.Caching.reapReplacing(composed, assign)
-      graft.core.Caching.release(sup)
+      val nxt = nextLevel(edges, assign)
+      graft.core.Caching.release(assign)
+      assign = nxt
       lvl += 1
     }
     assign

@@ -65,6 +65,20 @@ object PrivacyLedger {
     dir.toString
   }
 
+  /** Deterministic reclamation for a [[newScratchLedger]] root — the
+    * ledger analogue of `Caching.release` (a long-lived caller looping
+    * scratch-ledger audits must not accumulate one temp dir per call
+    * until JVM exit). No frame reading the ledger may be evaluated
+    * after this. */
+  def releaseScratchLedger(root: String): Unit = {
+    val f = new java.io.File(root)
+    scratchRoots.remove(f)
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    rm(f)
+  }
+
   private val scratchRoots =
     new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
 

@@ -851,13 +851,7 @@ object GraphQueries extends graft.QueryModule {
     import graft.graph.Louvain
     val edges = coEdges(spark, sfDir)
     val a1 = graft.core.Caching.reap(Louvain.sweep(edges))
-    val sup = graft.core.Caching.reap(Louvain.contract(edges, a1))
-    val a2 = Louvain.sweep(sup)
-    val composed = graft.core.Caching.reap(
-      a1.select(col("node"), col("community").as("__c"))
-        .join(a2.select(col("node").as("__c"), col("community")), "__c")
-        .select("node", "community"))
-    graft.core.Caching.release(sup)
+    val composed = Louvain.nextLevel(edges, a1)
     def levelRow(level: Int, assign: DataFrame): DataFrame =
       Louvain.modularity(edges, assign)
         .agg(count(lit(1)).as("n_communities"),

@@ -376,11 +376,22 @@ object PrivacyQueries extends graft.QueryModule {
     * sfDir is unused (the ledger is release metadata, not data). */
   def privBudgetAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val root = graft.privacy.PrivacyLedger.newScratchLedger()
-    graft.privacy.PrivacyLedger.register(spark, root, Seq(dpCountsRelease))
-    graft.privacy.PrivacyLedger.register(spark, root, dpSumReleases)
-    graft.privacy.PrivacyLedger
-      .auditLedger(spark, root, ownBudgets(spark))
-      .orderBy("source")
+    try {
+      graft.privacy.PrivacyLedger.register(spark, root, Seq(dpCountsRelease))
+      graft.privacy.PrivacyLedger.register(spark, root, dpSumReleases)
+      val audit = graft.privacy.PrivacyLedger
+        .auditLedger(spark, root, ownBudgets(spark))
+        .orderBy("source")
+      // the audit is bounded by the budget table (2 rows): evaluate it
+      // eagerly and hand back a local frame, so the scratch ledger can
+      // be reclaimed NOW instead of one temp dir piling up per call
+      // until JVM exit (the Caching.release doctrine, ledger edition)
+      val rows = audit.collect().toSeq
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        audit.schema)
+    } finally graft.privacy.PrivacyLedger.releaseScratchLedger(root)
   }
 
   val budgetAuditSql: String =

@@ -98,9 +98,15 @@ def main():
             d = json.load(f)
         dev = bg.calib_dev(d, roll_pre, roll_post, tol)
         total = d.get("value")
-        head = d.get("headline_value", total)
-        if dev is None or not isinstance(total, (int, float)):
-            print(f"[pair] draw {t} missing stamps — rejected", flush=True)
+        head = d.get("headline_value")
+        if (dev is None or not isinstance(total, (int, float))
+                or not isinstance(head, (int, float))):
+            # headline_value is REQUIRED: pairing a draw without it
+            # would silently re-run the strict 0.5% headline gate
+            # against the 5% totals — a MATCH on an agreement that was
+            # never measured
+            print(f"[pair] draw {t} missing calib/total/headline stamps "
+                  "— rejected", flush=True)
             continue
         ok = dev <= tol
         print(f"[pair] draw {t}: total={total:.2f}s headline={head:.2f}s "

@@ -53,11 +53,9 @@ def load_iso(paths):
 
 def main():
     args = sys.argv[1:]
-    iso_paths = []
-    if "--iso" in args:
-        i = args.index("--iso")
-        iso_paths = args[i + 1:]
-        args = args[:i]
+    # parse --min-abs BEFORE --iso: --iso greedily consumes the rest of
+    # the argv as iso file paths, so a later --min-abs would be read as
+    # a (nonexistent) file and crash the gate
     min_abs = 0.0
     if "--min-abs" in args:
         i = args.index("--min-abs")
@@ -68,6 +66,11 @@ def main():
         except (TypeError, ValueError):
             min_abs = 0.5
             del args[i]
+    iso_paths = []
+    if "--iso" in args:
+        i = args.index("--iso")
+        iso_paths = args[i + 1:]
+        args = args[:i]
     prev, curr = load(args[0]), load(args[1])
     thresh = float(args[2]) if len(args) > 2 else 1.3
     iso = load_iso(iso_paths)
