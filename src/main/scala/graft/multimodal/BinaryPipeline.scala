@@ -64,9 +64,18 @@ object BinaryPipeline {
 
   /** Attach a binary payload column + metadata struct to a corpus
     * (testdata carries no real media, so payload = utf-8 bytes of the
-    * text column; a real pipeline reads files into `payload`). */
+    * text column; a real pipeline reads files into `payload`).
+    *
+    * Like the SyntheticVideo/Images/Audio generators, the corpus goes
+    * through [[graft.core.Parallelism.widen]] first: single-row-group
+    * testdata reads as ONE scan task, and the mapPartitions decode /
+    * phash stages that consume this frame inherit its partitioning —
+    * without the widen the whole stub-decode family ran 1-core. The
+    * static-size guard keeps the shuffle conditional, so a real
+    * multi-partition binaryFile source is left untouched. */
   def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+    graft.core.Parallelism.widen(docs)
+      .select(
       col(idCol).cast("long").as("doc_id"),
       encode(col(textCol), "UTF-8").as("payload"),
       struct(

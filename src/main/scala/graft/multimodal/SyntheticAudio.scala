@@ -68,7 +68,11 @@ object SyntheticAudio {
   def withWavPayload(ids: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    // widen before the encode map — single-row-group testdata
+    // otherwise serializes encode+decode on one task (see
+    // SyntheticVideo.withAviPayload). Conditional via widen's guard.
+    graft.core.Parallelism.widen(ids.select(col("doc_id").cast("long")))
+      .as[Long]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map(id => (id, wavBytes(id)))))
       .toDF("doc_id", "payload")
   }

@@ -54,7 +54,13 @@ object SyntheticImages {
   def withPngPayload(ids: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    // widen before the encode map: the testdata corpus is one parquet
+    // row group → a single scan task, which would serialize the PNG
+    // encode AND every decode stage that inherits this frame's
+    // partitioning (SyntheticVideo doc has the r16 measurement).
+    // widen's static-size guard keeps the shuffle conditional.
+    graft.core.Parallelism.widen(ids.select(col("doc_id").cast("long")))
+      .as[Long]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map(id => (id, pngBytes(id)))))
       .toDF("doc_id", "payload")
   }

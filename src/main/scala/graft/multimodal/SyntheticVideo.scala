@@ -51,11 +51,21 @@ object SyntheticVideo {
   }
 
   /** (doc_id, payload) frame of real AVI bytes, generated partition-
-    * parallel in the same batched shape the decoder consumes. */
+    * parallel in the same batched shape the decoder consumes.
+    *
+    * The id list goes through [[graft.core.Parallelism.widen]] before
+    * the encode map: the testdata corpus is one parquet row group, so
+    * the inherited scan partitioning is a SINGLE task and the whole
+    * encode (plus the decode stage that consumes this frame's
+    * partitioning) ran 1-core (measured r16: mm_video_mjpg 4.40 s →
+    * 1.21 s at sf0.1 on local[32]). widen's static-size guard keeps
+    * the shuffle conditional — only the long ids move, and only when
+    * cores would otherwise idle. */
   def withAviPayload(ids: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    graft.core.Parallelism.widen(ids.select(col("doc_id").cast("long")))
+      .as[Long]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map(id => (id, aviBytes(id)))))
       .toDF("doc_id", "payload")
   }
@@ -115,11 +125,15 @@ object SyntheticVideo {
     AviCodec.writeMjpg(w, h, fps(id), frames)
   }
 
-  /** (doc_id, payload) frame of real MJPG AVI bytes. */
+  /** (doc_id, payload) frame of real MJPG AVI bytes. Widened before
+    * the encode map for the same single-row-group reason as
+    * [[withAviPayload]] — the JPEG encode is the most expensive
+    * synthetic payload and was running 1-core. */
   def withMjpgPayload(ids: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    graft.core.Parallelism.widen(ids.select(col("doc_id").cast("long")))
+      .as[Long]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map(id => (id, mjpgBytes(id)))))
       .toDF("doc_id", "payload")
   }

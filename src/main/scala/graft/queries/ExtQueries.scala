@@ -1027,7 +1027,7 @@ object ExtQueries extends graft.QueryModule {
     * (pinned in CloneSpec). */
   def vtCloneDeep(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.etl.VersionedTable
-    val src = vtLifecycle(spark, sfDir, "vtcd")                        // v0-v2
+    val src = vtLifecyclePrivate(spark, sfDir, "vtcd")                 // v0-v2
     val dst = GraftSession.scratch("vtcdclone") + "/tbl"
     VersionedTable.cloneDeep(spark, src, dst, Seq("event_id"))
     val p = new org.apache.hadoop.fs.Path(src)
@@ -1165,10 +1165,11 @@ object ExtQueries extends graft.QueryModule {
       |    ELSE value END), 2) AS total
       |FROM ev""".stripMargin
 
-  private def vtLifecycle(spark: SparkSession, sfDir: String,
-                          tag: String): String = {
+  /** Build the three-commit lifecycle (v0 init, v1 upsert, v2 delete)
+    * at `root` — the fixture every vt_* gate starts from. */
+  private def buildLifecycle(spark: SparkSession, sfDir: String,
+                             root: String): Unit = {
     import graft.etl.VersionedTable
-    val root = GraftSession.scratch(tag) + "/tbl"
     val ev = Tables.events(spark, sfDir).select(col("event_id"), col("value"))
     VersionedTable.init(spark, root, ev)                               // v0
     val upd = ev.where(col("event_id") % 7 === 0)
@@ -1182,6 +1183,45 @@ object ExtQueries extends graft.QueryModule {
       VersionedTable.commitDelete(spark, root,
         ev.where(col("event_id") % 5 === 0).select("event_id"))        // v2
     }
+  }
+
+  /** SHARED immutable lifecycle base per sf dir (the coEdges /
+    * triangle-stream scratch-fixture pattern, r16 optimization): 13
+    * gates previously each rebuilt the identical v0–v2 history — three
+    * events-sized Spark commits per gate, ~2 s × 13 at sf0.1 of pure
+    * fixture duplication in every bench draw. The base is built once;
+    * [[vtLifecycle]] hands each gate a SHALLOW CLONE (driver-side
+    * manifest copy, data dirs borrowed) so gates that append, tag,
+    * restore, compact, expire or vacuum mutate their own clone while
+    * the base's files stay untouched — `expire` skips external dirs
+    * by contract (VersionedTable.expire) and `vacuumOrphans` only
+    * lists the clone's own data root. The one gate that PHYSICALLY
+    * deletes its source (vt_clone_deep) keeps a private build via
+    * [[vtLifecyclePrivate]]. */
+  private val lifecycleBases = scala.collection.mutable.Map.empty[String, String]
+  private def vtLifecycleBase(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      lifecycleBases.getOrElseUpdate(sfDir, {
+        val root = GraftSession.scratch("vtbase") + "/tbl"
+        buildLifecycle(spark, sfDir, root)
+        root
+      })
+    }
+
+  private def vtLifecycle(spark: SparkSession, sfDir: String,
+                          tag: String): String = {
+    val root = GraftSession.scratch(tag) + "/tbl"
+    graft.etl.VersionedTable.cloneShallow(
+      spark, vtLifecycleBase(spark, sfDir), root)
+    root
+  }
+
+  /** Private (non-shared) lifecycle for gates whose contract destroys
+    * the source table itself. */
+  private def vtLifecyclePrivate(spark: SparkSession, sfDir: String,
+                                 tag: String): String = {
+    val root = GraftSession.scratch(tag) + "/tbl"
+    buildLifecycle(spark, sfDir, root)
     root
   }
 

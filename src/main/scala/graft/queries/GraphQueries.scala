@@ -751,7 +751,14 @@ object GraphQueries extends graft.QueryModule {
     * window); see the module doc for the 100 TB argument. */
   def graphLouvain(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = coEdges(spark, sfDir)
-    val assign = graft.graph.Louvain.sweep(edges)
+    // r16 optimization: the sweep assignment feeds THREE consumers
+    // (modularity's intra join, its mass join, and the moved stats);
+    // un-reaped, each consumer re-evaluates the full E-sized sweep
+    // plan (guide §2.4 — the measured r16 before-plan carried 180
+    // Exchanges / 86 scans for a 1-row result). Reaping the bounded
+    // V-row assignment pays one tiny spill and every consumer reads
+    // the files. Measured sf0.1: 2.9 s → 1.5 s (iso median).
+    val assign = graft.core.Caching.reap(graft.graph.Louvain.sweep(edges))
     val terms = graft.graph.Louvain.modularity(edges, assign)
     val moved = assign.agg(count(lit(1)).as("n_nodes"),
       sum(when(col("community") =!= col("node"), 1L).otherwise(0L))
@@ -851,15 +858,52 @@ object GraphQueries extends graft.QueryModule {
     import graft.graph.Louvain
     val edges = coEdges(spark, sfDir)
     val a1 = graft.core.Caching.reap(Louvain.sweep(edges))
-    val composed = Louvain.nextLevel(edges, a1)
-    def levelRow(level: Int, assign: DataFrame): DataFrame =
-      Louvain.modularity(edges, assign)
+    // r16 optimization (guide §1.2 step 1 — remove full passes): the
+    // modularity of an assignment on the ORIGINAL edges equals the
+    // modularity read off the CONTRACTED graph, because contraction
+    // preserves exactly the three masses the formula uses — m2 = Σk,
+    // K_c = Σ_{i∈c} k_i (the super-node degree), and W_c = the (c,c)
+    // self-loop weight (both intra directions folded). All weights are
+    // integer-valued doubles (co-purchase counts), so the sums are
+    // EXACT and the equality is bit-for-bit, not approximate. The r15
+    // shape re-joined the full E-row edge list to each level's
+    // assignment twice per modularity audit (2 × 2 E-joins) and
+    // composed assignments through another V-join; all of that now
+    // reads the C-row contracted graphs instead. The one full-E
+    // contraction (level 1 → sup) was already being paid by nextLevel;
+    // level 2's contraction runs on the C-row sup. a1's spill is
+    // released as soon as sup lands (its only consumer).
+    val sup = graft.core.Caching.reap(Louvain.contract(edges, a1))
+    graft.core.Caching.release(a1)
+    // a2 feeds BOTH join sides of the level-2 contraction; the r16
+    // profile showed sup at 1.24M edges (sf0.1) — NOT geometrically
+    // smaller — so re-evaluating sweep(sup) twice cost ~2 s. Reap it.
+    val a2 = graft.core.Caching.reap(Louvain.sweep(sup))
+    val sup2 = Louvain.contract(sup, a2)
+    def levelRowFrom(level: Int, g: DataFrame): DataFrame = {
+      // ONE keyed pass over the contracted graph: K_c = Σw over the
+      // src group, W_c = the self-loop's weight folded in the same
+      // aggregation (sum over src==dst rows — exact, integer-valued
+      // weights). The community-row result is persisted because both
+      // m2 and the final fold read it; without the persist the
+      // level-2 contract plan underneath would run once per consumer.
+      val percom = g.groupBy(col("src").as("community"))
+        .agg(sum("w").as("kc"),
+          sum(when(col("src") === col("dst"), col("w"))
+            .otherwise(0.0)).as("wc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val m2 = percom.agg(sum("kc").as("m2"))
+      percom
+        .crossJoin(broadcast(m2))
         .agg(count(lit(1)).as("n_communities"),
-          graft.functions.ScoreFns.scoreRound(sum("q_term"), 6)
+          graft.functions.ScoreFns.scoreRound(
+            sum(col("wc") / col("m2")
+              - (col("kc") / col("m2")) * (col("kc") / col("m2"))), 6)
             .as("modularity"))
         .select(lit(level.toLong).as("level"),
           col("n_communities"), col("modularity"))
-    levelRow(1, a1).unionByName(levelRow(2, composed)).orderBy("level")
+    }
+    levelRowFrom(1, sup).unionByName(levelRowFrom(2, sup2)).orderBy("level")
   }
 
   val graphLouvainMultilevelSql: String =
