@@ -94,9 +94,25 @@ object ReverseMigration {
                 partitionsE: DataFrame,
                 startIds: Map[String, Long]): Map[String, DataFrame] = {
     def start(k: String): Long = startIds.getOrElse(k, 0L)
+    // The 19 output tables all branch off five shared id'd frames
+    // (msDbs/msTbls/msParts/sdsIdd/locMapIdd, each an orderBy +
+    // zipWithIndex over the forward entity assembly). Un-persisted,
+    // EVERY one of the 19 JDBC loads re-evaluates that whole lineage —
+    // and zipWithIndex's own count job already pays it once more at
+    // definition time (r16 measured: cat_reverse_e2e spent 9.8 s at
+    // sf0.1, dominated by ~20 re-runs of the same catalog assembly).
+    // Persisting input AND output of each id pass makes the count job
+    // the ONE evaluation of the upstream plan (the map pass and all 19
+    // consumers read cache). Catalog-sized frames (≤10^6-ish rows even
+    // at 100 TB, see module doc) — the persist-for-lifetime doctrine;
+    // the harness clearCache between queries scopes the blocks.
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def genIdsShared(sorted: DataFrame, idName: String, st: Long): DataFrame =
+      IdOps.generateConsecutiveIds(sorted.persist(disk), idName, st)
+        .persist(disk)
 
     // --- DBS (extract_dbs :913-928): gen DB_ID in name order ---
-    val msDbs = IdOps.generateConsecutiveIds(
+    val msDbs = genIdsShared(
       databasesE.orderBy("name"), "DB_ID", start("DB_ID"))
     val dbsOut = msDbs.select(col("DB_ID"), col("name").as("NAME"),
       coalesce(col("locationUri"), lit("")).as("DB_LOCATION_URI"),
@@ -109,7 +125,7 @@ object ReverseMigration {
       .join(msDbs.select(col("DB_ID"), col("name").as("__dbname")),
         tablesE("database") === col("__dbname"), "inner")
       .drop("__dbname")
-    val msTbls = IdOps.generateConsecutiveIds(
+    val msTbls = genIdsShared(
       tblsKeyed.orderBy("database", "name"), "TBL_ID", start("TBL_ID"))
 
     // --- PARTITIONS (extract_partitions :981-996): FK through db+table ---
@@ -123,7 +139,7 @@ object ReverseMigration {
       .drop("__db", "__tbl", "__pkeys")
     // creationTime tiebreak: distinct partitions of one table can share
     // a partitionName in the fixtures — the id order must still be total
-    val msParts = IdOps.generateConsecutiveIds(
+    val msParts = genIdsShared(
       partsKeyed.orderBy("database", "table", "partitionName", "creationTime"),
       "PART_ID", start("PART_ID"))
 
@@ -135,7 +151,7 @@ object ReverseMigration {
     val tblSds = msTbls.select(
       concat(col("name"), col("database")).as("__sdkey"),
       lit("table").as("__sdtype"), col("storageDescriptor"))
-    val sdsIdd = IdOps.generateConsecutiveIds(
+    val sdsIdd = genIdsShared(
         partSds.unionByName(tblSds).orderBy("__sdtype", "__sdkey"),
         "__rn", 0L)
       .select(col("__sdkey"), col("__sdtype"), col("storageDescriptor"),
@@ -187,7 +203,7 @@ object ReverseMigration {
     val locMapRaw = sdsIdd.select(col("SD_ID"),
       explode(sd.getField("skewedInfo").getField("skewedColumnValueLocationMaps"))
         .as(Seq("STRING_LIST_STR", "LOCATION")))
-    val locMapIdd = IdOps.generateConsecutiveIds(
+    val locMapIdd = genIdsShared(
       locMapRaw.orderBy("SD_ID", "STRING_LIST_STR"),
       "STRING_LIST_ID_KID", start("STRING_LIST_ID_KID"))
     val skewedLocMapOut = locMapIdd.select(

@@ -754,10 +754,11 @@ object GraphQueries extends graft.QueryModule {
     // r16 optimization: the sweep assignment feeds THREE consumers
     // (modularity's intra join, its mass join, and the moved stats);
     // un-reaped, each consumer re-evaluates the full E-sized sweep
-    // plan (guide §2.4 — the measured r16 before-plan carried 180
-    // Exchanges / 86 scans for a 1-row result). Reaping the bounded
-    // V-row assignment pays one tiny spill and every consumer reads
-    // the files. Measured sf0.1: 2.9 s → 1.5 s (iso median).
+    // plan (the measured r16 before-plan carried 180 Exchanges / 86
+    // scans for a 1-row result). Reaping the bounded V-row assignment
+    // pays one tiny spill and every consumer reads the files.
+    // Measured sf0.1 suite best-of-2: 4.45 s before; see
+    // OPTIMIZATION_r16.md for the landed after-numbers.
     val assign = graft.core.Caching.reap(graft.graph.Louvain.sweep(edges))
     val terms = graft.graph.Louvain.modularity(edges, assign)
     val moved = assign.agg(count(lit(1)).as("n_nodes"),

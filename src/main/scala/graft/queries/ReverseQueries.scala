@@ -88,6 +88,19 @@ object ReverseQueries extends graft.QueryModule {
     * serde, the owning table's skew family, column counts, key vals). */
   def catReverseE2e(spark: SparkSession, sfDir: String): DataFrame = {
     val f = fx(spark, sfDir)
+    // The forward assembly is consumed through SEVERAL downstream
+    // lineages: sdsT feeds tablesT AND partitionsT directly, tablesT
+    // feeds partitionsT again, and transform() evaluates each entity
+    // input once more when filling its own id-pass caches. Un-persisted,
+    // the skew-heavy SD assembly ran 3x inside one gate (r16 measured;
+    // plans/r16/cat_reverse_e2e_before.txt repeats the same scan+agg
+    // subtree). Catalog-sized frames — same persist-for-lifetime
+    // doctrine as ReverseMigration.transform; the harness clearCache
+    // between queries scopes the blocks.
+    locally {
+      val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      Seq(f.databasesT, f.sdsT, f.tablesT).foreach(_.persist(disk))
+    }
     val starts = Map(
       "DB_ID" -> ReverseMigration.startId(Some(f.dbs), "DB_ID"),
       "TBL_ID" -> ReverseMigration.startId(Some(f.tbls), "TBL_ID"),

@@ -134,5 +134,12 @@ class LexicalSimSpec extends SparkSpecBase {
       (r, keep.size.toLong, edges.size.toLong)
     }
     assert(got.toSeq == expected, s"got=${got.toSeq} expected=$expected")
+
+    // the shuffled-semi-join fallback (survivor set above the broadcast
+    // cap) must produce the identical rounds table
+    val noBcast = KCore.peelRounds(df, k = 3, rounds = 3, broadcastCap = 0L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(noBcast.toSeq == expected,
+      s"fallback path diverged: ${noBcast.toSeq} != $expected")
   }
 }
